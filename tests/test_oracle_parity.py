@@ -1,0 +1,27 @@
+"""Every registry query must match its DuckDB oracle on sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from xrddatapipeline_spark.plans.driver_queries import REGISTRY
+from tests.oracle_harness import compare_frames, run_oracle
+
+ORACLED = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, sf_dir, name):
+    q = REGISTRY[name]
+    spark_pdf = q.spark(spark, sf_dir).toPandas()
+    oracle_pdf = run_oracle(q.oracle, sf_dir)
+    errs = compare_frames(spark_pdf, oracle_pdf)
+    assert not errs, f"{name}: {errs}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    q = REGISTRY[name]
+    df = q.spark(spark, sf_dir)
+    assert df.count() >= 0

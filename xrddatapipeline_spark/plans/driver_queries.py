@@ -1,0 +1,675 @@
+"""Oracle-checked query registry: SURVEY §2 operator classes on the driver tables.
+
+Each entry exercises one operator family from the reference (citation in its
+docstring) as an idiomatic Spark DataFrame plan, paired with an ANSI-SQL
+oracle DuckDB can run on the same parquet tables. Column names are aliased
+identically on both sides (the driver's compare hashes values under sorted
+column names).
+
+Numeric-parity policy: outputs favor order-independent exact aggregates
+(count / min / max / sums of integral doubles / exact medians+percentiles,
+which interpolate identically in Spark, DuckDB, and numpy). Open-ended
+double sums (TPC-H revenue) are kept where the operator demands them.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xrddatapipeline_spark.operators.integrate import integrate_binned_mean
+from xrddatapipeline_spark.operators.ring_stats import group_median_mad
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is Parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+        # default; read it as long (nanos since epoch) — it is only ever
+        # used as an ordering/windowing key, where long order == time order.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+@dataclass
+class QueryDef:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QueryDef(name, fn, oracle, doc, tags)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship + general relational spine
+# ---------------------------------------------------------------------------
+
+@_register(
+    "tpch_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum(l_extendedprice) AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+           avg(l_quantity) AS avg_qty,
+           avg(l_discount) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Flagship scan->filter->hash-agg (multi-aggregate); general SQL spine.",
+    tags=("agg", "flagship"),
+)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "tpch_q5ish_regional_volume",
+    """
+    SELECT n_name,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+    doc="Multi-join star query; dims are broadcast (small) — scale-safe join order.",
+    tags=("join", "agg"),
+)
+def tpch_q5ish_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "s11_json_props_extract",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured ingest: JSON sidecar parse (SURVEY §2.1 S3/S11 analog).",
+    tags=("source",),
+)
+def s11_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — azimuthal integration (binned mean with bin-0 routing)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "a1_integrate_binned_mean",
+    """
+    SELECT bin,
+           sum(l_quantity) AS sum_val,
+           count(*) AS n_px,
+           sum(l_quantity) / greatest(count(*), 1) AS intensity
+    FROM (
+        SELECT CASE WHEN l_discount > 0.06 THEN 0
+                    ELSE CAST(floor(l_extendedprice / 2000) AS INT) + 1 END AS bin,
+               l_quantity
+        FROM lineitem
+    )
+    GROUP BY bin
+    HAVING bin > 0
+    """,
+    doc="pipeline.py:55-75 semantics: masked rows routed to bin 0 and dropped, "
+    "count clamped >=1 (SURVEY §2.6 A1).",
+    tags=("agg", "xrd"),
+)
+def a1_integrate_binned_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return integrate_binned_mean(
+        li,
+        bin_col=(F.floor(F.col("l_extendedprice") / 2000) + 1).cast("int"),
+        value_col=F.col("l_quantity"),
+        mask_col=F.col("l_discount") > 0.06,
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/J6/J7 — ring median/MAD sigma-clip (the fmask.c kernel, hash-agg shaped)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "a2_ring_median_mad",
+    """
+    WITH ring AS (
+        SELECT CAST(l_partkey % 40 AS INT) AS ring, l_extendedprice AS v
+        FROM lineitem
+    ),
+    med AS (
+        SELECT ring, median(v) AS med, count(*) AS n_px
+        FROM ring GROUP BY ring HAVING count(*) >= 10
+    ),
+    mad AS (
+        SELECT r.ring, median(abs(r.v - m.med)) AS mad
+        FROM ring r JOIN med m USING (ring)
+        GROUP BY r.ring
+    )
+    SELECT m.ring, m.n_px, m.med, d.mad,
+           (SELECT count(*) FROM ring r
+            WHERE r.ring = m.ring AND abs(r.v - m.med) > d.mad * 4.4478) AS n_outliers
+    FROM med m JOIN mad d ON m.ring = d.ring
+    """,
+    doc="fmask.c:79-293 per-ring exact median + MAD*1.4826 sigma-clip "
+    "(esdMul=3 => threshold 3*1.4826=4.4478); rings <10 px skipped "
+    "(SURVEY §2.6 A2, §2.5 J6/J7).",
+    tags=("agg", "xrd"),
+)
+def a2_ring_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 40).cast("int").alias("ring"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    stats = group_median_mad(li, ["ring"], "v", min_count=10)
+    joined = li.join(F.broadcast(stats), "ring")
+    return joined.groupBy("ring").agg(
+        F.first("n_px").alias("n_px"),
+        F.first("med").alias("med"),
+        F.first("mad").alias("mad"),
+        F.sum(
+            F.when(
+                F.abs(F.col("v") - F.col("med")) > F.col("mad") * 4.4478, 1
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5/A6 — regionprops-style label aggregates + area filter
+# ---------------------------------------------------------------------------
+
+@_register(
+    "a5_regionprops_label_stats",
+    """
+    SELECT l_suppkey AS label,
+           count(*) AS area,
+           min(l_quantity) AS intensity_min,
+           max(l_quantity) AS intensity_max,
+           avg(l_quantity) AS intensity_mean,
+           sum(l_quantity) AS intensity_sum
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+    doc="skimage regionprops_table as groupBy (classification.py:152-157; "
+    "SURVEY §2.6 A5).",
+    tags=("agg", "xrd"),
+)
+def a5_regionprops_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_suppkey").alias("label")).agg(
+        F.count("*").alias("area"),
+        F.min("l_quantity").alias("intensity_min"),
+        F.max("l_quantity").alias("intensity_max"),
+        F.avg("l_quantity").alias("intensity_mean"),
+        F.sum("l_quantity").alias("intensity_sum"),
+    )
+
+
+@_register(
+    "a6_area_filter",
+    """
+    SELECT l_partkey AS label, count(*) AS area
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) > 25
+    """,
+    doc="value_counts + min-area filter (classification.py:401-402; A6/M5).",
+    tags=("agg", "xrd"),
+)
+def a6_area_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").alias("label"))
+        .agg(F.count("*").alias("area"))
+        .where(F.col("area") > 25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — circular azimuth extent via flipped-axis heuristic
+# ---------------------------------------------------------------------------
+
+@_register(
+    "a7_azim_extent_wrap",
+    """
+    WITH az AS (
+        -- pmod written sign-aware so the float result is bit-identical to
+        -- Spark's pmod (a double ((x%360)+360)%360 drifts by an ulp)
+        SELECT user_id,
+               CASE WHEN value % 360 < 0 THEN value % 360 + 360
+                    ELSE value % 360 END AS az,
+               CASE WHEN (value + 180) % 360 < 0 THEN (value + 180) % 360 + 360
+                    ELSE (value + 180) % 360 END AS az_flip
+        FROM events
+    )
+    SELECT user_id,
+           max(az) - min(az) AS extent_raw,
+           max(az_flip) - min(az_flip) AS extent_flip,
+           least(max(az) - min(az), max(az_flip) - min(az_flip)) AS extent
+    FROM az GROUP BY user_id
+    """,
+    doc="Wraparound-tolerant azimuth extent: min(plain extent, flipped-axis "
+    "extent) (classification.py:403-412; SURVEY §2.6 A7).",
+    tags=("agg", "xrd"),
+)
+def a7_azim_extent_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    az = ev.select(
+        "user_id",
+        F.pmod(F.col("value"), F.lit(360.0)).alias("az"),
+        F.pmod(F.col("value") + 180.0, F.lit(360.0)).alias("az_flip"),
+    )
+    ext = F.max("az") - F.min("az")
+    extf = F.max("az_flip") - F.min("az_flip")
+    return az.groupBy("user_id").agg(
+        ext.alias("extent_raw"),
+        extf.alias("extent_flip"),
+        F.least(ext, extf).alias("extent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8/A12 — exact percentile spread and global percentiles
+# ---------------------------------------------------------------------------
+
+@_register(
+    "a8_percentile_spread",
+    """
+    SELECT l_returnflag,
+           percentile_cont(0.1) WITHIN GROUP (ORDER BY l_quantity) AS p10,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity)
+             - percentile_cont(0.1) WITHIN GROUP (ORDER BY l_quantity) AS spread
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Q-extent p90-p10 with exact linear-interpolation percentiles "
+    "(classification.py:415-418; SURVEY §2.6 A8, parity note §7).",
+    tags=("agg", "xrd"),
+)
+def a8_percentile_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = lambda q: F.expr(f"percentile(l_quantity, {q})")  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        p(0.1).alias("p10"),
+        p(0.5).alias("p50"),
+        p(0.9).alias("p90"),
+        (p(0.9) - p(0.1)).alias("spread"),
+    )
+
+
+@_register(
+    "a12_global_percentiles",
+    """
+    SELECT percentile_cont(0.001) WITHIN GROUP (ORDER BY l_extendedprice) AS p001,
+           percentile_cont(0.10) WITHIN GROUP (ORDER BY l_extendedprice) AS p10,
+           percentile_cont(0.999) WITHIN GROUP (ORDER BY l_extendedprice) AS p999,
+           count(*) AS n
+    FROM lineitem
+    """,
+    doc="Whole-image global percentiles (classification.py:502-503, "
+    "spottiness.py:66; SURVEY §2.6 A12). Exact, not approx, for parity.",
+    tags=("agg", "xrd"),
+)
+def a12_global_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.expr("percentile(l_extendedprice, 0.001)").alias("p001"),
+        F.expr("percentile(l_extendedprice, 0.10)").alias("p10"),
+        F.expr("percentile(l_extendedprice, 0.999)").alias("p999"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — spot/arc threshold classifier over joined aggregates
+# ---------------------------------------------------------------------------
+
+@_register(
+    "a9_shape_classifier",
+    """
+    WITH ext AS (
+        SELECT l_partkey AS label,
+               max(l_discount) - min(l_discount) AS diff_q,
+               max(l_quantity) - min(l_quantity) AS diff_azim,
+               count(*) AS area
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT label, diff_q, diff_azim, area,
+           CASE WHEN diff_q < 0.08 AND diff_azim > 20.0
+                     AND diff_azim / diff_q > 300.0
+                THEN 2 ELSE 1 END AS classifier
+    FROM ext WHERE area > 10
+    """,
+    doc="Arc-vs-spot decision thresholds over joined label aggregates "
+    "(classification.py:420-433; SURVEY §2.6 A9, thresholds §2.9).",
+    tags=("agg", "xrd"),
+)
+def a9_shape_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ext = li.groupBy(F.col("l_partkey").alias("label")).agg(
+        (F.max("l_discount") - F.min("l_discount")).alias("diff_q"),
+        (F.max("l_quantity") - F.min("l_quantity")).alias("diff_azim"),
+        F.count("*").alias("area"),
+    )
+    return ext.where(F.col("area") > 10).select(
+        "label",
+        "diff_q",
+        "diff_azim",
+        "area",
+        F.when(
+            (F.col("diff_q") < 0.08)
+            & (F.col("diff_azim") > 20.0)
+            & (F.col("diff_azim") / F.col("diff_q") > 300.0),
+            2,
+        )
+        .otherwise(1)
+        .alias("classifier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A16 — distinct aggregation
+# ---------------------------------------------------------------------------
+
+@_register(
+    "a16_count_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Unique spots per Q-bin analog (spottiness.py:24; SURVEY §2.6 A16).",
+    tags=("agg", "xrd"),
+)
+def a16_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/J4 — previous/first lookup via window (csim pairing)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "w1_lag_first_pairing",
+    """
+    SELECT event_id, user_id,
+           value - coalesce(lag(value) OVER w, value) AS d_prev,
+           value - first_value(value) OVER w AS d_first
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Image-n vs n-1 and vs first pairing as lag/first_value windows "
+    "(pipeline.py:506-545; SURVEY §2.7 W1, §2.5 J4). First pairs with "
+    "itself => delta 0, matching the reference's self-compare.",
+    tags=("window", "xrd"),
+)
+def w1_lag_first_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.col("value")
+            - F.coalesce(F.lag("value").over(w), F.col("value"))
+        ).alias("d_prev"),
+        (F.col("value") - F.first("value").over(w)).alias("d_first"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — stride downsampling
+# ---------------------------------------------------------------------------
+
+@_register(
+    "w3_stride_downsample",
+    """
+    SELECT event_type, rn, event_id
+    FROM (
+        SELECT event_type, event_id,
+               row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    WHERE rn % 10 = 1
+    """,
+    doc="Contour stride downsampling: every k-th row per series "
+    "(mainUI/contour.py:208-251; SURVEY §2.7 W3).",
+    tags=("window", "xrd"),
+)
+def w3_stride_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type", "event_id", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") % 10 == 1)
+        .select("event_type", "rn", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 — circular gap-scan (azimuth wraparound extent)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "w5_circular_gap_scan",
+    """
+    WITH az AS (
+        SELECT user_id,
+               CASE WHEN value % 360 < 0 THEN value % 360 + 360
+                    ELSE value % 360 END AS az
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id, az,
+               az - lag(az) OVER (PARTITION BY user_id ORDER BY az) AS gap
+        FROM az
+    )
+    SELECT user_id,
+           greatest(coalesce(max(gap), 0.0), 360.0 - max(az) + min(az)) AS max_gap,
+           360.0 - greatest(coalesce(max(gap), 0.0), 360.0 - max(az) + min(az)) AS extent
+    FROM gaps
+    GROUP BY user_id
+    """,
+    doc="Wrapped-label extent: sort azimuths, largest consecutive gap "
+    "(including the wrap gap), extent = 360 - gap "
+    "(classification.py:659-666; SURVEY §2.7 W5).",
+    tags=("window", "xrd"),
+)
+def w5_circular_gap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    az = ev.select(
+        "user_id", F.pmod(F.col("value"), F.lit(360.0)).alias("az")
+    )
+    w = Window.partitionBy("user_id").orderBy("az")
+    gaps = az.withColumn("gap", F.col("az") - F.lag("az").over(w))
+    max_gap = F.greatest(
+        F.coalesce(F.max("gap"), F.lit(0.0)),
+        F.lit(360.0) - F.max("az") + F.min("az"),
+    )
+    return gaps.groupBy("user_id").agg(
+        max_gap.alias("max_gap"),
+        (F.lit(360.0) - max_gap).alias("extent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — base vs masked difference via pivot self-alignment
+# ---------------------------------------------------------------------------
+
+@_register(
+    "j5_diff_pivot",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           count(*) AS n_orders,
+           coalesce(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0.0)
+             - coalesce(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0.0)
+             AS diff_f_minus_o
+    FROM orders
+    GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+    doc="Base-minus-masked integral difference as conditional-agg pivot "
+    "(mainUI/integrals.py:280-329; SURVEY §2.5 J5).",
+    tags=("join", "xrd"),
+)
+def j5_diff_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    avg_f = F.avg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")))
+    avg_o = F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")))
+    return o.groupBy(month).agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.coalesce(avg_f, F.lit(0.0)) - F.coalesce(avg_o, F.lit(0.0))
+        ).alias("diff_f_minus_o"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11 — filtered central-band aggregate with broadcast-back median
+# ---------------------------------------------------------------------------
+
+@_register(
+    "a11_central_band_percentile",
+    """
+    WITH med AS (
+        SELECT l_partkey AS label, median(l_extendedprice) AS med_q
+        FROM lineitem GROUP BY l_partkey
+    ),
+    central AS (
+        SELECT m.label, l.l_quantity
+        FROM lineitem l JOIN med m ON l.l_partkey = m.label
+        WHERE abs(l.l_extendedprice - m.med_q) < 5000.0
+    )
+    SELECT label,
+           percentile_cont(0.2) WITHIN GROUP (ORDER BY l_quantity) AS p20,
+           count(*) AS n_central
+    FROM central GROUP BY label
+    """,
+    doc="Central-band (|Q - medianQ| < eps) filtered percentile with the "
+    "median broadcast back per label (classification.py:528-548; SURVEY "
+    "§2.6 A11, §2.5 J2).",
+    tags=("agg", "join", "xrd"),
+)
+def a11_central_band_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    med = li.groupBy(F.col("l_partkey").alias("label")).agg(
+        F.median("l_extendedprice").alias("med_q")
+    )
+    central = (
+        li.join(F.broadcast(med), li.l_partkey == med.label)
+        .where(F.abs(F.col("l_extendedprice") - F.col("med_q")) < 5000.0)
+    )
+    return central.groupBy("label").agg(
+        F.expr("percentile(l_quantity, 0.2)").alias("p20"),
+        F.count("*").alias("n_central"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A15 — spottiness: fraction masked per band
+# ---------------------------------------------------------------------------
+
+@_register(
+    "a15_fraction_masked_per_bin",
+    """
+    SELECT CAST(floor(l_extendedprice / 5000) AS INT) AS qbin,
+           count(*) AS n_total,
+           sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_masked,
+           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS frac_masked
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="Percent-masked per Q band (spottiness.py:16-27; SURVEY §2.6 A15).",
+    tags=("agg", "xrd"),
+)
+def a15_fraction_masked_per_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    masked = F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+    return li.groupBy(
+        F.floor(F.col("l_extendedprice") / 5000).cast("int").alias("qbin")
+    ).agg(
+        F.count("*").alias("n_total"),
+        masked.alias("n_masked"),
+        (masked.cast("double") / F.count("*")).alias("frac_masked"),
+    )

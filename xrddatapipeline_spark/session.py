@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-minded defaults.
+
+Settings chosen for the 100 TB design point and safe on local[N]:
+
+- AQE on (runtime coalescing, skew-join splitting) — at cluster scale the
+  per-image groupBys and the LSH band joins are skew-prone.
+- Arrow enabled for the pandas-UDF kernel layer; batch size sized so one
+  detector image's pixel group (8.3 M rows, ~5 numeric cols) fits a few
+  Arrow batches without blowing executor memory.
+- Shuffle partitions default to cores on local mode; on a real cluster this
+  is expected to be overridden (or left to AQE coalescing from a higher
+  initial value).
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle used by the correctness gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "xrddatapipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
