@@ -1,0 +1,161 @@
+"""End-to-end per-image plan on synthetic fixtures (SURVEY §7 step 3-7).
+
+The numpy oracle reimplements the reference semantics independently
+(masking, ring median/MAD, binned mean with bin-0 routing) and the Spark
+plan must match it exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xrddatapipeline_spark.calib.cache import build_calib_pixels
+from xrddatapipeline_spark.calib.geometry import compute_maps_numpy, tth_bin_index_numpy
+from xrddatapipeline_spark.plans.image_pipeline import (
+    cosine_similarity_series,
+    run_image_plan,
+)
+from tests.fixtures_images import CONTROLS, images_long_df, make_image
+
+
+@pytest.fixture(scope="module")
+def plan_result(spark):
+    img = make_image(CONTROLS, seq=0)
+    pixels = images_long_df(spark, [("synth", 0, img)])
+    calib = build_calib_pixels(spark, CONTROLS).cache()
+    res = run_image_plan(pixels, calib, CONTROLS)
+    return img, res
+
+
+def _numpy_base_integral(img: np.ndarray):
+    c = CONTROLS
+    maps = compute_maps_numpy(c)
+    base_mask = img <= 0
+    idx = tth_bin_index_numpy(maps["tth"], *c.iotth, c.out_channels)
+    routed = np.where(base_mask, 0, idx)
+    val = img / maps["pol"] * maps["dist_sq"] ** 1.5
+    sums = np.bincount(routed.ravel(), weights=np.where(base_mask, 0, val).ravel(),
+                       minlength=c.out_channels + 1)
+    counts = np.bincount(routed.ravel(), weights=(~base_mask).ravel().astype(float),
+                         minlength=c.out_channels + 1)
+    with np.errstate(invalid="ignore"):
+        means = sums / np.maximum(counts, 1)
+    return means  # index = tth_idx, bin 0 is the discard bin
+
+
+def test_base_integral_matches_numpy_oracle(plan_result):
+    img, res = plan_result
+    got = (
+        res.integrals.where("kind = 'base'")
+        .orderBy("tth_idx")
+        .toPandas()
+        .set_index("tth_idx")["intensity"]
+    )
+    want = _numpy_base_integral(img)
+    for tth_idx, intensity in got.items():
+        assert tth_idx > 0
+        np.testing.assert_allclose(intensity, want[tth_idx], rtol=1e-9,
+                                   err_msg=f"bin {tth_idx}")
+
+
+def test_outlier_mask_catches_hot_pixels(plan_result):
+    img, res = plan_result
+    # numpy oracle of A2: per-ring exact median/MAD sigma-clip
+    c = CONTROLS
+    maps = compute_maps_numpy(c)
+    ring = tth_bin_index_numpy(maps["tth"], *c.iotth, c.num_chans_om)
+    base = img <= 0
+    cand = (~base) & (ring > 0)
+    want = set()
+    for r in np.unique(ring[cand]):
+        sel = cand & (ring == r)
+        if sel.sum() < 10:
+            continue
+        v = img[sel].astype(float)
+        med = np.median(v)
+        mad = np.median(np.abs(v - med))
+        out = np.abs(v - med) > c.esd_mul * 1.4826 * mad
+        ys, xs = np.nonzero(sel)
+        for y, x in zip(ys[out], xs[out]):
+            want.add((int(y), int(x)))
+    got = {
+        (r.y, r.x) for r in res.outliers.select("y", "x").collect()
+    }
+    assert got == want
+    assert len(got) > 20  # the 40 planted hot pixels are mostly caught
+
+
+def test_classifier_separates_arcs_from_spots(plan_result):
+    img, res = plan_result
+    lt = res.label_table.toPandas()
+    arcs = lt[lt.classifier == 2]
+    spots = lt[lt.classifier == 1]
+    assert len(arcs) >= 2  # planted arcs (incl. possibly the wrap arc)
+    assert len(spots) >= 3  # planted hot spots + singles
+    # arcs are azimuthally extended and Q-narrow
+    assert (arcs.diff_azim > 3.5).all()
+    assert (arcs.diff_q < 0.1).all()
+
+
+def test_wrap_arc_extent_uses_flipped_axis(plan_result):
+    img, res = plan_result
+    lt = res.label_table.toPandas()
+    arcs = lt[lt.classifier == 2]
+    # the wraparound arc (azim 345..15) must not read as ~360 extent
+    assert (arcs.diff_azim < 180.0).all()
+
+
+def test_spot_stats_schema_and_sanity(plan_result):
+    img, res = plan_result
+    pdf = res.spot_stats.toPandas()
+    assert set(pdf.columns) == {
+        "image_id", "spot_stat_label", "area", "medianQ", "Qbin",
+        "intensity_sum", "intensity_max", "intensity_mean", "on_arc",
+    }
+    assert (pdf.area > 0).all()
+    assert (pdf.intensity_max >= pdf.intensity_mean).all()
+
+
+def test_integrals_masked_below_base(plan_result):
+    """Outlier masking mostly lowers the per-bin mean (hot pixels removed).
+
+    Not a strict per-bin inequality: the integral is a *mean*, so clipping a
+    below-median outlier raises that bin's mean. Assert the robust version:
+    the vast majority of bins drop, and the image-wide total drops.
+    """
+    img, res = plan_result
+    pdf = res.integrals.toPandas().pivot_table(
+        index="tth_idx", columns="kind", values="intensity"
+    )
+    both = pdf.dropna()
+    assert (both["om"] <= both["base"] + 1e-6).mean() > 0.9
+    assert both["om"].sum() < both["base"].sum()
+
+
+def test_cosine_similarity_series(spark):
+    imgs = [("synth", s, make_image(CONTROLS, seq=s)) for s in range(3)]
+    pixels = images_long_df(spark, imgs)
+    pdf = (
+        cosine_similarity_series(pixels).orderBy("seq").toPandas()
+    )
+    assert len(pdf) == 3
+    np.testing.assert_allclose(pdf.csim_first.iloc[0], 1.0, rtol=1e-12)
+    np.testing.assert_allclose(pdf.csim_prev.iloc[0], 1.0, rtol=1e-12)
+    assert (pdf.csim_first > 0.9).all()  # slow drift keeps images similar
+    assert (pdf.csim_first <= 1.0 + 1e-12).all()
+    # drift accumulates: similarity vs the first image decays monotonically
+    assert (pdf.csim_first.diff().iloc[1:] <= 1e-6).all()
+    # exact parity with a numpy oracle on the same pixel vectors
+    flat = [i[2].astype(float).ravel() for i in imgs]
+    cos = lambda a, b: float(a @ b / np.sqrt((a @ a) * (b @ b)))  # noqa: E731
+    np.testing.assert_allclose(
+        pdf.csim_first.to_numpy(),
+        [cos(flat[s], flat[0]) for s in range(3)],
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        pdf.csim_prev.to_numpy(),
+        [cos(flat[s], flat[max(s - 1, 0)]) for s in range(3)],
+        rtol=1e-12,
+    )

@@ -1,0 +1,120 @@
+"""Unit tests for the pure-numpy raster kernels (off-Spark, SURVEY §7 step 5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xrddatapipeline_spark.operators import kernels
+
+
+def brute_force_label(mask: np.ndarray, connectivity: int = 2) -> np.ndarray:
+    """Reference CCL oracle: BFS flood fill."""
+    from collections import deque
+
+    h, w = mask.shape
+    out = np.zeros((h, w), dtype=np.int32)
+    nxt = 0
+    if connectivity == 2:
+        nbrs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    else:
+        nbrs = [(-1, 0), (0, -1), (0, 1), (1, 0)]
+    for y in range(h):
+        for x in range(w):
+            if mask[y, x] and out[y, x] == 0:
+                nxt += 1
+                dq = deque([(y, x)])
+                out[y, x] = nxt
+                while dq:
+                    cy, cx = dq.popleft()
+                    for dy, dx in nbrs:
+                        ny, nx = cy + dy, cx + dx
+                        if 0 <= ny < h and 0 <= nx < w and mask[ny, nx] and out[ny, nx] == 0:
+                            out[ny, nx] = nxt
+                            dq.append((ny, nx))
+    return out
+
+
+@pytest.mark.parametrize("connectivity", [1, 2])
+def test_label_components_matches_bfs(connectivity):
+    rng = np.random.default_rng(42)
+    mask = rng.random((64, 64)) < 0.25
+    got = kernels.label_components(mask, connectivity=connectivity)
+    want = brute_force_label(mask, connectivity=connectivity)
+    assert got.max() == want.max()
+    # same partition: pixels share got-label iff they share want-label
+    assert np.array_equal(got > 0, want > 0)
+    pairs = set(zip(got[mask].tolist(), want[mask].tolist()))
+    assert len(pairs) == got.max()  # bijection between label sets
+
+
+def test_label_components_diagonal_and_order():
+    mask = np.zeros((5, 5), dtype=bool)
+    mask[0, 0] = mask[1, 1] = True  # diagonal touch
+    mask[4, 4] = True
+    lab8 = kernels.label_components(mask, connectivity=2)
+    assert lab8[0, 0] == lab8[1, 1] == 1  # row-major first component is 1
+    assert lab8[4, 4] == 2
+    lab4 = kernels.label_components(mask, connectivity=1)
+    assert lab4[0, 0] != lab4[1, 1]
+
+
+def test_binary_closing_fills_hole_preserves_gap():
+    # FIXTURES.md M2 case: 1-px hole in a 5x5 blob closes; a 2-px gap survives
+    blob = np.zeros((9, 9), dtype=bool)
+    blob[2:7, 2:7] = True
+    blob[4, 4] = False
+    closed = kernels.binary_closing(blob, radius=1)
+    assert closed[4, 4]
+    two = np.zeros((5, 12), dtype=bool)
+    two[1:4, 1:4] = True
+    two[1:4, 7:10] = True  # gap of 3 columns
+    closed2 = kernels.binary_closing(two, radius=1)
+    assert not closed2[2, 5]
+
+
+def test_dilation_radius():
+    m = np.zeros((9, 9), dtype=bool)
+    m[4, 4] = True
+    d3 = kernels.binary_dilation(m, radius=3)
+    assert d3[1, 1] and d3[7, 7] and not d3[0, 0]
+
+
+def test_remove_small_objects():
+    mask = np.zeros((10, 10), dtype=bool)
+    mask[0, 0] = True
+    mask[5:8, 5:8] = True
+    lab = kernels.label_components(mask)
+    out = kernels.remove_small_objects(lab, min_area=5)
+    assert out[0, 0] == 0 and out[6, 6] > 0
+
+
+def test_inpaint_masked():
+    img = np.full((7, 7), 10.0)
+    bad = np.zeros((7, 7), dtype=bool)
+    bad[3, 3] = True
+    img[3, 3] = 9999.0
+    out = kernels.inpaint_masked(img, bad)
+    assert abs(out[3, 3] - 10.0) < 1e-9
+    assert out[0, 0] == 10.0  # good pixels untouched
+
+
+def test_radial_azim_gradient_on_radial_ramp():
+    # f(r) = r has radial gradient 1, azimuthal gradient 0
+    ys, xs = np.mgrid[0:41, 0:41]
+    cy = cx = 20.5
+    img = np.hypot(ys + 0.5 - cy, xs + 0.5 - cx)
+    gr, gp = kernels.radial_azim_gradient(img, cy, cx)
+    # the gradient of |r| is singular at the center; test an annulus
+    annulus = (img > 5) & (img < 15)
+    assert np.allclose(gr[annulus], 1.0, atol=0.05)
+    assert np.allclose(gp[annulus], 0.0, atol=0.05)
+
+
+def test_h_maxima_prominence():
+    img = np.zeros((15, 15))
+    img[3, 3] = 100.0  # prominent peak
+    img[10, 10] = 3.0  # shallow peak
+    out = kernels.h_maxima(img, h=5.0)
+    assert out[3, 3]
+    assert not out[10, 10]

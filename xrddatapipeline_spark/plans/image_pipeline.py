@@ -1,0 +1,309 @@
+"""The per-image XRD reduction plan, composed as DataFrame transforms.
+
+Mirrors ``run_iteration`` (pipeline.py:78-567) and the groupby
+classification path (classification.py:373-444; SURVEY §2.9, §3.1 step 4),
+re-expressed Spark-first:
+
+    pixels ⋈ calib_pixels          (J1; broadcast for small detectors)
+      → base mask                  (F1-F3: nonpositive ∨ azim-range ∨ predef)
+      → ring median/MAD outliers   (A2/A4/J7 as groupBy + broadcast-back)
+      → binary closing             (M2 kernel)
+      → cluster labeling           (M1 kernel)
+      → shape classification       (A5-A9: area / azim-extent / Q-extent)
+      → 4 integrals                (A1, base/om/spots/arcs)
+      → spot & spottiness stats    (A15-A17)
+      → cosine similarity          (J4/W1/A20 as window + agg)
+
+Every stage returns a DataFrame; nothing collects to the driver. At 100 TB
+scale the plan shuffles on image_id (kernel stages) and on the small
+aggregation keys; calib join broadcasts below ~10 MB and bucket-joins above.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from xrddatapipeline_spark.calib.geometry import ImageControls
+from xrddatapipeline_spark.functions.binning import tth_bin_center
+from xrddatapipeline_spark.operators.integrate import integrate_binned_mean
+from xrddatapipeline_spark.operators.ring_stats import flag_outliers
+from xrddatapipeline_spark.operators.raster import close_mask_pixels, label_pixels
+
+# classification thresholds — classification.py:849-860 / SURVEY §2.9
+Q_MAX = 0.1
+AZIM_MIN = 3.5
+AZIM_Q_SHAPE_MIN = 100.0
+MIN_ARC_AREA = 100
+
+
+def join_calib(pixels: DataFrame, calib: DataFrame, broadcast: bool = True) -> DataFrame:
+    """J1: image ⋈ calibration maps on (y, x).
+
+    Broadcast for test-sized detectors; for 8.3 Mpx production detectors
+    prefer persisting calib bucketed by (y, x) and letting AQE pick the
+    join (the pixels side shares the same (y, x) distribution for every
+    image, so a bucketed sort-merge join shuffles calib exactly once)."""
+    c = F.broadcast(calib) if broadcast else calib
+    return pixels.join(c, ["y", "x"])
+
+
+def with_base_mask(px: DataFrame) -> DataFrame:
+    """F1-F3: nonpositive ∨ azimuth-range (∨ geometric predef, added by
+    caller via operators.masks). pipeline.py:148-165."""
+    return px.withColumn(
+        "base_mask", (F.col("intensity") <= 0) | F.col("azim_mask")
+    )
+
+
+def outlier_pixels(px: DataFrame, esd_mul: float = 3.0) -> DataFrame:
+    """A2/A4: per-ring sigma-clip on not-base-masked pixels; returns the
+    sparse outlier pixel set (image_id, y, x)."""
+    candidates = px.where(~F.col("base_mask") & (F.col("ring_idx") > 0))
+    flagged = flag_outliers(
+        candidates.select("image_id", "y", "x", "ring_idx", "intensity"),
+        keys=["image_id", "ring_idx"],
+        value="intensity",
+        esd_mul=esd_mul,
+        min_count=10,
+    )
+    return flagged.where(F.col("is_outlier")).select("image_id", "y", "x")
+
+
+def closed_outlier_pixels(
+    outliers: DataFrame, shape: tuple[int, int]
+) -> DataFrame:
+    """M2: 3x3 binary closing of the outlier mask (pipeline.py:191-205)."""
+    return close_mask_pixels(outliers, shape=shape, radius=1)
+
+
+def classify_clusters(
+    px: DataFrame, om_pixels: DataFrame, shape: tuple[int, int]
+) -> tuple[DataFrame, DataFrame]:
+    """Shape classification (qwidth_area_classification_groupby,
+    classification.py:373-444): label the closed outlier mask, aggregate
+    per-label area / circular azimuth extent / Q extent, decide arc vs spot.
+
+    Returns (labeled_pixels, label_table) where label_table carries
+    (image_id, label, area, diff_azim, diff_q, classifier) with
+    classifier 1 = spot, 2 = arc (A9)."""
+    labeled = label_pixels(om_pixels, shape=shape, connectivity=2)
+    lpx = labeled.join(
+        px.select("image_id", "y", "x", "q", "azim"), ["image_id", "y", "x"]
+    )
+    # flipped azimuth mirrors the axis so wrapped arcs read contiguous (A7)
+    lpx = lpx.withColumn("azim_flip", F.pmod(F.col("azim") + 180.0, F.lit(360.0)))
+    ext = F.max("azim") - F.min("azim")
+    extf = F.max("azim_flip") - F.min("azim_flip")
+    label_table = lpx.groupBy("image_id", "label").agg(
+        F.count("*").alias("area"),
+        F.least(ext, extf).alias("diff_azim"),
+        (
+            F.expr("percentile(q, 0.9)") - F.expr("percentile(q, 0.1)")
+        ).alias("diff_q"),
+    )
+    label_table = label_table.withColumn(
+        "classifier",
+        F.when(
+            (F.col("area") > MIN_ARC_AREA)
+            & (F.col("diff_q") < Q_MAX)
+            & (F.col("diff_azim") > AZIM_MIN)
+            & (F.col("diff_azim") / F.col("diff_q") > AZIM_Q_SHAPE_MIN),
+            F.lit(2),
+        ).otherwise(F.lit(1)),
+    )
+    return lpx, label_table
+
+
+def integrate_all(
+    px: DataFrame,
+    om_pixels: DataFrame,
+    spot_pixels: DataFrame,
+    arc_pixels: DataFrame,
+    controls: ImageControls,
+) -> DataFrame:
+    """A1 x4: base / om / spotsmasked / arcsmasked integrals
+    (pipeline.py:375-414). Returns (image_id, kind, tth_idx, tth, intensity).
+
+    Corrected intensity I/pol * dist_sq**1.5 (pipeline.py:63).
+
+    All 4 variants are computed in ONE hash aggregation with conditional
+    sums (equivalent to the reference's 4 bincount passes for every bin > 0,
+    since bin-0-routed i.e. masked rows never contribute to a kept bin).
+    A naive 4-branch union would recompute the whole upstream plan —
+    including the outlier groupBys and the raster kernels — once per kind;
+    at any scale that is 4x the work and 4x the shuffles."""
+    value = F.col("intensity") / F.col("pol") * F.pow(F.col("dist_sq"), 1.5)
+    kinds = {
+        "base": F.col("base_mask"),
+        "om": F.col("base_mask") | F.col("is_om"),
+        "spotsmasked": F.col("base_mask") | F.col("is_spot_px"),
+        "arcsmasked": F.col("base_mask") | F.col("is_arc_px"),
+    }
+    flagged = (
+        px.join(
+            om_pixels.withColumn("is_om", F.lit(True)), ["image_id", "y", "x"], "left"
+        )
+        .join(
+            spot_pixels.withColumn("is_spot_px", F.lit(True)),
+            ["image_id", "y", "x"],
+            "left",
+        )
+        .join(
+            arc_pixels.withColumn("is_arc_px", F.lit(True)),
+            ["image_id", "y", "x"],
+            "left",
+        )
+        .fillna(
+            {"is_om": False, "is_spot_px": False, "is_arc_px": False}
+        )
+        .withColumn("_v", value)
+    )
+    aggs = []
+    for kind, mask in kinds.items():
+        aggs.append(F.sum(F.when(~mask, F.col("_v"))).alias(f"sum_{kind}"))
+        aggs.append(F.count(F.when(~mask, F.lit(1))).alias(f"n_{kind}"))
+    wide = (
+        flagged.where(F.col("tth_idx") > 0)
+        .groupBy("image_id", "tth_idx")
+        .agg(*aggs)
+    )
+    stack_args = ", ".join(
+        f"'{kind}', sum_{kind}, n_{kind}" for kind in kinds
+    )
+    lo, hi = controls.iotth
+    return wide.selectExpr(
+        "image_id",
+        "tth_idx",
+        f"stack({len(kinds)}, {stack_args}) as (kind, sum_val, n_px)",
+    ).select(
+        "image_id",
+        "kind",
+        "tth_idx",
+        tth_bin_center("tth_idx", lo, hi, controls.out_channels).alias("tth"),
+        (
+            F.coalesce(F.col("sum_val"), F.lit(0.0))
+            / F.greatest(F.col("n_px"), F.lit(1))
+        ).alias("intensity"),
+    )
+
+
+def spot_stats(
+    lpx: DataFrame, label_table: DataFrame, px: DataFrame
+) -> DataFrame:
+    """A17: per-spot-label stats table (spottiness.py:30-46):
+    (image_id, spot_stat_label, area, medianQ, Qbin, intensity_sum,
+    intensity_max, intensity_mean, on_arc)."""
+    enriched = lpx.join(
+        px.select("image_id", "y", "x", "intensity", "qbin"),
+        ["image_id", "y", "x"],
+    ).join(
+        F.broadcast(label_table.select("image_id", "label", "classifier")),
+        ["image_id", "label"],
+    )
+    return enriched.groupBy("image_id", F.col("label").alias("spot_stat_label")).agg(
+        F.count("*").alias("area"),
+        F.median("q").alias("medianQ"),
+        F.median("qbin").cast("int").alias("Qbin"),
+        F.sum("intensity").alias("intensity_sum"),
+        F.max("intensity").alias("intensity_max"),
+        F.avg("intensity").alias("intensity_mean"),
+        F.max((F.col("classifier") == 2).cast("int")).alias("on_arc"),
+    )
+
+
+def spottiness_per_qbin(px: DataFrame, om_pixels: DataFrame) -> DataFrame:
+    """A15/A16: per-Qbin fraction masked + distinct labels
+    (spottiness.py:16-27)."""
+    flagged = px.join(
+        om_pixels.withColumn("is_om", F.lit(True)), ["image_id", "y", "x"], "left"
+    ).fillna({"is_om": False})
+    return flagged.where(F.col("qbin") >= 0).groupBy("image_id", "qbin").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("is_om").cast("int")).alias("n_masked"),
+        (F.sum(F.col("is_om").cast("int")) / F.count("*")).alias("frac_masked"),
+    )
+
+
+def cosine_similarity_series(pixels: DataFrame) -> DataFrame:
+    """J4/W1/A20: per image, cosine similarity vs previous seq and vs first
+    seq in its dataset (pipeline.py:506-557). Window-over-Delta
+    reformulation — tolerant to out-of-order arrival, unlike the
+    reference's filename pairing (SURVEY §7 'Ordering-dependent')."""
+    w = Window.partitionBy("dataset", "y", "x").orderBy("seq")
+    paired = pixels.select(
+        "dataset",
+        "seq",
+        "image_id",
+        F.col("intensity").cast("double").alias("v"),
+        F.coalesce(F.lag("intensity").over(w), F.col("intensity"))
+        .cast("double")
+        .alias("v_prev"),
+        F.first("intensity").over(w).cast("double").alias("v_first"),
+    )
+    dot = lambda a, b: F.sum(F.col(a) * F.col(b))  # noqa: E731
+    return paired.groupBy("dataset", "seq", "image_id").agg(
+        (
+            dot("v", "v_first")
+            / F.sqrt(dot("v", "v") * dot("v_first", "v_first"))
+        ).alias("csim_first"),
+        (
+            dot("v", "v_prev")
+            / F.sqrt(dot("v", "v") * dot("v_prev", "v_prev"))
+        ).alias("csim_prev"),
+    )
+
+
+@dataclass
+class ImagePlanResult:
+    pixels: DataFrame
+    outliers: DataFrame
+    om_pixels: DataFrame
+    labeled_pixels: DataFrame
+    label_table: DataFrame
+    integrals: DataFrame
+    spot_stats: DataFrame
+    spottiness: DataFrame
+
+
+def run_image_plan(
+    pixels: DataFrame,
+    calib: DataFrame,
+    controls: ImageControls,
+    broadcast_calib: bool = True,
+) -> ImagePlanResult:
+    """Full per-image plan (pipeline.py:78-504 equivalent), lazily composed."""
+    shape = (controls.size_y, controls.size_x)
+    px = with_base_mask(join_calib(pixels, calib, broadcast=broadcast_calib))
+    # The sparse intermediates (outlier/om/labeled pixel sets, label table)
+    # feed several downstream outputs; persist them so the expensive
+    # upstream (ring stats + raster kernels) runs once, not once per output.
+    # They are ~1e4-1e5 rows per image — cheap to cache at any scale.
+    outliers = outlier_pixels(px, esd_mul=controls.esd_mul).persist()
+    om = closed_outlier_pixels(outliers, shape).persist()
+    lpx, label_table = classify_clusters(px, om, shape)
+    lpx = lpx.persist()
+    label_table = label_table.persist()
+    spot_px = lpx.join(
+        F.broadcast(label_table.where(F.col("classifier") == 1)),
+        ["image_id", "label"],
+    ).select("image_id", "y", "x")
+    arc_px = lpx.join(
+        F.broadcast(label_table.where(F.col("classifier") == 2)),
+        ["image_id", "label"],
+    ).select("image_id", "y", "x")
+    integrals = integrate_all(px, om, spot_px, arc_px, controls)
+    stats = spot_stats(lpx, label_table, px)
+    spotty = spottiness_per_qbin(px, om)
+    return ImagePlanResult(
+        pixels=px,
+        outliers=outliers,
+        om_pixels=om,
+        labeled_pixels=lpx,
+        label_table=label_table,
+        integrals=integrals,
+        spot_stats=stats,
+        spottiness=spotty,
+    )

@@ -31,6 +31,16 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
 
+    # Python workers (pandas UDF kernels) must be able to import this
+    # package regardless of the caller's cwd; on a real cluster the package
+    # ships as a wheel/zip via --py-files — locally PYTHONPATH covers it.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -42,6 +52,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
