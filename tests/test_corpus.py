@@ -1,0 +1,156 @@
+"""Property tests for the corpus operators (dedup / similarity / multimodal).
+
+The oracle harness (test_oracle_parity) checks value-level parity with
+DuckDB; these tests check the *semantics* the oracles can't express:
+invariances (identical docs hash identically), metric properties (cosine
+self-similarity, hamming identity), and the mapInPandas decode contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xrddatapipeline_spark.operators import similarity as sim
+from xrddatapipeline_spark.operators import text as tx
+from xrddatapipeline_spark.operators.multimodal import (
+    _fake_decode,
+    binary_assets,
+    decode_features,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat", "en"),  # near dup
+        (3, "completely different words entirely here now folks", "en"),
+        (4, "a b", "en"),  # shorter than one 3-shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_shingles_skip_short_docs(docs):
+    sh = tx.word_shingles(docs).toPandas()
+    assert 4 not in set(sh.doc_id)
+    # doc 0: 9 tokens -> 7 shingles
+    assert (sh.doc_id == 0).sum() == 7
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sh = tx.word_shingles(docs)
+    sigs = tx.minhash_signatures(sh, 16).toPandas()
+    s0 = sigs[sigs.doc_id == 0].sort_values("seed").minhash.tolist()
+    s1 = sigs[sigs.doc_id == 1].sort_values("seed").minhash.tolist()
+    s3 = sigs[sigs.doc_id == 3].sort_values("seed").minhash.tolist()
+    assert s0 == s1
+    assert s0 != s3
+    assert len(s0) == 16
+
+
+def test_lsh_pairs_catch_exact_dup(docs):
+    sh = tx.word_shingles(docs)
+    buckets = tx.minhash_band_buckets(tx.minhash_signatures(sh, 16), 4)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in tx.lsh_candidate_pairs(buckets).collect()
+    }
+    assert (0, 1) in pairs  # identical docs share every band
+    assert (0, 3) not in pairs
+
+
+def test_jaccard_values(docs):
+    sh = tx.word_shingles(docs)
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard for r in tx.shingle_jaccard(sh).collect()
+    }
+    assert jac[(0, 1)] == 1.0
+    # docs 0 vs 2 differ in last word: shingles 7 each, 6 shared
+    np.testing.assert_allclose(jac[(0, 2)], 6 / 8)
+
+
+def test_simhash_identity_and_locality(docs):
+    simdf = tx.simhash64(docs).toPandas().set_index("doc_id").simhash
+    assert len(simdf[0]) == 64 and set(simdf[0]) <= {"0", "1"}
+    assert simdf[0] == simdf[1]
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    assert ham(simdf[0], simdf[2]) < ham(simdf[0], simdf[3])
+
+
+def test_simhash_pairs_hamming_zero_for_dup(docs):
+    pairs = tx.simhash_near_pairs(tx.simhash64(docs), max_hamming=8).toPandas()
+    row = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)]
+    assert len(row) == 1 and row.hamming.iloc[0] == 0
+
+
+def test_quantized_cosine_self_is_one(spark):
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=16).astype(np.float32)])
+            for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = df.select(
+        sim.quantized_cosine(F.col("embedding"), F.col("embedding")).alias("c")
+    ).toPandas()
+    np.testing.assert_allclose(out.c, 1.0, atol=1e-9)
+
+
+def test_brute_force_topk_finds_planted_neighbor(spark):
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 16)).astype(np.float32)
+    base[5] = base[0] + rng.normal(scale=1e-3, size=16).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    top = sim.brute_force_topk(df, df.where("vec_id = 0"), k=3).toPandas()
+    assert top.neighbor_id.iloc[0] == 5
+    assert top.cos.iloc[0] > 0.999
+    assert list(top["rank"]) == [1, 2, 3]
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(60, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    buckets = sim.lsh_buckets(df, num_planes=4).toPandas().set_index("vec_id").bucket
+    top = sim.lsh_topk(df, df.where("vec_id < 5"), k=3, num_planes=4).toPandas()
+    for r in top.itertuples():
+        assert buckets[r.query_id] == buckets[r.neighbor_id]
+        assert r.query_id != r.neighbor_id
+
+
+def test_winnow_fingerprints_shared_for_dup_docs(docs):
+    fp = tx.winnow_fingerprints(docs, k=8, w=4).toPandas().set_index("doc_id")
+    assert fp.loc[0].equals(fp.loc[1])
+    assert (fp.n_fingerprints > 0).all()
+
+
+def test_decode_features_matches_fake_decode(docs):
+    assets = binary_assets(docs)
+    out = decode_features(assets).toPandas().set_index("doc_id")
+    for r in docs.collect():
+        mt = ["image", "audio", "video"][r.doc_id % 3]
+        w, h, nf, mv = _fake_decode(r.text.encode(), mt)
+        got = out.loc[r.doc_id]
+        assert (got.media_type, got.width, got.height, got.n_frames) == (mt, w, h, nf)
+        np.testing.assert_allclose(got.mean_val, mv)
+    # image modality is always single-frame
+    assert (out[out.media_type == "image"].n_frames == 1).all()
+
+
+def test_fake_decode_deterministic():
+    a = _fake_decode(b"payload", "video")
+    b = _fake_decode(b"payload", "video")
+    assert a == b
+    w, h, nf, mv = a
+    assert 64 <= w < 2048 and 64 <= h < 2048 and 1 <= nf <= 241 and 0 <= mv < 1
+    digest = hashlib.md5(b"payload").hexdigest()
+    assert w == 64 + int(digest[0:4], 16) % 1984

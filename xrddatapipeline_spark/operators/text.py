@@ -1,0 +1,263 @@
+"""Text-corpus operators: shingling, MinHash, SimHash, fingerprints, quality.
+
+The reference's cosine-similarity stage (pipeline.py:506-557) generalizes to
+corpus-scale near-duplicate detection; these operators provide the standard
+large-training-corpus toolkit (exact / MinHash-LSH / SimHash / n-gram-Jaccard
+dedup, winnowing fingerprints, quality + token statistics, n-gram language
+ID) as pure DataFrame plans.
+
+Design notes (100 TB scale):
+- All hashing uses md5 hex strings compared lexicographically — a portable
+  hash family that is identical in Spark, DuckDB and Python, so every
+  operator here is oracle-checkable bit-for-bit.
+- Everything is expressed with built-in `pyspark.sql.functions` (JVM-side,
+  whole-stage-codegen); there are NO Python UDFs in any of these paths.
+- Shapes are explode -> hash-aggregate: shingling fans out ~L rows per doc,
+  then every aggregate groups on (doc_id, ...) — Spark's map-side partial
+  aggregation collapses the fan-out before the shuffle, so shuffle volume is
+  O(docs x signature width), not O(docs x length).
+- Pair generation NEVER does an all-pairs cross join: candidates come from
+  an inverted index (shared shingle / LSH band bucket / SimHash band), which
+  is the standard linear-ish-scale route.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def _nibble_val(ch: Column) -> Column:
+    """Hex char -> 0..15, portable (strpos/instr semantics match DuckDB)."""
+    return F.instr(F.lit(HEX), ch) - F.lit(1)
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Explode word n-gram shingles: one row per (doc_id, shingle).
+
+    Docs with fewer than `n` tokens produce no rows (same as the oracle's
+    `WHERE len(t) >= n`).
+    """
+    toks = tokens_col(F.col(text_col))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)]
+    )
+    return (
+        df.where(F.size(toks) >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(F.sequence(F.lit(0), F.size(toks) - n), shingle)
+            ).alias("shingle"),
+        )
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 32,
+                       id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature: for each seed, min over md5(seed '#' shingle).
+
+    min over the shingle multiset == min over the set, so no distinct is
+    needed before the aggregate (map-side combine keeps the shuffle at
+    docs x num_hashes rows).
+    """
+    seeded = shingles.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "shingle",
+    )
+    return (
+        seeded.withColumn(
+            "h",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("shingle"))),
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_band_buckets(signatures: DataFrame, rows_per_band: int = 4,
+                         id_col: str = "doc_id") -> DataFrame:
+    """LSH banding: bucket key = md5 of the band's minhashes in seed order."""
+    banded = signatures.withColumn(
+        "band", (F.col("seed") / rows_per_band).cast("int")
+    )
+    ordered_concat = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+            lambda s: s["minhash"],
+        ),
+        "",
+    )
+    return (
+        banded.groupBy(id_col, "band")
+        .agg(F.md5(ordered_concat).alias("bucket"))
+    )
+
+
+def lsh_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one band bucket.
+
+    Equi-join on (band, bucket) — the inverted-index path; never all-pairs.
+    """
+    a = buckets.select(
+        F.col(id_col).alias("doc_a"), "band", "bucket"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("doc_b"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def shingle_jaccard(shingles: DataFrame, pairs: DataFrame | None = None,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard over distinct shingle sets via inverted-index join.
+
+    If `pairs` is given, restrict to those candidate pairs (verification
+    step after LSH); else all pairs sharing >= 1 shingle.
+    """
+    ds = shingles.distinct()
+    sizes = ds.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        ds.alias("a")
+        .join(ds.alias("b"), "shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["doc_a", "doc_b"])
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_inter",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+             ).alias("jaccard"),
+        )
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash as a '0'/'1' string (bit p = sign of the tf-weighted
+    vote over token-md5 bit p). Output: (doc_id, simhash)."""
+    toks = df.select(
+        id_col, F.explode(tokens_col(F.col(text_col))).alias("tok")
+    ).withColumn("th", F.md5(F.col("tok")))
+    bits = toks.select(
+        id_col,
+        "th",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("p"),
+    ).withColumn(
+        "nib", _nibble_val(F.substring(F.col("th"), (F.col("p") / 4).cast("int") + 1, 1))
+    ).withColumn(
+        "bit",
+        (F.floor(F.col("nib") / F.pow(F.lit(2.0), 3 - F.col("p") % 4)).cast("long")
+         % 2),
+    )
+    votes = bits.groupBy(id_col, "p").agg(
+        F.sum(2 * F.col("bit") - 1).alias("vote")
+    ).withColumn("simbit", F.when(F.col("vote") > 0, "1").otherwise("0"))
+    return votes.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "simbit"))),
+                lambda s: s["simbit"],
+            ),
+            "",
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 8,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of 4 16-bit bands
+    (pigeonhole: hamming <= 3 guarantees a shared band; larger radii are
+    best-effort, standard practice), then exact Hamming filter."""
+    bands = sim.select(
+        id_col,
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn("chunk", F.substring("simhash", F.col("band") * 16 + 1, 16))
+    a = bands.select(F.col(id_col).alias("doc_a"),
+                     F.col("simhash").alias("sim_a"), "band", "chunk")
+    b = bands.select(F.col(id_col).alias("doc_b"),
+                     F.col("simhash").alias("sim_b"), "band", "chunk")
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> "
+        "acc + IF(substring(sim_a, i, 1) = substring(sim_b, i, 1), 0, 1))"
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003): md5 of each
+    char k-gram, keep the window-min over every w consecutive k-grams.
+    Output: (doc_id, n_fingerprints, min_fp, max_fp)."""
+    grams = df.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(0)))
+        ).alias("i"),
+        F.col(text_col),
+    ).select(
+        id_col, "i", F.md5(F.expr(f"substring({text_col}, i, {k})")).alias("h")
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    fps = (
+        grams.withColumn("wmin", F.min("h").over(win))
+        .withColumn("n_grams", F.count("*").over(Window.partitionBy(id_col)))
+        .where(F.col("i") <= F.col("n_grams") - (w - 1))
+        .select(id_col, "wmin")
+        .distinct()
+    )
+    return fps.groupBy(id_col).agg(
+        F.count("*").alias("n_fingerprints"),
+        F.min("wmin").alias("min_fp"),
+        F.max("wmin").alias("max_fp"),
+    )
+
+
+def char_bigrams(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    cols = [id_col, *extra_cols]
+    return df.select(
+        *cols,
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(text_col) - 1, F.lit(0)))
+        ).alias("i"),
+        F.col(text_col),
+    ).select(*cols, F.expr("substring(text, i, 2)").alias("bg"))

@@ -1,0 +1,549 @@
+"""Training-corpus query registry: dedup / similarity / text / multimodal.
+
+Extends the oracle-checked registry (driver_queries.REGISTRY) with the
+operations a large-scale training-data pipeline needs, per the build brief:
+exact + MinHash-LSH + SimHash + n-gram-Jaccard + embedding-cosine dedup,
+brute-force and LSH-bucketed similarity search, text quality / token /
+language-ID / fingerprint analysis, and multimodal binary plumbing.
+
+Every oracle uses only constructs whose semantics are bit-identical in
+Spark and DuckDB: md5 hex strings (hash family), lexicographic string
+min/agg, integer arithmetic, and the quantized-integer dot products from
+operators.similarity (order-independent => identical doubles). Float
+outputs that are NOT rank keys rely on the harness's 1e-6 rtol instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xrddatapipeline_spark.operators import similarity as sim
+from xrddatapipeline_spark.operators import text as tx
+from xrddatapipeline_spark.operators.multimodal import (
+    binary_assets,
+    decode_features,
+    hexval_sql,
+)
+from xrddatapipeline_spark.plans.driver_queries import _register, _t
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTE fragments (DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+SQL_SHINGLES = """
+w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM w, UNNEST(range(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 3
+)
+"""
+
+SQL_MINHASH_BUCKETS = SQL_SHINGLES + """,
+mh AS (
+    SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '#' || shingle)) AS m
+    FROM sh, UNNEST(range(0, 32)) AS v(seed)
+    GROUP BY doc_id, seed
+),
+buckets AS (
+    SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+           md5(string_agg(m, '' ORDER BY seed)) AS bucket
+    FROM mh GROUP BY doc_id, CAST(seed // 4 AS INT)
+)
+"""
+
+SQL_JACCARD = """
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+    SELECT doc_a, doc_b, n_inter,
+           n_inter * 1.0 / (na.n_sh + nb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+)
+"""
+
+SQL_SIMHASH = """
+tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+th AS (SELECT doc_id, md5(tok) AS h FROM tk),
+bits AS (
+    SELECT doc_id, p,
+           CAST(floor(
+               (strpos('0123456789abcdef', substr(h, CAST(p // 4 AS INT) + 1, 1)) - 1)
+               / power(2, 3 - p % 4)
+           ) AS BIGINT) % 2 AS bit
+    FROM th, UNNEST(range(0, 64)) AS u(p)
+),
+votes AS (SELECT doc_id, p, sum(2 * bit - 1) AS v FROM bits GROUP BY doc_id, p),
+simhashes AS (
+    SELECT doc_id,
+           string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash
+    FROM votes GROUP BY doc_id
+)
+"""
+
+# quantized dot-product fragments (see operators.similarity for why)
+_QS = "1099511627776.0"  # 2^40
+
+
+def _sql_qdot(a: str, b: str) -> str:
+    return (
+        f"CAST((SELECT sum(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * {_QS}) AS BIGINT)) "
+        f"FROM (SELECT unnest({a}) AS x, unnest({b}) AS y) z) AS BIGINT)"
+    )
+
+
+SQL_NORMS = f"""
+nrm AS (
+    SELECT vec_id, embedding, {_sql_qdot('embedding', 'embedding')} AS qnorm
+    FROM embeddings
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@_register(
+    "dedup_exact_hash",
+    """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on content hash, canonical id = min. "
+        "Scale: one shuffle on a high-entropy key, no skew.",
+    tags=("dedup", "corpus"),
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@_register(
+    "dedup_minhash_bands",
+    "WITH " + SQL_MINHASH_BUCKETS + "SELECT doc_id, band, bucket FROM buckets",
+    doc="MinHash(32 seeds) + LSH banding (8 bands x 4 rows): per-doc band "
+        "bucket keys. md5 hash family; explode->hash-agg, map-side combined.",
+    tags=("dedup", "corpus", "lsh"),
+)
+def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = tx.word_shingles(docs)
+    return tx.minhash_band_buckets(tx.minhash_signatures(sh, 32), 4)
+
+
+@_register(
+    "dedup_minhash_pairs",
+    "WITH " + SQL_MINHASH_BUCKETS + "," + SQL_JACCARD + """,
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT j.doc_a, j.doc_b, j.n_inter, j.jaccard
+    FROM jac j JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+    WHERE j.jaccard >= 0.8
+    """,
+    doc="MinHash-LSH near-dup pairs: band-bucket inverted-index join for "
+        "candidates (never all-pairs), exact shingle-Jaccard verification "
+        ">= 0.8. The standard web-scale dedup shape.",
+    tags=("dedup", "corpus", "lsh"),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = tx.word_shingles(docs)
+    buckets = tx.minhash_band_buckets(tx.minhash_signatures(sh, 32), 4)
+    cand = tx.lsh_candidate_pairs(buckets)
+    return tx.shingle_jaccard(sh, pairs=cand).where(F.col("jaccard") >= 0.8)
+
+
+@_register(
+    "dedup_simhash",
+    "WITH " + SQL_SIMHASH + "SELECT doc_id, simhash FROM simhashes",
+    doc="64-bit SimHash signature per doc (tf-weighted sign vote over token "
+        "md5 bits), as a '0'/'1' string for cross-engine parity.",
+    tags=("dedup", "corpus"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.simhash64(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_simhash_pairs",
+    "WITH " + SQL_SIMHASH + """,
+    bands AS (
+        SELECT doc_id, simhash, band,
+               substr(simhash, band * 16 + 1, 16) AS chunk
+        FROM simhashes, UNNEST(range(0, 4)) AS u(band)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sim_a, b.simhash AS sim_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           (SELECT count(*) FROM UNNEST(range(1, 65)) AS r(i)
+            WHERE substr(sim_a, CAST(i AS INT), 1) <> substr(sim_b, CAST(i AS INT), 1)
+           ) AS hamming
+    FROM cand
+    WHERE (SELECT count(*) FROM UNNEST(range(1, 65)) AS r(i)
+           WHERE substr(sim_a, CAST(i AS INT), 1) <> substr(sim_b, CAST(i AS INT), 1)) <= 8
+    """,
+    doc="SimHash near-dup pairs: 4x16-bit band pigeonhole candidates, exact "
+        "Hamming <= 8 filter.",
+    tags=("dedup", "corpus"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.simhash_near_pairs(tx.simhash64(_t(spark, sf_dir, "documents")), 8)
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    "WITH " + SQL_SHINGLES + "," + SQL_JACCARD + """
+    SELECT doc_a, doc_b, n_inter, jaccard FROM jac WHERE jaccard >= 0.8
+    """,
+    doc="Exact word-3-gram Jaccard near-dup pairs via inverted-index join "
+        "(pairs sharing a shingle), threshold 0.8.",
+    tags=("dedup", "corpus"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = tx.word_shingles(docs)
+    return tx.shingle_jaccard(sh).where(F.col("jaccard") >= 0.8)
+
+
+@_register(
+    "dedup_embedding_cosine",
+    "WITH " + SQL_NORMS + f""",
+    prs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_sql_qdot('a.embedding', 'b.embedding')}
+               / sqrt(a.qnorm * 1.0 * b.qnorm) AS cos
+        FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos FROM prs WHERE cos >= 0.45
+    """,
+    doc="Embedding-cosine near-dup pairs (>= 0.45) with order-independent "
+        "quantized dot products. All-pairs baseline; ann_lsh_bucketed is "
+        "the scale path.",
+    tags=("dedup", "corpus", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_pairs(_t(spark, sf_dir, "embeddings"), 0.45)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@_register(
+    "ann_bruteforce_topk",
+    "WITH " + SQL_NORMS + f""",
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_qdot('q.embedding', 'c.embedding')}
+               / sqrt(q.qnorm * 1.0 * c.qnorm) AS cos
+        FROM nrm q JOIN nrm c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, rank, neighbor_id, cos FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="Exact top-10 cosine neighbors for 8 query vectors: broadcast "
+        "queries, one corpus pass, rank window. Deterministic ranking via "
+        "quantized dots + neighbor-id tiebreak.",
+    tags=("similarity", "corpus", "embedding"),
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb, emb.where(F.col("vec_id") < 8), k=10)
+
+
+@_register(
+    "ann_lsh_bucketed",
+    "WITH " + f"""
+    el AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+               unnest(embedding) AS x
+        FROM embeddings
+    ),
+    contrib AS (
+        SELECT vec_id, p,
+               CAST(floor(
+                   (strpos('0123456789abcdef',
+                           substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1 - 7.5)
+                   * CAST(x AS DOUBLE) * {_QS}
+               ) AS BIGINT) AS c
+        FROM el, UNNEST(range(0, 6)) AS u(p)
+    ),
+    projs AS (SELECT vec_id, p, sum(c) AS proj FROM contrib GROUP BY vec_id, p),
+    bkt AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        FROM projs GROUP BY vec_id
+    ),
+    nrm AS (
+        SELECT vec_id, embedding, {_sql_qdot('embedding', 'embedding')} AS qnorm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_qdot('q.embedding', 'c.embedding')}
+               / sqrt(q.qnorm * 1.0 * c.qnorm) AS cos
+        FROM nrm q JOIN bkt qb ON qb.vec_id = q.vec_id
+        JOIN bkt cb ON cb.bucket = qb.bucket
+        JOIN nrm c ON c.vec_id = cb.vec_id
+        WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, rank, neighbor_id, cos FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc="Approximate NN via 6-bit sign-LSH (deterministic md5-derived "
+        "hyperplanes): bucket the corpus once, equi-join queries to their "
+        "bucket, exact rerank inside. O(n/2^planes) candidates per query — "
+        "the 100 TB path vs the brute-force cross join.",
+    tags=("similarity", "corpus", "embedding", "lsh"),
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(emb, emb.where(F.col("vec_id") < 8), k=3, num_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@_register(
+    "text_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+               / len(string_split(text, ' ')) AS mean_token_len
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens, BPE-ish regex tokens, distinct "
+        "tokens, char count, mean token length. Pure codegen'd expressions.",
+    tags=("text", "corpus"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        ).cast("long").alias("n_re_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        ((F.length("text") - (F.size(toks) - 1)) * F.lit(1.0) / F.size(toks)
+         ).alias("mean_token_len"),
+    )
+
+
+@_register(
+    "text_quality_score",
+    """
+    WITH q AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           n_stop * 1.0 / n_tokens AS stopword_ratio,
+           n_uniq * 1.0 / n_tokens AS ttr,
+           ln(1 + n_tokens) * (n_uniq * 1.0 / n_tokens)
+               * (1 - n_stop * 1.0 / n_tokens) AS quality
+    FROM q
+    """,
+    doc="Quality scoring: stopword ratio, type-token ratio, composite "
+        "log-length x diversity x (1 - stopword) score.",
+    tags=("text", "corpus"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a"))
+    ).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    stop_ratio = n_stop * F.lit(1.0) / n_tokens
+    ttr = n_uniq * F.lit(1.0) / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        ttr.alias("ttr"),
+        (F.log(F.lit(1) + n_tokens) * ttr * (F.lit(1) - stop_ratio)).alias("quality"),
+    )
+
+
+@_register(
+    "text_langid_ngram",
+    """
+    WITH bg AS (
+        SELECT doc_id, lang, substr(text, CAST(i AS INT), 2) AS bg
+        FROM documents, UNNEST(range(1, greatest(length(text) - 1, 0) + 1)) AS u(i)
+    ),
+    prof AS (
+        SELECT lang, bg FROM (
+            SELECT lang, bg, row_number() OVER (
+                PARTITION BY lang ORDER BY count(*) DESC, bg) AS rn
+            FROM bg GROUP BY lang, bg
+        ) WHERE rn <= 20
+    ),
+    docbg AS (SELECT DISTINCT doc_id, bg FROM bg),
+    score AS (
+        SELECT d.doc_id, p.lang, count(*) AS score
+        FROM docbg d JOIN prof p ON d.bg = p.bg
+        GROUP BY d.doc_id, p.lang
+    )
+    SELECT doc_id, lang AS pred_lang, score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        FROM score
+    ) WHERE rn = 1
+    """,
+    doc="n-gram language ID: char-bigram top-20 profile per lang (trained "
+        "on the corpus itself), docs scored by profile overlap, argmax with "
+        "deterministic tiebreak. Two hash-aggs + one broadcastable join.",
+    tags=("text", "corpus"),
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bg = tx.char_bigrams(docs, extra_cols=("lang",))
+    prof = (
+        bg.groupBy("lang", "bg").agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "bg")
+            ),
+        )
+        .where(F.col("rn") <= 20)
+        .select("lang", "bg")
+    )
+    docbg = bg.select("doc_id", "bg").distinct()
+    score = (
+        docbg.join(F.broadcast(prof), "bg")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    return (
+        score.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "score")
+    )
+
+
+@_register(
+    "text_fingerprint_winnow",
+    """
+    WITH g AS (
+        SELECT doc_id, i, length(text) AS L,
+               md5(substr(text, CAST(i AS INT), 8)) AS h
+        FROM documents, UNNEST(range(1, greatest(length(text) - 7, 0) + 1)) AS u(i)
+    ),
+    wm AS (
+        SELECT doc_id, i, L,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+        FROM g
+    ),
+    fp AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE i <= L - 14)
+    SELECT doc_id, count(*) AS n_fingerprints,
+           min(wmin) AS min_fp, max(wmin) AS max_fp
+    FROM fp GROUP BY doc_id
+    """,
+    doc="Winnowing fingerprints (rolling char-8-gram md5, window-min over 8 "
+        "positions, distinct): per-doc fingerprint count + extrema. The "
+        "standard plagiarism/dedup sketch; window + hash-agg shape.",
+    tags=("text", "corpus"),
+)
+def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=8)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing
+# ---------------------------------------------------------------------------
+
+_MT_SQL = ("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' "
+           "WHEN 1 THEN 'audio' ELSE 'video' END")
+
+@_register(
+    "mm_binary_metadata",
+    f"""
+    SELECT doc_id,
+           {_MT_SQL} AS media_type,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+    doc="Multimodal payload metadata over the opaque binary column: "
+        "modality tag, byte length, content hash. Metadata-only queries "
+        "never touch payload bytes under Parquet column pruning.",
+    tags=("multimodal", "corpus"),
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = binary_assets(_t(spark, sf_dir, "documents"))
+    return assets.select(
+        "doc_id", "media_type",
+        F.col("byte_len").cast("int").alias("byte_len"),
+        F.md5("content").alias("content_hash"),
+    )
+
+
+_H = "md5(text)"
+
+@_register(
+    "mm_decode_features",
+    f"""
+    SELECT doc_id,
+           {_MT_SQL} AS media_type,
+           CAST(64 + {hexval_sql(_H, 0, 4)} % 1984 AS INT) AS width,
+           CAST(64 + {hexval_sql(_H, 4, 4)} % 1984 AS INT) AS height,
+           CAST(CASE WHEN {_MT_SQL} = 'image' THEN 1
+                ELSE 1 + {hexval_sql(_H, 8, 2)} % 240 END AS INT) AS n_frames,
+           ({hexval_sql(_H, 10, 6)} % 1000000) / 1000000.0 AS mean_val
+    FROM documents
+    """,
+    doc="mapInPandas decode of binary payloads to typed features (width / "
+        "height / frames / mean). Real decode STUBBED behind a deterministic "
+        "md5-derived fake (no media libs in container) so the Arrow-batched "
+        "plumbing is oracle-checked end-to-end.",
+    tags=("multimodal", "corpus", "pandas-udf"),
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_features(binary_assets(_t(spark, sf_dir, "documents")))

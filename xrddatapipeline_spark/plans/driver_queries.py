@@ -673,3 +673,8 @@ def a15_fraction_masked_per_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
         masked.alias("n_masked"),
         (masked.cast("double") / F.count("*")).alias("frac_masked"),
     )
+
+
+# Corpus-scale registry entries (dedup / similarity / text / multimodal)
+# register themselves on import; kept in a sibling module for size.
+from xrddatapipeline_spark.plans import corpus_queries  # noqa: E402,F401
