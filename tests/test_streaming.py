@@ -1,0 +1,123 @@
+"""Streaming wrapper: incremental file arrival, backfill, csim lookback.
+
+Simulates the reference's poll loop with two AvailableNow runs sharing a
+checkpoint: run 1 drains the existing files (T4 backfill), a new image
+lands, run 2 processes ONLY the new file (checkpoint exactly-once on the
+source) and its csim pairs against the stored previous image (T5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xrddatapipeline_spark.calib.cache import build_calib_pixels
+from xrddatapipeline_spark.streaming import StreamingImagePipeline, read_pixel_stream
+from tests.fixtures_images import CONTROLS, images_long_df, make_image
+
+
+def _land_image(spark, input_dir: str, seq: int) -> None:
+    img = make_image(CONTROLS, seq=seq)
+    (
+        images_long_df(spark, [("synth", seq, img)])
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(input_dir)
+    )
+
+
+@pytest.fixture(scope="module")
+def stream_run(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    input_dir, out_dir = str(root / "landing"), str(root / "out")
+    ckpt = str(root / "ckpt")
+
+    _land_image(spark, input_dir, 0)
+    _land_image(spark, input_dir, 1)
+
+    calib = build_calib_pixels(spark, CONTROLS).cache()
+    pipe = StreamingImagePipeline(spark, calib, CONTROLS, out_dir)
+
+    # run 1: backfill both existing images, auto-stop (T4 availableNow)
+    q = pipe.start(input_dir, ckpt, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    batches_run1 = pipe.batches_seen
+
+    # a third image lands; run 2 must process only it
+    _land_image(spark, input_dir, 2)
+    q = pipe.start(input_dir, ckpt, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    return pipe, batches_run1
+
+
+def test_backfill_processes_each_image_once(stream_run):
+    pipe, batches_run1 = stream_run
+    # maxFilesPerTrigger=1 -> one batch per image in run 1 (one in flight)
+    assert batches_run1 >= 2
+    integrals = pipe.output("integrals").toPandas()
+    counts = integrals.groupby("image_id").size()
+    assert sorted(counts.index) == ["synth-00000", "synth-00001", "synth-00002"]
+    # each image written exactly once: 4 kinds x <=250 bins, identical count
+    assert counts.nunique() == 1
+
+
+def test_incremental_run_only_new_file(stream_run):
+    pipe, _ = stream_run
+    csim = pipe.output("csim").toPandas().sort_values("seq")
+    assert list(csim.seq) == [0, 1, 2]  # one csim row per image, no dups
+
+
+def test_csim_lookback_across_batches(stream_run):
+    pipe, _ = stream_run
+    csim = pipe.output("csim").toPandas().set_index("seq")
+    # image 0 pairs with itself
+    np.testing.assert_allclose(csim.loc[0, "csim_first"], 1.0, rtol=1e-12)
+    # images 1 and 2 were processed in different runs than image 0, so
+    # their csim_first/prev prove the store lookback works across batches
+    assert 0.9 < csim.loc[1, "csim_first"] < 1.0
+    assert 0.9 < csim.loc[2, "csim_first"] < 1.0
+    # drift decays similarity vs first monotonically
+    assert csim.loc[2, "csim_first"] < csim.loc[1, "csim_first"]
+
+
+def test_outputs_consistent_with_batch_plan(stream_run, spark):
+    """Streaming outputs == running the batch plan directly (same images)."""
+    from xrddatapipeline_spark.calib.cache import build_calib_pixels
+    from xrddatapipeline_spark.plans.image_pipeline import run_image_plan
+
+    pipe, _ = stream_run
+    img = make_image(CONTROLS, seq=1)
+    pixels = images_long_df(spark, [("synth", 1, img)])
+    calib = build_calib_pixels(spark, CONTROLS)
+    res = run_image_plan(pixels, calib, CONTROLS)
+    want = (
+        res.integrals.where("kind = 'base'")
+        .toPandas().set_index("tth_idx").intensity.sort_index()
+    )
+    got = (
+        pipe.output("integrals").toPandas()
+        .query("image_id == 'synth-00001' and kind == 'base'")
+        .set_index("tth_idx").intensity.sort_index()
+    )
+    np.testing.assert_allclose(got.values, want.values, rtol=1e-12)
+
+
+def test_settle_guard_filters_fresh_rows(spark, tmp_path):
+    input_dir = str(tmp_path / "landing")
+    _land_image(spark, input_dir, 0)
+    fresh = read_pixel_stream(spark, input_dir, settle_seconds=3600.0)
+    settled = read_pixel_stream(spark, input_dir, settle_seconds=0.0)
+    # availableNow one-shot drain into memory sink to inspect the filter
+    def _count(df, name):
+        q = (
+            df.groupBy().count().writeStream.format("memory")
+            .queryName(name).outputMode("complete")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        rows = spark.sql(f"select * from {name}").collect()
+        return rows[0][0] if rows else 0
+
+    assert _count(fresh, "fresh_cnt") == 0  # just-written file is too new
+    assert _count(settled, "settled_cnt") == CONTROLS.size_x * CONTROLS.size_y

@@ -1,0 +1,194 @@
+"""Structured-Streaming wrapper for the per-image plan (SURVEY §2.10, §3.1).
+
+Reference semantics mapped to Spark:
+
+- T1 (watchdog directory watch -> queue): a file-source stream over the
+  landing directory; micro-batches replace the deque.
+- T2 (100 ms poll, one image in flight, cache-on-first-file): trigger
+  control; ``maxFilesPerTrigger=1`` reproduces one-image-in-flight, larger
+  values batch images — strictly better than the reference's serial loop.
+  Calibration is built once on the driver and reused across batches
+  (the ``CacheCreator`` analog).
+- T3 (file-settle guard): Spark's idiom is ATOMIC ARRIVAL — files must be
+  written to a temp path and renamed in (every Spark/Parquet writer does
+  this), which removes the race the reference's mtime guard papers over.
+  An optional belt-and-braces ``settle_seconds`` row filter on
+  ``_metadata.file_modification_time`` is provided; note that unlike the
+  reference (which re-polls the file later) a filtered row's file has
+  already been consumed by the source, so only use it with sources that
+  also write atomically.
+- T4 (pause/resume/stop, process-existing-only): ``query.stop()`` /
+  restart-from-checkpoint; backfill = ``Trigger.AvailableNow`` (drain all
+  currently-visible files, then stop) — exactly "process existing images
+  only, auto-stop" (pipeline_queue.py:849-852).
+- T5 (csim needs image n-1): reformulated as a join against the pixel
+  STORE (partitioned by dataset/seq so the n-1 and first-image reads are
+  partition-pruned scans), not a streaming state store. Out-of-order
+  arrival degrades gracefully — the window pairs each image with the
+  latest earlier seq present — where the reference mis-pairs on gaps
+  (pipeline.py:516-523).
+
+Exactly-once: the checkpoint makes the SOURCE exactly-once (each input
+file is processed in one batch). The parquet sinks here are append-only,
+so a crash mid-batch can duplicate output rows on retry; production
+deployments should point the sinks at a transactional table format
+(Delta/Iceberg MERGE on image_id) — the plan itself is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from xrddatapipeline_spark.calib.geometry import ImageControls
+from xrddatapipeline_spark.plans.image_pipeline import (
+    cosine_similarity_series,
+    run_image_plan,
+)
+
+#: schema of a landed pixel file (what the TIFF decode emits per image)
+PIXEL_SCHEMA = (
+    "dataset string, seq int, image_id string, y int, x int, intensity int"
+)
+
+OUTPUT_TABLES = ("integrals", "spot_stats", "spottiness", "outliers", "csim")
+
+
+def read_pixel_stream(
+    spark: SparkSession,
+    input_dir: str,
+    *,
+    max_files_per_trigger: int = 1,
+    path_glob: str | None = None,
+    settle_seconds: float = 0.0,
+) -> DataFrame:
+    """T1: the landing-directory stream (S9's watchdog analog).
+
+    ``path_glob`` maps the reference's include/exclude filename regex (F10)
+    onto the source's ``pathGlobFilter``.
+    """
+    reader = (
+        spark.readStream.format("parquet")
+        .schema(PIXEL_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+    )
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    df = reader.load(input_dir)
+    if settle_seconds > 0:
+        df = df.where(
+            F.col("_metadata.file_modification_time")
+            <= F.current_timestamp() - F.expr(f"INTERVAL {settle_seconds} SECONDS")
+        )
+    return df
+
+
+@dataclass
+class StreamingImagePipeline:
+    """foreachBatch driver: per-batch image plan + incremental csim.
+
+    ``calib`` is the one-time calibration table (T2's CacheCreator analog);
+    outputs land under ``out_dir/<table>`` as append-only parquet.
+    """
+
+    spark: SparkSession
+    calib: DataFrame
+    controls: ImageControls
+    out_dir: str
+    broadcast_calib: bool = True
+    batches_seen: int = field(default=0, init=False)
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.out_dir, table)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.batches_seen += 1
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.select(
+            "dataset", "seq", "image_id", "y", "x", "intensity"
+        )
+        # pixel store first: partitioned by (dataset, seq) so the csim
+        # lookback and any reprocessing read only the partitions they need.
+        batch_df.write.mode("append").partitionBy("dataset", "seq").parquet(
+            self._path("pixels")
+        )
+
+        res = run_image_plan(
+            batch_df, self.calib, self.controls, broadcast_calib=self.broadcast_calib
+        )
+        try:
+            res.integrals.write.mode("append").parquet(self._path("integrals"))
+            res.spot_stats.write.mode("append").parquet(self._path("spot_stats"))
+            res.spottiness.write.mode("append").parquet(self._path("spottiness"))
+            res.outliers.write.mode("append").parquet(self._path("outliers"))
+            self._append_csim(batch_df)
+        finally:
+            for df in (
+                res.outliers, res.om_pixels, res.labeled_pixels, res.label_table
+            ):
+                df.unpersist()
+
+    def _append_csim(self, batch_df: DataFrame) -> None:
+        """T5: csim vs previous/first via the pixel store (J4-over-store).
+
+        Reads only the (dataset, seq) partitions needed: the batch images,
+        each predecessor seq, and seq 0 of each touched dataset — a
+        partition-pruned scan however large the store grows.
+        """
+        touched = [
+            (r.dataset, r.seq)
+            for r in batch_df.select("dataset", "seq").distinct().collect()
+        ]
+        needed = set()
+        for ds, seq in touched:
+            needed.update({(ds, seq), (ds, seq - 1), (ds, 0)})
+        cond = F.lit(False)
+        for ds, seq in sorted(needed):
+            cond = cond | ((F.col("dataset") == ds) & (F.col("seq") == seq))
+        store = self.spark.read.schema(PIXEL_SCHEMA).parquet(self._path("pixels"))
+        series = cosine_similarity_series(store.where(cond))
+        batch_keys = F.lit(False)
+        for ds, seq in touched:
+            batch_keys = batch_keys | (
+                (F.col("dataset") == ds) & (F.col("seq") == seq)
+            )
+        series.where(batch_keys).write.mode("append").parquet(self._path("csim"))
+
+    def start(
+        self,
+        input_dir: str,
+        checkpoint_dir: str,
+        *,
+        available_now: bool = True,
+        processing_interval: str | None = None,
+        max_files_per_trigger: int = 1,
+        path_glob: str | None = None,
+        settle_seconds: float = 0.0,
+    ) -> StreamingQuery:
+        """Start the stream. ``available_now=True`` is the reference's
+        'process existing images only' auto-stop mode (T4); a
+        ``processing_interval`` (e.g. '1 second') is the live-watch mode."""
+        stream = read_pixel_stream(
+            self.spark,
+            input_dir,
+            max_files_per_trigger=max_files_per_trigger,
+            path_glob=path_glob,
+            settle_seconds=settle_seconds,
+        )
+        writer = stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_interval:
+            writer = writer.trigger(processingTime=processing_interval)
+        return writer.start()
+
+    def output(self, table: str) -> DataFrame:
+        """Read-back view over an output table (§3.3 query surface)."""
+        return self.spark.read.parquet(self._path(table))
