@@ -1,0 +1,99 @@
+"""Compatibility text sinks: .chi / .xye integral exports, stats CSV.
+
+The engine's source of truth is the columnar tables (integrals /
+spot_stats / ... parquet, SURVEY §2.2); these writers reproduce the
+reference's on-disk text formats for downstream tools that expect them:
+
+- `.chi` (Export_chi, pipeline.py:44-52): filename line, axis-name line,
+  count line, then `%.7e %.7e` pairs — the reference's 4-line header
+  counts the blank line; samples have 2504 lines for 2500 bins.
+- `.xye` (Export_xye, pipeline.py:28-41): `/* name */` comment header
+  then x y esd triples.
+- stats CSVs (pipeline.py:491-492): plain pandas-style CSV per image.
+
+These are driver-side writes of per-image vectors (a few k rows), pulled
+with one targeted, partition-pruned filter per image — bulk exports
+should loop datasets, not call this per 100 M images.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def _integral_pdf(integrals: DataFrame, image_id: str, kind: str) -> pd.DataFrame:
+    pdf = (
+        integrals.where(
+            (integrals.image_id == image_id) & (integrals.kind == kind)
+        )
+        .select("tth", "intensity")
+        .orderBy("tth")
+        .toPandas()
+    )
+    return pdf
+
+
+def export_chi(
+    integrals: DataFrame, image_id: str, kind: str, path: str
+) -> str:
+    """Write one integral as a `.chi` text file; returns the path."""
+    pdf = _integral_pdf(integrals, image_id, kind)
+    with open(path, "w") as f:
+        f.write(f"{image_id}_{kind}\n")
+        f.write("2-Theta Angle (Degrees)\nIntensity\n")
+        f.write(f"       {len(pdf)}\n")
+        for tth, inten in zip(pdf["tth"], pdf["intensity"]):
+            f.write(f" {tth:.7e}  {inten:.7e}\n")
+    return path
+
+
+def export_xye(
+    integrals: DataFrame, image_id: str, kind: str, path: str
+) -> str:
+    """Write one integral as a `.xye` (x, y, esd) text file."""
+    pdf = _integral_pdf(integrals, image_id, kind)
+    with open(path, "w") as f:
+        f.write(f"/* {image_id}_{kind} */\n")
+        for tth, inten in zip(pdf["tth"], pdf["intensity"]):
+            esd = abs(inten) ** 0.5
+            f.write(f"{tth:.7e} {inten:.7e} {esd:.7e}\n")
+    return path
+
+
+def export_stats_csv(stats: DataFrame, image_id: str, path: str) -> str:
+    """Write one image's spot-stats table as CSV (K5)."""
+    pdf = stats.where(stats.image_id == image_id).toPandas()
+    pdf.to_csv(path, index=False)
+    return path
+
+
+def read_chi(path: str) -> pd.DataFrame:
+    """Read a `.chi` file back (the results-UI ingest path, skiprows=4)."""
+    with open(path) as f:
+        lines = f.readlines()
+    rows = [
+        tuple(float(v) for v in ln.split()) for ln in lines[4:] if ln.strip()
+    ]
+    return pd.DataFrame(rows, columns=["tth", "intensity"])
+
+
+def export_dataset_chis(
+    integrals: DataFrame, out_dir: str, kinds: tuple[str, ...] = ("base", "om")
+) -> list[str]:
+    """Bulk export: one `.chi` per (image, kind) under out_dir."""
+    os.makedirs(out_dir, exist_ok=True)
+    ids = [r.image_id for r in integrals.select("image_id").distinct().collect()]
+    paths = []
+    for image_id in sorted(ids):
+        for kind in kinds:
+            suffix = "" if kind == "base" else f"_{kind}"
+            paths.append(
+                export_chi(
+                    integrals, image_id, kind,
+                    os.path.join(out_dir, f"{image_id}{suffix}.chi"),
+                )
+            )
+    return paths
