@@ -28,6 +28,15 @@ HEADLINE = [
     "a11_central_band_percentile",
     "w1_lag_first_pairing",
     "w5_circular_gap_scan",
+    # training-corpus layer
+    "dedup_exact_hash",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "ann_lsh_bucketed",
+    "text_fingerprint_winnow",
+    "mm_decode_features",
 ]
 
 

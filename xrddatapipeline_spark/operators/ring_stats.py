@@ -4,20 +4,27 @@ Reference parity: the C kernel ``fmask.mask`` (fmask.c:79-293) computes, per
 2theta ring, the **exact** median and MAD (scaled by 1.4826) of pixel
 intensities and masks pixels outside ``median +/- esdMul * 1.4826 * MAD``;
 rings with fewer than 10 pixels are skipped (fmask.c:237). SURVEY §2.6 A2,
-§2.5 J7, §2.6 A18/J6 (two-pass MAD).
+§2.5 J7, §2.6 A18/J6.
 
-Spark-first formulation: two hash aggregations + a broadcast join-back —
-the per-ring aggregate table is tiny (~10^3 rings/image), so the join-back
-is a broadcast hash join with no shuffle of the pixel side beyond the
-groupBy's own exchange. ``F.median`` is Spark's exact median (interpolated
-mean-of-two-middles for even counts, matching numpy and DuckDB
-``median``), as required for parity (SURVEY §7 "Numeric parity").
+Spark-first formulation — the reference's own v1->v2 rewrite, translated:
+fmask v2 bins pixels ONCE then quick-selects per ring (fmask.c:199-230)
+instead of rescanning per ring. Here that is ONE hash aggregation
+(``collect_list`` per group — the "bin once") followed by pure array
+expressions on the tiny per-group side (``array_sort`` + ``element_at``
+— the "per-ring select"): median, MAD, and the outlier count all come
+from the same sorted arrays with a single scan and a single shuffle,
+where the naive two-pass-median formulation scans and shuffles the pixel
+table three times.
 
-Scale note (100 TB): both groupBys key on (group keys) which include
-image_id in the image pipeline — cardinality ~10^3 per image, no skew;
-AQE coalesces the tiny aggregate exchanges. The pixel-side shuffle is the
-unavoidable one for a hash aggregation; partial aggregation (map-side
-combine) applies automatically.
+Median interpolation matches numpy / DuckDB / Spark ``median`` exactly:
+mean of the two middle order statistics for even counts.
+
+Scale note (100 TB): groups here are bounded — ~10^3-10^4 pixels per ring
+per image (the grouping key includes image_id in the image pipeline), so
+a group's sorted array is ~100 KB and the per-group work is in-memory
+JVM. For UNBOUNDED groups this formulation would not hold; that case
+should fall back to a two-pass ``F.median`` plan. Skew: ring populations
+vary ~10x, AQE's skew handling plus the small absolute sizes keep it flat.
 """
 
 from __future__ import annotations
@@ -27,7 +34,23 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from xrddatapipeline_spark.functions.arrays import array_median as _array_median
+
 MAD_SCALE = 1.4826  # Gaussian consistency constant, fmask.c:268
+
+
+def group_sorted_values(
+    df: DataFrame, keys: Sequence[str], value: str, min_count: int = 1
+) -> DataFrame:
+    """One-shuffle 'bin once' step: per-key sorted value array + count."""
+    g = (
+        df.groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(value)).alias("_vals"))
+        .withColumn("n_px", F.size("_vals"))
+    )
+    if min_count > 1:
+        g = g.where(F.col("n_px") >= min_count)
+    return g
 
 
 def group_median_mad(
@@ -35,27 +58,33 @@ def group_median_mad(
     keys: Sequence[str],
     value: str,
     min_count: int = 1,
+    esd_mul: float | None = None,
 ) -> DataFrame:
-    """Per-key exact median, MAD, and count.
+    """Per-key exact median, MAD, count — and, when ``esd_mul`` is given,
+    the outlier count at ``|v - med| > esd_mul * 1.4826 * mad`` — from one
+    scan + one shuffle.
 
-    Returns ``keys + (n_px, med, mad)``; groups with fewer than
-    ``min_count`` rows are dropped (fmask.c:237 skips rings with <10 px).
+    Returns ``keys + (n_px, med, mad[, n_outliers])``.
     """
     keys = list(keys)
-    med = (
-        df.groupBy(*keys)
-        .agg(F.median(value).alias("med"), F.count("*").alias("n_px"))
-        .where(F.col("n_px") >= min_count)
+    g = group_sorted_values(df, keys, value, min_count)
+    g = g.withColumn("med", _array_median(F.col("_vals"), F.col("n_px")))
+    g = g.withColumn(
+        "_absdev",
+        F.array_sort(
+            F.transform(F.col("_vals"), lambda x: F.abs(x - F.col("med")))
+        ),
     )
-    joined = df.join(F.broadcast(med), keys)
-    return (
-        joined.groupBy(*keys)
-        .agg(
-            F.first("n_px").alias("n_px"),
-            F.first("med").alias("med"),
-            F.median(F.abs(F.col(value) - F.col("med"))).alias("mad"),
+    g = g.withColumn("mad", _array_median(F.col("_absdev"), F.col("n_px")))
+    out_cols = [*keys, "n_px", "med", "mad"]
+    if esd_mul is not None:
+        thresh = F.col("mad") * F.lit(esd_mul * MAD_SCALE)
+        g = g.withColumn(
+            "n_outliers",
+            F.size(F.filter(F.col("_absdev"), lambda d: d > thresh)),
         )
-    )
+        out_cols.append("n_outliers")
+    return g.select(*out_cols)
 
 
 def flag_outliers(
@@ -70,6 +99,7 @@ def flag_outliers(
     Mirrors fmask.c:259-285 (apply median/MAD back to each ring pixel).
     Adds columns ``med, mad, n_px, is_outlier``; rows in skipped groups
     (fewer than min_count) keep ``is_outlier = false`` with null stats.
+    The stats side is ~one row per ring — always a broadcast join.
     """
     keys = list(keys)
     stats = group_median_mad(df, keys, value, min_count=min_count)

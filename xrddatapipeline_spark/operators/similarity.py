@@ -21,12 +21,31 @@ the 100 TB path, since the per-bucket candidate set is ~n/2^planes.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
 
 from xrddatapipeline_spark.operators.text import HEX, _nibble_val
 
 QSCALE = float(2 ** 40)  # quantization scale for order-independent dot sums
+
+
+# DataType instance (not a DDL string): the UDF is defined at import time,
+# before any SparkSession exists to parse DDL
+@pandas_udf(LongType())
+def quantized_dot_vectorized(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized quantized dot: numpy computes the SAME integers as
+    `quantized_dot` (float64 products of float32 pairs are exact; floor of
+    values < 2^53 is exact; the integer-valued float64 sum stays < 2^53),
+    ~100x faster than the interpreted fold on all-pairs workloads."""
+    va = np.stack(a.to_numpy()).astype(np.float64)
+    vb = np.stack(b.to_numpy()).astype(np.float64)
+    q = np.floor(va * vb * QSCALE).sum(axis=1)
+    return pd.Series(q.astype(np.int64))
 
 
 def quantized_dot(a: Column, b: Column) -> Column:
@@ -61,24 +80,52 @@ def norms(df: DataFrame, vec_col: str = "embedding",
 
 
 def cosine_pairs(df: DataFrame, min_cos: float, vec_col: str = "embedding",
-                 id_col: str = "vec_id") -> DataFrame:
-    """All-pairs cosine >= min_cos. O(n^2) — correctness baseline / small n;
-    the LSH route below is the scale path."""
-    n = norms(df, vec_col, id_col)
-    a = n.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                 F.col("qnorm").alias("qa"))
-    b = n.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                 F.col("qnorm").alias("qb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            quantized_dot(F.col("va"), F.col("vb"))
-            / F.sqrt(F.col("qa").cast("double") * F.col("qb").cast("double")),
+                 id_col: str = "vec_id", max_broadcast: int = 500_000) -> DataFrame:
+    """All-pairs cosine >= min_cos. O(n^2) — correctness baseline; the LSH
+    route below is the scale path for n beyond broadcast range.
+
+    Shape: the corpus matrix is broadcast ONCE (ids + float matrix, ~0.5 KB
+    per vector) and each task scores its partition's rows against it with
+    vectorized numpy — vectors cross the wire once, not once per pair,
+    which beats any pair-join formulation by the average pair multiplicity.
+    Identical integers to `quantized_dot` (see quantized_dot_vectorized),
+    so the output doubles are bit-equal to the expression path and the
+    SQL oracle."""
+    n_corpus = df.count()
+    if n_corpus > max_broadcast:
+        raise ValueError(
+            f"cosine_pairs is the O(n^2) baseline; n={n_corpus} exceeds "
+            f"broadcast range — use lsh_topk / bucketed variants at scale"
         )
-        .where(F.col("cos") >= min_cos)
-        .select("id_a", "id_b", "cos")
+    rows = df.select(id_col, vec_col).collect()
+    ids_arr = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    bcast = df.sparkSession.sparkContext.broadcast((ids_arr, mat))
+
+    def _score(batches):
+        ids_b, mat_b = bcast.value
+        qnorm_b = np.floor(mat_b * mat_b * QSCALE).sum(axis=1)
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for id_a, va in zip(pdf[id_col], pdf[vec_col]):
+                va64 = np.asarray(va, dtype=np.float64)
+                qd = np.floor(mat_b * va64 * QSCALE).sum(axis=1)
+                qa = np.floor(va64 * va64 * QSCALE).sum()
+                cos = qd / np.sqrt(qa * qnorm_b)
+                sel = (cos >= min_cos) & (ids_b > id_a)
+                out_a.append(np.full(sel.sum(), id_a, dtype=np.int64))
+                out_b.append(ids_b[sel])
+                out_c.append(cos[sel])
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _score, schema="id_a long, id_b long, cos double"
     )
 
 

@@ -38,6 +38,30 @@ def tokens_col(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def md5_prefix_long(col: Column, n_nibbles: int = 12, start: int = 0) -> Column:
+    """md5 nibbles [start, start+n) as a non-negative bigint (keep the
+    total under 16 nibbles = 64 bits; 12 nibbles = 48 bits is the safe
+    signed default).
+
+    The portable hex->int bridge: one md5 per value, then cheap integer
+    arithmetic derives whole hash FAMILIES (MinHash permutations, SimHash
+    bits) instead of one md5 per (value, seed) — the difference between
+    O(shingles) and O(shingles x seeds) crypto-hash calls.
+    """
+    h = F.md5(col)
+    out = F.lit(0).cast("long")
+    for k in range(n_nibbles):
+        out = out + _nibble_val(
+            F.substring(h, start + k + 1, 1)
+        ).cast("long") * F.lit(16 ** (n_nibbles - 1 - k))
+    return out
+
+
+#: affine MinHash permutation modulus (2^31 - 1, prime)
+MINHASH_MOD = 2147483647
+MINHASH_MULT = 2654435761  # Knuth multiplicative constant
+
+
 def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Explode word n-gram shingles: one row per (doc_id, shingle).
@@ -62,24 +86,34 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 32,
                        id_col: str = "doc_id") -> DataFrame:
-    """MinHash signature: for each seed, min over md5(seed '#' shingle).
+    """MinHash signature: ONE md5 per shingle -> 48-bit int, then
+    ``num_hashes`` affine permutations (a_s*h + b_s mod 2^31-1) — the
+    standard universal-hash family, crypto-hash count O(shingles) not
+    O(shingles x seeds).
 
     min over the shingle multiset == min over the set, so no distinct is
     needed before the aggregate (map-side combine keeps the shuffle at
     docs x num_hashes rows).
     """
-    seeded = shingles.select(
+    hashed = shingles.select(
         id_col,
+        (md5_prefix_long(F.col("shingle")) % MINHASH_MOD).alias("h"),
+    )
+    seeded = hashed.select(
+        id_col,
+        "h",
         F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "shingle",
+    )
+    a = F.lit(1) + (F.col("seed").cast("long") * F.lit(MINHASH_MULT)) % F.lit(
+        MINHASH_MOD - 1
+    )
+    b = (F.col("seed").cast("long") * F.lit(40503) + F.lit(12345)) % F.lit(
+        MINHASH_MOD
     )
     return (
-        seeded.withColumn(
-            "h",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("shingle"))),
-        )
+        seeded.withColumn("m", (a * F.col("h") + b) % F.lit(MINHASH_MOD))
         .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
+        .agg(F.min("m").alias("minhash"))
     )
 
 
@@ -92,9 +126,9 @@ def minhash_band_buckets(signatures: DataFrame, rows_per_band: int = 4,
     ordered_concat = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-            lambda s: s["minhash"],
+            lambda s: s["minhash"].cast("string"),
         ),
-        "",
+        "_",
     )
     return (
         banded.groupBy(id_col, "band")
@@ -158,20 +192,31 @@ def shingle_jaccard(shingles: DataFrame, pairs: DataFrame | None = None,
 def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash as a '0'/'1' string (bit p = sign of the tf-weighted
-    vote over token-md5 bit p). Output: (doc_id, simhash)."""
+    vote over token-md5 bit p). Output: (doc_id, simhash).
+
+    The token's 64 md5 bits are packed into two 32-bit ints once
+    (16 nibble lookups), so the per-(token, p) work is a shift+mask on a
+    long instead of substring+strpos on the hex string — same bits, ~10x
+    cheaper inner loop at corpus scale.
+    """
     toks = df.select(
         id_col, F.explode(tokens_col(F.col(text_col))).alias("tok")
-    ).withColumn("th", F.md5(F.col("tok")))
+    ).select(
+        id_col,
+        md5_prefix_long(F.col("tok"), 8, start=0).alias("h_hi"),
+        md5_prefix_long(F.col("tok"), 8, start=8).alias("h_lo"),
+    )
     bits = toks.select(
         id_col,
-        "th",
+        "h_hi",
+        "h_lo",
         F.explode(F.sequence(F.lit(0), F.lit(63))).alias("p"),
     ).withColumn(
-        "nib", _nibble_val(F.substring(F.col("th"), (F.col("p") / 4).cast("int") + 1, 1))
-    ).withColumn(
         "bit",
-        (F.floor(F.col("nib") / F.pow(F.lit(2.0), 3 - F.col("p") % 4)).cast("long")
-         % 2),
+        F.expr(
+            "CASE WHEN p < 32 THEN shiftright(h_hi, 31 - p) & 1 "
+            "ELSE shiftright(h_lo, 63 - p) & 1 END"
+        ),
     )
     votes = bits.groupBy(id_col, "p").agg(
         F.sum(2 * F.col("bit") - 1).alias("vote")

@@ -40,15 +40,23 @@ sh AS (
 )
 """
 
-SQL_MINHASH_BUCKETS = SQL_SHINGLES + """,
+# one md5 per shingle -> 48-bit int, then affine universal-hash
+# permutations (operators.text.minhash_signatures semantics)
+SQL_MINHASH_BUCKETS = SQL_SHINGLES + f""",
+hashed AS (
+    SELECT doc_id, {hexval_sql('md5(shingle)', 0, 12)} % 2147483647 AS h
+    FROM sh
+),
 mh AS (
-    SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '#' || shingle)) AS m
-    FROM sh, UNNEST(range(0, 32)) AS v(seed)
+    SELECT doc_id, seed,
+           min(((1 + (seed * 2654435761) % 2147483646) * h
+                + (seed * 40503 + 12345) % 2147483647) % 2147483647) AS m
+    FROM hashed, UNNEST(range(0, 32)) AS v(seed)
     GROUP BY doc_id, seed
 ),
 buckets AS (
     SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-           md5(string_agg(m, '' ORDER BY seed)) AS bucket
+           md5(string_agg(CAST(m AS VARCHAR), '_' ORDER BY seed)) AS bucket
     FROM mh GROUP BY doc_id, CAST(seed // 4 AS INT)
 )
 """

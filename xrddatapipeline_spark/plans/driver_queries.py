@@ -219,7 +219,8 @@ def a1_integrate_binned_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="fmask.c:79-293 per-ring exact median + MAD*1.4826 sigma-clip "
     "(esdMul=3 => threshold 3*1.4826=4.4478); rings <10 px skipped "
-    "(SURVEY §2.6 A2, §2.5 J6/J7).",
+    "(SURVEY §2.6 A2, §2.5 J6/J7). One scan + one shuffle: bin-once /"
+    "select-per-ring, the fmask v2 rewrite in Spark form.",
     tags=("agg", "xrd"),
 )
 def a2_ring_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,18 +228,8 @@ def a2_ring_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") % 40).cast("int").alias("ring"),
         F.col("l_extendedprice").alias("v"),
     )
-    stats = group_median_mad(li, ["ring"], "v", min_count=10)
-    joined = li.join(F.broadcast(stats), "ring")
-    return joined.groupBy("ring").agg(
-        F.first("n_px").alias("n_px"),
-        F.first("med").alias("med"),
-        F.first("mad").alias("mad"),
-        F.sum(
-            F.when(
-                F.abs(F.col("v") - F.col("med")) > F.col("mad") * 4.4478, 1
-            ).otherwise(0)
-        ).alias("n_outliers"),
-    )
+    stats = group_median_mad(li, ["ring"], "v", min_count=10, esd_mul=3.0)
+    return stats.select("ring", "n_px", "med", "mad", "n_outliers")
 
 
 # ---------------------------------------------------------------------------
@@ -631,17 +622,56 @@ def j5_diff_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "join", "xrd"),
 )
 def a11_central_band_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bin-once formulation: one shuffle collects (price, qty) per label;
+    # the median, the central-band filter, and the p20 percentile are all
+    # array expressions on the per-label side (vs 2 extra full-value
+    # shuffles for median + percentile aggs). Labels are bounded groups.
+    from xrddatapipeline_spark.functions.arrays import array_percentile
+
     li = _t(spark, sf_dir, "lineitem")
-    med = li.groupBy(F.col("l_partkey").alias("label")).agg(
-        F.median("l_extendedprice").alias("med_q")
+    g = (
+        li.groupBy(F.col("l_partkey").alias("label"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("l_extendedprice", "l_quantity"))
+            ).alias("_pq")
+        )
+        .withColumn("_n", F.size("_pq"))
+        # median via O(1) element_at on the sorted struct array: a
+        # transform()-the-whole-array median would be inlined (no CSE for
+        # lambda exprs) into every downstream use and dominate runtime
+        .withColumn(
+            "med_q",
+            (
+                F.element_at(
+                    F.col("_pq"), F.floor((F.col("_n") + 1) / 2).cast("int")
+                )["l_extendedprice"]
+                + F.element_at(
+                    F.col("_pq"), F.ceil((F.col("_n") + 1) / 2).cast("int")
+                )["l_extendedprice"]
+            )
+            / 2.0,
+        )
+        .withColumn(
+            "_central",
+            F.array_sort(
+                F.transform(
+                    F.filter(
+                        F.col("_pq"),
+                        lambda s: F.abs(s["l_extendedprice"] - F.col("med_q"))
+                        < 5000.0,
+                    ),
+                    lambda s: s["l_quantity"],
+                )
+            ),
+        )
+        .withColumn("n_central", F.size("_central").cast("long"))
+        .where(F.col("n_central") > 0)
     )
-    central = (
-        li.join(F.broadcast(med), li.l_partkey == med.label)
-        .where(F.abs(F.col("l_extendedprice") - F.col("med_q")) < 5000.0)
-    )
-    return central.groupBy("label").agg(
-        F.expr("percentile(l_quantity, 0.2)").alias("p20"),
-        F.count("*").alias("n_central"),
+    return g.select(
+        "label",
+        array_percentile(F.col("_central"), F.col("n_central"), 0.2).alias("p20"),
+        "n_central",
     )
 
 
