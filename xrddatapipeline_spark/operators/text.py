@@ -68,13 +68,23 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
 
     Docs with fewer than `n` tokens produce no rows (same as the oracle's
     `WHERE len(t) >= n`).
+
+    The token array is materialized behind a Generate boundary
+    (`explode(array(split(..)))`): projection collapse would otherwise
+    inline the `split` into every `element_at` inside the shingle lambda
+    (lambda bodies get no common-subexpression elimination), re-splitting
+    the text once per shingle per gram — O(len^2) per document.
     """
-    toks = tokens_col(F.col(text_col))
+    toks_df = df.select(
+        F.col(id_col),
+        F.explode(F.array(tokens_col(F.col(text_col)))).alias("_toks"),
+    )
+    toks = F.col("_toks")
     shingle = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)]
     )
     return (
-        df.where(F.size(toks) >= n)
+        toks_df.where(F.size(toks) >= n)
         .select(
             F.col(id_col),
             F.explode(
@@ -164,6 +174,17 @@ def shingle_jaccard(shingles: DataFrame, pairs: DataFrame | None = None,
     """
     ds = shingles.distinct()
     sizes = ds.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if pairs is not None:
+        # restrict the inverted index to docs that appear in a candidate
+        # pair BEFORE the self-join: the candidate doc set is tiny compared
+        # to the corpus, so this turns an all-docs inverted join into one
+        # over just the near-dup suspects (broadcast semi-join)
+        cand_docs = (
+            pairs.select(F.col("doc_a").alias(id_col))
+            .union(pairs.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        ds = ds.join(F.broadcast(cand_docs), id_col, "left_semi")
     inter = (
         ds.alias("a")
         .join(ds.alias("b"), "shingle")
