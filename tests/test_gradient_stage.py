@@ -1,0 +1,100 @@
+"""Gradient classification stage (SURVEY §2.9): spot-in-arc repair.
+
+Fixture: a bright Gaussian spot planted ON a texture arc so their outlier
+clusters merge. The merged cluster's Q spread fails the shape classifier's
+arc test (it reads as one big spot) — the gradient stage must recognize
+the arc via the central-band 2nd-radial-derivative criterion (`on_arc`)
+and cut the spot region back out by azimuth proximity to the
+azim-gradient cluster (A10-A14, classification.py:447-608).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xrddatapipeline_spark.calib.cache import build_calib_pixels
+from xrddatapipeline_spark.calib.geometry import compute_maps_numpy
+from xrddatapipeline_spark.plans.image_pipeline import run_image_plan
+from tests.fixtures_images import CONTROLS, images_long_df, make_image
+
+SPOT_AZIM = 57.0
+SPOT_TTH = 9.5  # on the 40-75 deg arc
+
+
+@pytest.fixture(scope="module")
+def grad_result(spark):
+    c = CONTROLS
+    img = make_image(c, seq=0)
+    maps = compute_maps_numpy(c)
+    tgt = np.argmin(
+        np.abs(maps["tth"] - SPOT_TTH) * 10 + np.abs(maps["azim"] - SPOT_AZIM)
+    )
+    ty, tx = np.unravel_index(tgt, maps["tth"].shape)
+    ys, xs = np.mgrid[0 : c.size_y, 0 : c.size_x]
+    img = img + (
+        90000.0 * np.exp(-(((ys - ty) ** 2 + (xs - tx) ** 2)) / (2 * 3.0 ** 2))
+    ).astype(np.int32)
+    pixels = images_long_df(spark, [("synth", 0, img)])
+    calib = build_calib_pixels(spark, c).cache()
+    res = run_image_plan(pixels, calib, c, gradient_stage=True)
+    lp = res.labeled_pixels.toPandas()
+    lt = res.label_table.toPandas()
+    fl = res.gradient.pixel_flags.toPandas()
+    oa = res.gradient.on_arc_labels.toPandas()
+    gc = res.gradient.grad_clusters.toPandas()
+    merged_label = int(lp.set_index(["y", "x"]).loc[(ty, tx)].label)
+    return dict(lp=lp, lt=lt, fl=fl, oa=oa, gc=gc, merged=merged_label, res=res)
+
+
+def test_merged_cluster_fails_shape_but_flags_on_arc(grad_result):
+    r = grad_result
+    row = r["lt"][r["lt"].label == r["merged"]].iloc[0]
+    # the spot halo inflates the Q spread past the arc threshold
+    assert row.classifier == 1 and row.diff_q > 0.1
+    # ... but the gradient view recognizes the arc ridge
+    oa_row = r["oa"][r["oa"].label == r["merged"]].iloc[0]
+    assert bool(oa_row.on_arc)
+    assert oa_row.p20_r2 < 0  # strong negative central-band curvature
+
+
+def test_gradient_cluster_found_at_planted_azimuth(grad_result):
+    r = grad_result
+    mine = r["gc"][r["gc"].parent_label == r["merged"]]
+    assert len(mine) >= 1
+    best = mine.sort_values("n_px").iloc[-1]
+    assert abs(best.med_azim - SPOT_AZIM) < 3.0
+
+
+def test_spot_cut_out_of_arc(grad_result):
+    r = grad_result
+    sub = r["fl"][r["fl"].label == r["merged"]]
+    cut = sub[sub.new_spot]
+    kept = sub[sub.new_arc]
+    assert len(cut) > 0 and len(kept) > 0
+    az = r["lp"][r["lp"].label == r["merged"]].set_index(["y", "x"]).azim
+    cut_az = np.array([az.loc[(t.y, t.x)] for t in cut.itertuples()])
+    kept_az = np.array([az.loc[(t.y, t.x)] for t in kept.itertuples()])
+    # the cut region brackets the planted azimuth; kept arc pixels lie outside
+    assert cut_az.min() < SPOT_AZIM < cut_az.max()
+    assert cut_az.max() - cut_az.min() < 20.0  # a sector, not the whole arc
+    near = np.abs(kept_az - SPOT_AZIM) < 1.0
+    assert near.sum() == 0
+
+
+def test_flags_partition_labeled_pixels(grad_result):
+    r = grad_result
+    flags = r["res"].gradient.pixel_flags
+    assert flags.where("new_spot = new_arc").count() == 0
+    assert flags.count() == r["res"].labeled_pixels.select("y", "x").count()
+
+
+def test_plain_arcs_kept_whole(grad_result):
+    """The uncontaminated arcs produce no (or tiny) cuts."""
+    r = grad_result
+    arcs = set(r["oa"][r["oa"].on_arc].label) - {r["merged"]}
+    if not arcs:
+        pytest.skip("all arcs merged in this fixture")
+    sub = r["fl"][r["fl"].label.isin(arcs)]
+    # at most a small fraction of an untouched arc flips
+    assert (sub.new_spot.sum() / len(sub)) < 0.5

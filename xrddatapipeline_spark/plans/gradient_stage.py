@@ -1,0 +1,227 @@
+"""Gradient classification stage (SURVEY §2.9, classification.py:447-608).
+
+Refines the shape classifier's arc/spot decision using second derivatives
+along the radial / azimuthal directions: a single-crystal spot embedded in
+a texture arc shows strong radial curvature, so clusters of extreme
+azimuthal curvature inside arc-classified regions are cut out and flipped
+to spots (`split_grad_with_Q_groupby`). Composition:
+
+  M8 inpaint -> M7 x2 (2nd radial / 2nd azim derivative)     [one kernel]
+  A12 per-image global percentiles of the 2nd radial grad
+  A10/J2 per-label median Q broadcast back
+  A11 central-band (|Q - medQ| < 0.02) p20 of 2nd radial -> on_arc
+  gradient mask (2nd azim < global threshold) ∧ on_arc -> M1 relabel
+  A13 per-gradient-cluster circular-median azimuth + parent label
+  A14 swap: parent-arc pixels within 5 x Qwidth of the cluster's azimuth
+      flip arc -> spot (new_spot / new_arc case-when)
+
+Thresholds (threshold_percentile=0.1 => p0.1/p10, central band 0.02,
+swap radius 5 x Qwidth) follow classification.py:849-860 / SURVEY §2.9.
+
+Scale shape: ONE applyInPandas kernel pass per image emits the two
+gradient columns; everything after is hash aggregation on (image_id,
+label) keys (bounded cardinality) plus broadcast joins — the same
+one-shuffle discipline as the rest of the per-image plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xrddatapipeline_spark.calib.geometry import ImageControls
+from xrddatapipeline_spark.functions.binning import in_circular_range
+from xrddatapipeline_spark.operators import kernels
+from xrddatapipeline_spark.operators.raster import label_pixels
+
+CENTRAL_BAND_Q = 0.02
+THRESHOLD_PCT = 0.1  # percent, classification.py:849-860
+SWAP_RADIUS_QWIDTHS = 5.0
+
+
+def second_gradients(px: DataFrame, controls: ImageControls) -> DataFrame:
+    """M8 + M7 x2 per image: (image_id, y, x, grad_r2, grad_a2).
+
+    Inpaints base-masked pixels (normalized Gaussian convolution), then
+    applies the r̂/φ̂-projected 3x3 gradient twice.
+    """
+    h, w = controls.size_y, controls.size_x
+    cy = controls.center_y / (controls.pixel_size_y / 1000.0)
+    cx = controls.center_x / (controls.pixel_size_x / 1000.0)
+
+    def _grad(pdf: pd.DataFrame) -> pd.DataFrame:
+        img = np.zeros((h, w), dtype=np.float64)
+        bad = np.ones((h, w), dtype=bool)
+        ys = pdf["y"].to_numpy()
+        xs = pdf["x"].to_numpy()
+        img[ys, xs] = pdf["intensity"].to_numpy()
+        bad[ys, xs] = pdf["base_mask"].to_numpy()
+        inp = kernels.inpaint_masked(img, bad)
+        r1, a1 = kernels.radial_azim_gradient(inp, cy, cx)
+        r2, _ = kernels.radial_azim_gradient(r1, cy, cx)
+        _, a2 = kernels.radial_azim_gradient(a1, cy, cx)
+        return pd.DataFrame(
+            {
+                "image_id": np.repeat(pdf["image_id"].iloc[0], ys.size),
+                "y": ys.astype(np.int32),
+                "x": xs.astype(np.int32),
+                "grad_r2": r2[ys, xs],
+                "grad_a2": a2[ys, xs],
+            }
+        )
+
+    return (
+        px.select("image_id", "y", "x", "intensity", "base_mask")
+        .groupBy("image_id")
+        .applyInPandas(
+            _grad, schema="image_id string, y int, x int, grad_r2 double, grad_a2 double"
+        )
+    )
+
+
+@dataclass
+class GradientStageResult:
+    pixel_flags: DataFrame   # (image_id, y, x, label, new_spot, new_arc)
+    on_arc_labels: DataFrame  # (image_id, label, p20_r2, on_arc)
+    grad_clusters: DataFrame  # (image_id, newlabel, parent_label, med_azim, n_px)
+
+
+def gradient_classify(
+    px: DataFrame,
+    lpx: DataFrame,
+    label_table: DataFrame,
+    controls: ImageControls,
+) -> GradientStageResult:
+    """The A10-A14 dataflow over labeled outlier pixels.
+
+    ``px``: calib-joined pixels with base_mask; ``lpx``: labeled cluster
+    pixels with (q, azim); ``label_table``: shape-classifier output with
+    (area, diff_azim, diff_q, classifier).
+    """
+    shape = (controls.size_y, controls.size_x)
+    grads = second_gradients(px, controls)
+
+    # A12: per-image global thresholds of the gradient distributions
+    thresholds = grads.groupBy("image_id").agg(
+        F.expr(f"percentile(grad_r2, {THRESHOLD_PCT / 100.0})").alias("r2_p_lo"),
+        F.expr("percentile(grad_r2, 0.10)").alias("r2_p10"),
+        F.expr(f"percentile(grad_a2, {THRESHOLD_PCT / 100.0})").alias("a2_p_lo"),
+    )
+
+    lg = lpx.join(grads, ["image_id", "y", "x"])
+
+    # A10 + J2: per-label median Q broadcast back
+    med_q = lg.groupBy("image_id", "label").agg(F.median("q").alias("med_q"))
+    lg = lg.join(F.broadcast(med_q), ["image_id", "label"])
+
+    # A11: central-band p20 of the 2nd radial gradient; on_arc if below the
+    # image-global p10 (strong negative curvature = ridge, not noise)
+    central = lg.where(F.abs(F.col("q") - F.col("med_q")) < CENTRAL_BAND_Q)
+    p20 = central.groupBy("image_id", "label").agg(
+        F.expr("percentile(grad_r2, 0.2)").alias("p20_r2")
+    )
+    on_arc = (
+        p20.join(F.broadcast(thresholds.select("image_id", "r2_p10")), "image_id")
+        .withColumn("on_arc", F.col("p20_r2") < F.col("r2_p10"))
+        .select("image_id", "label", "p20_r2", "on_arc")
+    )
+
+    # gradient mask: extreme 2nd azim derivative inside on_arc clusters
+    grad_mask_px = (
+        lg.join(
+            F.broadcast(on_arc.where("on_arc").select("image_id", "label")),
+            ["image_id", "label"],
+        )
+        .join(F.broadcast(thresholds.select("image_id", "a2_p_lo")), "image_id")
+        .where(F.col("grad_a2") < F.col("a2_p_lo"))
+        .select("image_id", "y", "x")
+    )
+
+    # M1 relabel the gradient mask -> gradient clusters
+    relabeled = label_pixels(grad_mask_px, shape=shape, connectivity=2).withColumnRenamed(
+        "label", "newlabel"
+    )
+
+    # A13: per-gradient-cluster circular azimuth median (via plain + flipped
+    # axis, A7-style) and parent label
+    gc = relabeled.join(
+        lpx.select("image_id", "y", "x", "label", "azim", "azim_flip"),
+        ["image_id", "y", "x"],
+    )
+    clusters = gc.groupBy("image_id", "newlabel").agg(
+        F.first("label").alias("parent_label"),
+        F.median("azim").alias("med_azim"),
+        F.median("azim_flip").alias("med_azim_flip"),
+        F.count("*").alias("n_px"),
+    )
+    # pick the representation whose spread was narrower is overkill for a
+    # median; re-wrap the flipped median back to the plain axis when the
+    # plain median straddles the 0/360 seam (|med - wrapped(medflip)| large)
+    clusters = clusters.withColumn(
+        "med_azim",
+        F.when(
+            F.abs(F.pmod(F.col("med_azim_flip") - 180.0 + 360.0, F.lit(360.0)) - F.col("med_azim")) > 90.0,
+            F.pmod(F.col("med_azim_flip") - 180.0 + 360.0, F.lit(360.0)),
+        ).otherwise(F.col("med_azim")),
+    ).drop("med_azim_flip")
+
+    # A14 swap + final case-when (classification.py:575-606): the gradient
+    # view (`on_arc`) is the arc authority — a spot merged into an arc
+    # inflates the shape classifier's Q spread, which is exactly the case
+    # this stage repairs. Pixels of an on_arc label within 5 x Qwidth
+    # (circular) of a gradient cluster's azimuth are cut out as spots;
+    # the remainder of the on_arc label is arc; everything else is spot.
+    arc_parents = (
+        on_arc.where("on_arc")
+        .join(
+            label_table.select("image_id", "label", "diff_q"),
+            ["image_id", "label"],
+        )
+        .select("image_id", F.col("label").alias("parent_label"), "diff_q")
+    )
+    swaps = (
+        clusters.join(F.broadcast(arc_parents), ["image_id", "parent_label"])
+        .select(
+            "image_id",
+            "parent_label",
+            "med_azim",
+            (F.col("diff_q") * SWAP_RADIUS_QWIDTHS).alias("swap_radius"),
+        )
+    )
+    flagged = (
+        lpx.join(
+            F.broadcast(on_arc.select("image_id", "label", "on_arc")),
+            ["image_id", "label"],
+            "left",
+        )
+        .fillna({"on_arc": False})
+        .join(
+            F.broadcast(swaps.withColumnRenamed("parent_label", "label")),
+            ["image_id", "label"],
+            "left",
+        )
+        .withColumn(
+            "near_cut",
+            F.coalesce(
+                in_circular_range(F.col("azim"), F.col("med_azim"), F.col("swap_radius")),
+                F.lit(False),
+            ),
+        )
+        .groupBy("image_id", "y", "x", "label", "on_arc")
+        .agg(F.max(F.col("near_cut").cast("int")).alias("near_cut"))
+        .withColumn(
+            "new_spot", ~F.col("on_arc") | (F.col("near_cut") == 1)
+        )
+        .withColumn(
+            "new_arc", F.col("on_arc") & (F.col("near_cut") == 0)
+        )
+        .select("image_id", "y", "x", "label", "new_spot", "new_arc")
+    )
+    return GradientStageResult(
+        pixel_flags=flagged, on_arc_labels=on_arc, grad_clusters=clusters
+    )

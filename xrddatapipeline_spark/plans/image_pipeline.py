@@ -266,6 +266,7 @@ class ImagePlanResult:
     integrals: DataFrame
     spot_stats: DataFrame
     spottiness: DataFrame
+    gradient: "object | None" = None  # GradientStageResult when enabled
 
 
 def run_image_plan(
@@ -273,8 +274,13 @@ def run_image_plan(
     calib: DataFrame,
     controls: ImageControls,
     broadcast_calib: bool = True,
+    gradient_stage: bool = False,
 ) -> ImagePlanResult:
-    """Full per-image plan (pipeline.py:78-504 equivalent), lazily composed."""
+    """Full per-image plan (pipeline.py:78-504 equivalent), lazily composed.
+
+    ``gradient_stage=True`` adds the §2.9 gradient classification
+    (plans.gradient_stage): the spot/arc pixel sets fed to the integrals
+    become the refined new_spot/new_arc flags (classification.py:587-606)."""
     shape = (controls.size_y, controls.size_x)
     px = with_base_mask(join_calib(pixels, calib, broadcast=broadcast_calib))
     # The sparse intermediates (outlier/om/labeled pixel sets, label table)
@@ -286,14 +292,23 @@ def run_image_plan(
     lpx, label_table = classify_clusters(px, om, shape)
     lpx = lpx.persist()
     label_table = label_table.persist()
-    spot_px = lpx.join(
-        F.broadcast(label_table.where(F.col("classifier") == 1)),
-        ["image_id", "label"],
-    ).select("image_id", "y", "x")
-    arc_px = lpx.join(
-        F.broadcast(label_table.where(F.col("classifier") == 2)),
-        ["image_id", "label"],
-    ).select("image_id", "y", "x")
+    grad = None
+    if gradient_stage:
+        from xrddatapipeline_spark.plans.gradient_stage import gradient_classify
+
+        grad = gradient_classify(px, lpx, label_table, controls)
+        flags = grad.pixel_flags.persist()
+        spot_px = flags.where("new_spot").select("image_id", "y", "x")
+        arc_px = flags.where("new_arc").select("image_id", "y", "x")
+    else:
+        spot_px = lpx.join(
+            F.broadcast(label_table.where(F.col("classifier") == 1)),
+            ["image_id", "label"],
+        ).select("image_id", "y", "x")
+        arc_px = lpx.join(
+            F.broadcast(label_table.where(F.col("classifier") == 2)),
+            ["image_id", "label"],
+        ).select("image_id", "y", "x")
     integrals = integrate_all(px, om, spot_px, arc_px, controls)
     stats = spot_stats(lpx, label_table, px)
     spotty = spottiness_per_qbin(px, om)
@@ -306,4 +321,5 @@ def run_image_plan(
         integrals=integrals,
         spot_stats=stats,
         spottiness=spotty,
+        gradient=grad,
     )
