@@ -705,6 +705,152 @@ def a15_fraction_masked_per_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# A18 — per-bin gradient stats with two-pass MAD (spottiness_azim_grad)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "a18_grad_stats_per_bin",
+    """
+    WITH b AS (
+        SELECT CAST(floor(l_extendedprice / 10000) AS INT) AS qbin,
+               l_quantity AS g
+        FROM lineitem
+    ),
+    med AS (
+        SELECT qbin, avg(g) AS mean_g, stddev_samp(g) AS std_g,
+               median(g) AS med_g, count(*) AS n
+        FROM b GROUP BY qbin
+    )
+    SELECT m.qbin, m.n, m.mean_g, m.std_g, m.med_g,
+           (SELECT median(abs(r.g - m.med_g)) FROM b r WHERE r.qbin = m.qbin)
+               AS mad_g
+    FROM med m
+    """,
+    doc="Per-Q-bin mean/std/median + MAD of the 2nd azim gradient "
+    "(spottiness.py:49-61; SURVEY §2.6 A18, §2.5 J6 two-pass MAD) — "
+    "computed one-pass via sorted arrays (bounded bins).",
+    tags=("agg", "xrd"),
+)
+def a18_grad_stats_per_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.functions.arrays import array_median
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") / 10000).cast("int").alias("qbin"),
+        F.col("l_quantity").alias("g"),
+    )
+    g = (
+        li.groupBy("qbin")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("g").alias("mean_g"),
+            F.stddev_samp("g").alias("std_g"),
+            F.array_sort(F.collect_list("g")).alias("_vals"),
+        )
+        .withColumn("med_g", array_median(F.col("_vals"), F.col("n")))
+        .withColumn(
+            "_absdev",
+            F.array_sort(
+                F.transform(F.col("_vals"), lambda x: F.abs(x - F.col("med_g")))
+            ),
+        )
+        .withColumn("mad_g", array_median(F.col("_absdev"), F.col("n")))
+    )
+    return g.select("qbin", "n", "mean_g", "std_g", "med_g", "mad_g")
+
+
+# ---------------------------------------------------------------------------
+# A20/J4 — cosine similarity between consecutive "frames" (csim)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "a20_cosine_consecutive",
+    """
+    WITH v AS (
+        SELECT CAST(l_suppkey % 20 AS INT) AS frame,
+               CAST(l_partkey % 64 AS INT) AS px,
+               sum(l_quantity) AS inten
+        FROM lineitem GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT a.frame, a.px, a.inten AS va, b.inten AS vb
+        FROM v a JOIN v b ON b.frame = a.frame - 1 AND b.px = a.px
+    )
+    SELECT frame,
+           sum(va * vb) / sqrt(sum(va * va) * sum(vb * vb)) AS csim_prev,
+           count(*) AS n_px
+    FROM paired GROUP BY frame
+    """,
+    doc="Image-to-previous cosine similarity (pipeline.py:506-557; SURVEY "
+    "§2.5 J4, §2.6 A20): frame vectors paired at seq-1 via equi-join, "
+    "dot/norm aggregates.",
+    tags=("join", "agg", "xrd"),
+)
+def a20_cosine_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.groupBy(
+        (F.col("l_suppkey") % 20).cast("int").alias("frame"),
+        (F.col("l_partkey") % 64).cast("int").alias("px"),
+    ).agg(F.sum("l_quantity").alias("inten"))
+    a = v.select("frame", "px", F.col("inten").alias("va"))
+    b = v.select(
+        (F.col("frame") + 1).alias("frame"), "px", F.col("inten").alias("vb")
+    )
+    dot = lambda x, y: F.sum(F.col(x) * F.col(y))  # noqa: E731
+    return (
+        a.join(b, ["frame", "px"])
+        .groupBy("frame")
+        .agg(
+            (
+                dot("va", "vb") / F.sqrt(dot("va", "va") * dot("vb", "vb"))
+            ).alias("csim_prev"),
+            F.count("*").alias("n_px"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1 — connected-component labeling through the driver contract (rows-only:
+# CC is not SQL-expressible, so the driver records the weaker check)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "m1_label_components",
+    None,
+    doc="Connected-component labeling kernel (M1, classification.py:387 et "
+    "al.) through the applyInPandas harness: a deterministic 96x96 mask is "
+    "derived from the orders table, labeled 8-connected, and reduced to a "
+    "per-label area table. No SQL oracle (CC is not expressible); the "
+    "kernel itself is numpy-oracle-tested in tests/test_kernels.py.",
+    tags=("kernel", "xrd", "rows-only"),
+)
+def m1_label_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.operators.raster import label_pixels
+
+    orders = _t(spark, sf_dir, "orders")
+    side = 96
+    pts = (
+        orders
+        # ~8% fill keeps the mask sparse enough for many components
+        .where((F.col("o_orderkey") * 7 + F.col("o_custkey")) % 13 == 0)
+        .select(
+            F.lit("m1").alias("image_id"),
+            (F.col("o_orderkey") % side).cast("int").alias("y"),
+            ((F.col("o_orderkey") * 31 + F.col("o_custkey")) % side)
+            .cast("int")
+            .alias("x"),
+        )
+        .distinct()
+    )
+    labeled = label_pixels(pts, shape=(side, side), connectivity=2)
+    return (
+        labeled.groupBy("label")
+        .agg(F.count("*").alias("area"), F.min("y").alias("min_y"),
+             F.min("x").alias("min_x"))
+        .orderBy("label")
+    )
+
+
 # Corpus-scale registry entries (dedup / similarity / text / multimodal)
 # register themselves on import; kept in a sibling module for size.
 from xrddatapipeline_spark.plans import corpus_queries  # noqa: E402,F401
