@@ -133,6 +133,27 @@ def test_integrals_masked_below_base(plan_result):
     assert both["om"].sum() < both["base"].sum()
 
 
+def test_h_maxima_per_qbin(plan_result, spark):
+    """A19/M6: regional h-maxima counts per Q-bin (spottiness.py:64-84)."""
+    from pyspark.sql import functions as F
+    from xrddatapipeline_spark.plans.image_pipeline import h_maxima_per_qbin
+
+    img, res = plan_result
+    spot_px = (
+        res.labeled_pixels.join(
+            res.label_table.where("classifier = 1").select("image_id", "label"),
+            ["image_id", "label"],
+        ).select("image_id", "y", "x")
+    )
+    hm = h_maxima_per_qbin(res.pixels, spot_px, CONTROLS).toPandas()
+    assert (hm.n_spot_maxima <= hm.n_maxima).all()
+    assert (hm.qbin >= 0).all()
+    # the fixture plants 40 hot pixels + 6 spots + arc ridges: a few dozen
+    # maxima, some inside the spot mask
+    assert 20 <= hm.n_maxima.sum() <= 500
+    assert hm.n_spot_maxima.sum() > 0
+
+
 def test_cosine_similarity_series(spark):
     imgs = [("synth", s, make_image(CONTROLS, seq=s)) for s in range(3)]
     pixels = images_long_df(spark, imgs)

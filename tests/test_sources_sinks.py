@@ -189,6 +189,32 @@ Thresholds:[[0, 65535], [0, 30000]]
 """
 
 
+def test_metadata_sidecar_parse():
+    from xrddatapipeline_spark.sources.controls import parse_metadata_sidecar
+    d = parse_metadata_sidecar(
+        "# header\nwavelength=0.24087\ndistance=1000.5\ndetector=Pilatus\n"
+    )
+    assert d == {"wavelength": 0.24087, "distance": 1000.5, "detector": "Pilatus"}
+
+
+def test_immask_write_roundtrip(tmp_path):
+    from xrddatapipeline_spark.sources.controls import parse_immask, write_immask
+    m = parse_immask(IMMASK)
+    p = write_immask(m, str(tmp_path / "out.immask"))
+    again = parse_immask(open(p).read())
+    for k in ("Points", "Rings", "Arcs", "Polygons", "Thresholds"):
+        assert again[k] == m[k]
+
+
+def test_user_profile_import(spark, tmp_path):
+    from xrddatapipeline_spark.sources.tables import read_user_profile
+    p = tmp_path / "profile.txt"
+    p.write_text("# overlay\n1.0  10.5\n2.0\t20.25\n\n3.5 7\n")
+    pdf = read_user_profile(spark, str(p)).orderBy("x").toPandas()
+    assert list(pdf.x) == [1.0, 2.0, 3.5]
+    assert list(pdf.y) == [10.5, 20.25, 7.0]
+
+
 def test_parse_immask():
     m = parse_immask(IMMASK)
     assert m["Points"] == [[10.0, 12.0, 1.0]]

@@ -227,6 +227,63 @@ def spottiness_per_qbin(px: DataFrame, om_pixels: DataFrame) -> DataFrame:
     )
 
 
+def h_maxima_per_qbin(
+    px: DataFrame, spot_px: DataFrame, controls: ImageControls
+) -> DataFrame:
+    """A19/M6 (spottiness.py:64-84): count regional h-maxima per Q-bin,
+    total and intersected with the spot mask; h = 5% of the image's p99.9
+    intensity.
+
+    One applyInPandas kernel pass per image (h is image-dependent, so the
+    p99.9 is aggregated first and joined in as a constant column), then a
+    hash aggregation on (image_id, qbin).
+
+    Note: kernels.h_maxima is an iterative reconstruction — fine at test
+    raster sizes; a production deployment would swap in skimage's
+    queue-based reconstruction inside the same kernel harness."""
+    import numpy as np
+    import pandas as pd
+    from xrddatapipeline_spark.operators import kernels
+
+    h, w = controls.size_y, controls.size_x
+    p999 = px.groupBy("image_id").agg(
+        F.expr("percentile(intensity, 0.999)").alias("p999")
+    )
+    with_h = px.select("image_id", "y", "x", "intensity", "qbin").join(
+        F.broadcast(p999), "image_id"
+    )
+
+    def _maxima(pdf: pd.DataFrame) -> pd.DataFrame:
+        img = np.zeros((h, w), dtype=np.float64)
+        ys = pdf["y"].to_numpy()
+        xs = pdf["x"].to_numpy()
+        img[ys, xs] = pdf["intensity"].to_numpy()
+        hval = 0.05 * float(pdf["p999"].iloc[0])
+        is_max = kernels.h_maxima(img, hval)
+        sel = is_max[ys, xs]
+        return pd.DataFrame(
+            {
+                "image_id": pdf["image_id"].to_numpy()[sel],
+                "y": ys[sel].astype("int32"),
+                "x": xs[sel].astype("int32"),
+                "qbin": pdf["qbin"].to_numpy()[sel],
+            }
+        )
+
+    maxima = with_h.groupBy("image_id").applyInPandas(
+        _maxima, schema="image_id string, y int, x int, qbin int"
+    )
+    flagged = maxima.join(
+        spot_px.withColumn("is_spot_px", F.lit(True)),
+        ["image_id", "y", "x"],
+        "left",
+    ).fillna({"is_spot_px": False})
+    return flagged.where(F.col("qbin") >= 0).groupBy("image_id", "qbin").agg(
+        F.count("*").alias("n_maxima"),
+        F.sum(F.col("is_spot_px").cast("int")).alias("n_spot_maxima"),
+    )
+
+
 def cosine_similarity_series(pixels: DataFrame) -> DataFrame:
     """J4/W1/A20: per image, cosine similarity vs previous seq and vs first
     seq in its dataset (pipeline.py:506-557). Window-over-Delta

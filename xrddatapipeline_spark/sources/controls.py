@@ -155,6 +155,24 @@ def poni_to_detector_frame(raw: dict[str, Any]) -> dict[str, Any]:
     return out
 
 
+def parse_metadata_sidecar(text: str) -> dict[str, Any]:
+    """Parse a TIFF `.metadata` sidecar (S3, GSASII_imports.py:1086-1114):
+    `key=value` lines carrying wavelength / distance / polarization /
+    pixel-size scalars; unknown keys kept as strings."""
+    out: dict[str, Any] = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        key, val = line.split("=", 1)
+        key, val = key.strip(), val.strip()
+        try:
+            out[key] = float(val)
+        except ValueError:
+            out[key] = val
+    return out
+
+
 _MASK_KEYS = ("Points", "Rings", "Arcs", "Polygons", "Frames", "Thresholds",
               "Xlines", "Ylines")
 
@@ -178,3 +196,14 @@ def parse_immask(text: str) -> dict[str, Any]:
     for key in ("Points", "Rings", "Arcs", "Polygons"):
         masks[key] = [m for m in masks.get(key, []) if len(m)]
     return masks
+
+
+def write_immask(masks: dict[str, Any], path: str) -> str:
+    """Serialize a masks record back to `.immask` (K8 authoring sink,
+    mask_widget.py:1821-1933 format: one `Key:literal` line per kind)."""
+    with open(path, "w") as f:
+        for key in _MASK_KEYS:
+            val = masks.get(key)
+            if val:
+                f.write(f"{key}:{val!r}\n")
+    return path

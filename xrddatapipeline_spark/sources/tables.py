@@ -35,3 +35,21 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def read_user_profile(spark, path: str):
+    """S11 (mainUI/user_data_import.py:37-39): external two-column
+    whitespace-separated profile (e.g. CrystalMaker export) -> (x, y)."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    return (
+        raw.where(F.trim("value") != "")
+        .where(~F.col("value").startswith("#"))
+        .select(
+            parts.getItem(0).cast("double").alias("x"),
+            parts.getItem(1).cast("double").alias("y"),
+        )
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
