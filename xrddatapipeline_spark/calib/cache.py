@@ -8,9 +8,18 @@ same information is one DataFrame keyed by (y, x), built from a single
 column expression — the 3x3 rotation matrix collapses to six scalar literals,
 so the whole build is one narrow whole-stage-codegen pass.
 
-Scale: for a 2880x2880 detector this is 8.3 M rows — broadcast-able at a
-pinch (~400 MB loose, so prefer persisting to Parquet and sort-merge/bucketed
-joins at cluster scale; broadcast is fine for the 256x256 test detector).
+Two consumption modes:
+
+- ``with_calib_columns(df, c)`` appends the calibration columns to ANY
+  DataFrame carrying (y, x) as pure expressions — **no join at all**. The
+  reference caches dense maps because re-running Python trig per image is
+  expensive; under whole-stage codegen the per-row trig is cheaper than
+  shuffling/sorting 8.3 M rows for a (y, x) join, so this is the default
+  path in the per-image plan (compute beats cache).
+- ``build_calib_pixels(spark, c)`` materializes the table (grid +
+  ``with_calib_columns``) for parity with the reference's cache artifact,
+  for inspection, and for joins against externally-measured per-pixel data
+  (flat fields, dark frames) that genuinely must be stored.
 """
 
 from __future__ import annotations
@@ -27,20 +36,14 @@ from xrddatapipeline_spark.functions.binning import (
 from xrddatapipeline_spark.functions.trig import tth_to_q
 
 
-def build_calib_pixels(spark: SparkSession, c: ImageControls) -> DataFrame:
-    """Per-pixel calibration table:
-    (y, x, tth, azim, q, dist_sq, pol, tth_idx, ring_idx, qbin, azim_band,
-    azim_mask).
-    """
-    nx, ny = c.size_x, c.size_y
+def with_calib_columns(df: DataFrame, c: ImageControls) -> DataFrame:
+    """Append (tth, azim, q, dist_sq, pol, tth_idx, ring_idx, qbin,
+    azim_band, azim_mask) to a DataFrame with integer (y, x) columns —
+    closed-form expressions, no join, stays in whole-stage codegen."""
     rmat = rotation_matrix(c.tilt, c.rotation)
     px_mm_x = c.pixel_size_x / 1000.0
     px_mm_y = c.pixel_size_y / 1000.0
 
-    base = spark.range(0, ny * nx).select(
-        (F.col("id") / nx).cast("int").alias("y"),
-        (F.col("id") % nx).cast("int").alias("x"),
-    )
     dx = (F.col("x") + 0.5) * px_mm_x - c.center_x
     dy = (F.col("y") + 0.5) * px_mm_y - c.center_y
     lab_x = F.lit(float(rmat[0, 0])) * dx + F.lit(float(rmat[0, 1])) * dy
@@ -48,29 +51,23 @@ def build_calib_pixels(spark: SparkSession, c: ImageControls) -> DataFrame:
     lab_z = F.lit(float(rmat[2, 0])) * dx + F.lit(float(rmat[2, 1])) * dy + F.lit(
         c.distance
     )
-    df = base.select(
-        "y",
-        "x",
-        lab_x.alias("_lx"),
-        lab_y.alias("_ly"),
-        lab_z.alias("_lz"),
-    )
+    df = df.withColumns({"_lx": lab_x, "_ly": lab_y, "_lz": lab_z})
     rho = F.sqrt(F.col("_lx") ** 2 + F.col("_ly") ** 2)
     tth = F.degrees(F.atan2(rho, F.col("_lz")))
     azim = F.pmod(
         F.degrees(F.atan2(F.col("_ly"), F.col("_lx"))) + F.lit(c.azmth_off),
         F.lit(360.0),
     )
-    df = df.select(
-        "y",
-        "x",
-        tth.alias("tth"),
-        azim.alias("azim"),
-        (
-            (F.col("_lx") ** 2 + F.col("_ly") ** 2 + F.col("_lz") ** 2)
-            / F.lit(c.distance**2)
-        ).alias("dist_sq"),
-    )
+    df = df.withColumns(
+        {
+            "tth": tth,
+            "azim": azim,
+            "dist_sq": (
+                (F.col("_lx") ** 2 + F.col("_ly") ** 2 + F.col("_lz") ** 2)
+                / F.lit(c.distance**2)
+            ),
+        }
+    ).drop("_lx", "_ly", "_lz")
     df = df.withColumn("q", tth_to_q("tth", c.wavelength))
     # Kahn polarization factor (GSASII_imports.py:558-579 semantics)
     p = c.pola_val
@@ -86,7 +83,7 @@ def build_calib_pixels(spark: SparkSession, c: ImageControls) -> DataFrame:
     lo, hi = c.iotth
     qlo, qhi = c.q_range
     dq = (qhi - qlo) / 100.0
-    df = (
+    return (
         df.withColumn("tth_idx", tth_bin_index("tth", lo, hi, c.out_channels))
         .withColumn("ring_idx", tth_bin_index("tth", lo, hi, c.num_chans_om))
         .withColumn("qbin", q_bin_index("q", qlo, dq))
@@ -96,4 +93,16 @@ def build_calib_pixels(spark: SparkSession, c: ImageControls) -> DataFrame:
             (F.col("azim") < c.lr_azimuth[0]) | (F.col("azim") > c.lr_azimuth[1]),
         )
     )
-    return df
+
+
+def build_calib_pixels(spark: SparkSession, c: ImageControls) -> DataFrame:
+    """Per-pixel calibration table:
+    (y, x, tth, azim, q, dist_sq, pol, tth_idx, ring_idx, qbin, azim_band,
+    azim_mask).
+    """
+    nx, ny = c.size_x, c.size_y
+    base = spark.range(0, ny * nx).select(
+        (F.col("id") / nx).cast("int").alias("y"),
+        (F.col("id") % nx).cast("int").alias("x"),
+    )
+    return with_calib_columns(base, c)

@@ -39,13 +39,24 @@ AZIM_Q_SHAPE_MIN = 100.0
 MIN_ARC_AREA = 100
 
 
-def join_calib(pixels: DataFrame, calib: DataFrame, broadcast: bool = True) -> DataFrame:
-    """J1: image ⋈ calibration maps on (y, x).
+def join_calib(
+    pixels: DataFrame,
+    calib: DataFrame | None,
+    broadcast: bool = True,
+    controls: ImageControls | None = None,
+) -> DataFrame:
+    """J1: image ⋈ calibration maps on (y, x) — or, when ``calib`` is
+    None, compute the calibration columns closed-form on the pixel rows
+    (``with_calib_columns``): zero joins, zero shuffles; codegen'd trig
+    per row is cheaper than sorting 8.3 M rows per image for a join. The
+    join path remains for externally-measured per-pixel tables (flat
+    fields, dark frames) that cannot be recomputed. Broadcast for
+    test-sized detectors; bucketed-by-(y,x) sort-merge at 8.3 Mpx."""
+    if calib is None:
+        from xrddatapipeline_spark.calib.cache import with_calib_columns
 
-    Broadcast for test-sized detectors; for 8.3 Mpx production detectors
-    prefer persisting calib bucketed by (y, x) and letting AQE pick the
-    join (the pixels side shares the same (y, x) distribution for every
-    image, so a bucketed sort-merge join shuffles calib exactly once)."""
+        assert controls is not None
+        return with_calib_columns(pixels, controls)
     c = F.broadcast(calib) if broadcast else calib
     return pixels.join(c, ["y", "x"])
 
@@ -90,7 +101,8 @@ def classify_clusters(
     (image_id, label, area, diff_azim, diff_q, classifier) with
     classifier 1 = spot, 2 = arc (A9)."""
     labeled = label_pixels(om_pixels, shape=shape, connectivity=2)
-    lpx = labeled.join(
+    # labeled set is sparse -> broadcast it; the dense px side streams
+    lpx = F.broadcast(labeled).join(
         px.select("image_id", "y", "x", "q", "azim"), ["image_id", "y", "x"]
     )
     # flipped azimuth mirrors the axis so wrapped arcs read contiguous (A7)
@@ -142,17 +154,22 @@ def integrate_all(
         "spotsmasked": F.col("base_mask") | F.col("is_spot_px"),
         "arcsmasked": F.col("base_mask") | F.col("is_arc_px"),
     }
+    # the mask pixel sets are sparse (a few % of the image) — broadcast
+    # them so the dense pixel table streams through three broadcast hash
+    # joins instead of being sorted/shuffled three times
     flagged = (
         px.join(
-            om_pixels.withColumn("is_om", F.lit(True)), ["image_id", "y", "x"], "left"
-        )
-        .join(
-            spot_pixels.withColumn("is_spot_px", F.lit(True)),
+            F.broadcast(om_pixels.withColumn("is_om", F.lit(True))),
             ["image_id", "y", "x"],
             "left",
         )
         .join(
-            arc_pixels.withColumn("is_arc_px", F.lit(True)),
+            F.broadcast(spot_pixels.withColumn("is_spot_px", F.lit(True))),
+            ["image_id", "y", "x"],
+            "left",
+        )
+        .join(
+            F.broadcast(arc_pixels.withColumn("is_arc_px", F.lit(True))),
             ["image_id", "y", "x"],
             "left",
         )
@@ -196,7 +213,7 @@ def spot_stats(
     """A17: per-spot-label stats table (spottiness.py:30-46):
     (image_id, spot_stat_label, area, medianQ, Qbin, intensity_sum,
     intensity_max, intensity_mean, on_arc)."""
-    enriched = lpx.join(
+    enriched = F.broadcast(lpx).join(
         px.select("image_id", "y", "x", "intensity", "qbin"),
         ["image_id", "y", "x"],
     ).join(
@@ -218,7 +235,9 @@ def spottiness_per_qbin(px: DataFrame, om_pixels: DataFrame) -> DataFrame:
     """A15/A16: per-Qbin fraction masked + distinct labels
     (spottiness.py:16-27)."""
     flagged = px.join(
-        om_pixels.withColumn("is_om", F.lit(True)), ["image_id", "y", "x"], "left"
+        F.broadcast(om_pixels.withColumn("is_om", F.lit(True))),
+        ["image_id", "y", "x"],
+        "left",
     ).fillna({"is_om": False})
     return flagged.where(F.col("qbin") >= 0).groupBy("image_id", "qbin").agg(
         F.count("*").alias("n_total"),
@@ -339,7 +358,13 @@ def run_image_plan(
     (plans.gradient_stage): the spot/arc pixel sets fed to the integrals
     become the refined new_spot/new_arc flags (classification.py:587-606)."""
     shape = (controls.size_y, controls.size_x)
-    px = with_base_mask(join_calib(pixels, calib, broadcast=broadcast_calib))
+    # px (the dense calib-joined pixel table) feeds five outputs; without a
+    # persist every output re-executes the pixels ⋈ calib join. ~8.3 M rows
+    # x ~15 columns per image — a deliberate per-batch cache, dropped by the
+    # caller (streaming does this per foreachBatch).
+    px = with_base_mask(
+        join_calib(pixels, calib, broadcast=broadcast_calib, controls=controls)
+    ).persist()
     # The sparse intermediates (outlier/om/labeled pixel sets, label table)
     # feed several downstream outputs; persist them so the expensive
     # upstream (ring stats + raster kernels) runs once, not once per output.

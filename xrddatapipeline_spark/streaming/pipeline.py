@@ -129,7 +129,8 @@ class StreamingImagePipeline:
             self._append_csim(batch_df)
         finally:
             for df in (
-                res.outliers, res.om_pixels, res.labeled_pixels, res.label_table
+                res.pixels, res.outliers, res.om_pixels,
+                res.labeled_pixels, res.label_table,
             ):
                 df.unpersist()
 
