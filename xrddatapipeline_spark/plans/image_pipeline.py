@@ -101,8 +101,7 @@ def classify_clusters(
     (image_id, label, area, diff_azim, diff_q, classifier) with
     classifier 1 = spot, 2 = arc (A9)."""
     labeled = label_pixels(om_pixels, shape=shape, connectivity=2)
-    # labeled set is sparse -> broadcast it; the dense px side streams
-    lpx = F.broadcast(labeled).join(
+    lpx = labeled.join(
         px.select("image_id", "y", "x", "q", "azim"), ["image_id", "y", "x"]
     )
     # flipped azimuth mirrors the axis so wrapped arcs read contiguous (A7)
@@ -154,22 +153,24 @@ def integrate_all(
         "spotsmasked": F.col("base_mask") | F.col("is_spot_px"),
         "arcsmasked": F.col("base_mask") | F.col("is_arc_px"),
     }
-    # the mask pixel sets are sparse (a few % of the image) — broadcast
-    # them so the dense pixel table streams through three broadcast hash
-    # joins instead of being sorted/shuffled three times
+    # the mask pixel sets are sparse (a few % of the image); join strategy
+    # is left to AQE, which sees their true runtime size and picks a
+    # broadcast join when they fit (an explicit broadcast() hint here
+    # measured SLOWER — see memory: broadcast jobs serialize the python
+    # kernel lineage; AQE converts post-shuffle with accurate sizes)
     flagged = (
         px.join(
-            F.broadcast(om_pixels.withColumn("is_om", F.lit(True))),
+            om_pixels.withColumn("is_om", F.lit(True)),
             ["image_id", "y", "x"],
             "left",
         )
         .join(
-            F.broadcast(spot_pixels.withColumn("is_spot_px", F.lit(True))),
+            spot_pixels.withColumn("is_spot_px", F.lit(True)),
             ["image_id", "y", "x"],
             "left",
         )
         .join(
-            F.broadcast(arc_pixels.withColumn("is_arc_px", F.lit(True))),
+            arc_pixels.withColumn("is_arc_px", F.lit(True)),
             ["image_id", "y", "x"],
             "left",
         )
@@ -213,7 +214,7 @@ def spot_stats(
     """A17: per-spot-label stats table (spottiness.py:30-46):
     (image_id, spot_stat_label, area, medianQ, Qbin, intensity_sum,
     intensity_max, intensity_mean, on_arc)."""
-    enriched = F.broadcast(lpx).join(
+    enriched = lpx.join(
         px.select("image_id", "y", "x", "intensity", "qbin"),
         ["image_id", "y", "x"],
     ).join(
@@ -235,7 +236,7 @@ def spottiness_per_qbin(px: DataFrame, om_pixels: DataFrame) -> DataFrame:
     """A15/A16: per-Qbin fraction masked + distinct labels
     (spottiness.py:16-27)."""
     flagged = px.join(
-        F.broadcast(om_pixels.withColumn("is_om", F.lit(True))),
+        om_pixels.withColumn("is_om", F.lit(True)),
         ["image_id", "y", "x"],
         "left",
     ).fillna({"is_om": False})
