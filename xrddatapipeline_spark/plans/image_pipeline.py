@@ -130,15 +130,21 @@ def classify_clusters(
 
 def integrate_all(
     px: DataFrame,
-    om_pixels: DataFrame,
-    spot_pixels: DataFrame,
-    arc_pixels: DataFrame,
+    mask_flags: DataFrame,
     controls: ImageControls,
 ) -> DataFrame:
     """A1 x4: base / om / spotsmasked / arcsmasked integrals
     (pipeline.py:375-414). Returns (image_id, kind, tth_idx, tth, intensity).
 
     Corrected intensity I/pol * dist_sq**1.5 (pipeline.py:63).
+
+    ``mask_flags`` is ONE sparse table (image_id, y, x, is_om,
+    is_spot_px, is_arc_px): the om/spot/arc memberships all derive from
+    the same labeled-cluster rows, so a single left join flags every
+    variant — three separate mask joins measured ~3x slower (each one
+    re-shuffles the dense pixel side). Join strategy is left to AQE,
+    which sees the flag table's true runtime size (an explicit
+    broadcast() hint measured slower still).
 
     All 4 variants are computed in ONE hash aggregation with conditional
     sums (equivalent to the reference's 4 bincount passes for every bin > 0,
@@ -153,27 +159,8 @@ def integrate_all(
         "spotsmasked": F.col("base_mask") | F.col("is_spot_px"),
         "arcsmasked": F.col("base_mask") | F.col("is_arc_px"),
     }
-    # the mask pixel sets are sparse (a few % of the image); join strategy
-    # is left to AQE, which sees their true runtime size and picks a
-    # broadcast join when they fit (an explicit broadcast() hint here
-    # measured SLOWER — see memory: broadcast jobs serialize the python
-    # kernel lineage; AQE converts post-shuffle with accurate sizes)
     flagged = (
-        px.join(
-            om_pixels.withColumn("is_om", F.lit(True)),
-            ["image_id", "y", "x"],
-            "left",
-        )
-        .join(
-            spot_pixels.withColumn("is_spot_px", F.lit(True)),
-            ["image_id", "y", "x"],
-            "left",
-        )
-        .join(
-            arc_pixels.withColumn("is_arc_px", F.lit(True)),
-            ["image_id", "y", "x"],
-            "left",
-        )
+        px.join(mask_flags, ["image_id", "y", "x"], "left")
         .fillna(
             {"is_om": False, "is_spot_px": False, "is_arc_px": False}
         )
@@ -375,24 +362,31 @@ def run_image_plan(
     lpx, label_table = classify_clusters(px, om, shape)
     lpx = lpx.persist()
     label_table = label_table.persist()
+    # one sparse flag table covers all three mask variants: the om set IS
+    # the labeled pixel set, and spot/arc membership is the classifier (or
+    # the gradient stage's refined new_spot/new_arc flags)
     grad = None
     if gradient_stage:
         from xrddatapipeline_spark.plans.gradient_stage import gradient_classify
 
         grad = gradient_classify(px, lpx, label_table, controls)
-        flags = grad.pixel_flags.persist()
-        spot_px = flags.where("new_spot").select("image_id", "y", "x")
-        arc_px = flags.where("new_arc").select("image_id", "y", "x")
+        mask_flags = grad.pixel_flags.select(
+            "image_id", "y", "x",
+            F.lit(True).alias("is_om"),
+            F.col("new_spot").alias("is_spot_px"),
+            F.col("new_arc").alias("is_arc_px"),
+        )
     else:
-        spot_px = lpx.join(
-            F.broadcast(label_table.where(F.col("classifier") == 1)),
+        mask_flags = lpx.join(
+            label_table.select("image_id", "label", "classifier"),
             ["image_id", "label"],
-        ).select("image_id", "y", "x")
-        arc_px = lpx.join(
-            F.broadcast(label_table.where(F.col("classifier") == 2)),
-            ["image_id", "label"],
-        ).select("image_id", "y", "x")
-    integrals = integrate_all(px, om, spot_px, arc_px, controls)
+        ).select(
+            "image_id", "y", "x",
+            F.lit(True).alias("is_om"),
+            (F.col("classifier") == 1).alias("is_spot_px"),
+            (F.col("classifier") == 2).alias("is_arc_px"),
+        )
+    integrals = integrate_all(px, mask_flags, controls)
     stats = spot_stats(lpx, label_table, px)
     spotty = spottiness_per_qbin(px, om)
     return ImagePlanResult(
