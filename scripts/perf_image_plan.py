@@ -1,0 +1,126 @@
+"""Perf repro: full per-image plan at a parameterized detector size.
+
+Usage: python scripts/perf_image_plan.py SIZE OUT_CH OM_CH DIST [N_IMAGES]
+e.g.   python scripts/perf_image_plan.py 1024 1000 500 341
+       python scripts/perf_image_plan.py 2880 2500 1000 959
+
+Times each materialized output of run_image_plan, then dumps the top
+Spark stages by executorRunTime from the UI REST API so the slow config's
+time can be attributed to concrete stages (shuffle? python? scan?).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import urllib.request
+
+import numpy as np
+
+from pyspark.sql import SparkSession
+
+from xrddatapipeline_spark.calib.cache import build_calib_pixels
+from xrddatapipeline_spark.calib.geometry import ImageControls
+from xrddatapipeline_spark.plans.image_pipeline import run_image_plan
+from tests.fixtures_images import make_image, images_long_df
+
+
+def controls_for(size: int, out_ch: int, om_ch: int, dist: float) -> ImageControls:
+    return ImageControls(
+        wavelength=0.24087,
+        distance=dist,
+        center_x=size * 150.0 / 2000.0,  # center in mm (150 um px)
+        center_y=size * 150.0 / 2000.0,
+        tilt=0.0,
+        rotation=0.0,
+        pixel_size_x=150.0,
+        pixel_size_y=150.0,
+        size_x=size,
+        size_y=size,
+        iotth=(1.0, 12.7),
+        out_channels=out_ch,
+        num_chans_om=om_ch,
+        pola_val=0.99,
+        esd_mul=3.0,
+        dataset="perf",
+    )
+
+
+def rest_stages(spark) -> list[dict]:
+    app_id = spark.sparkContext.applicationId
+    url = f"http://localhost:4040/api/v1/applications/{app_id}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.load(r)
+
+
+def main() -> None:
+    size, out_ch, om_ch = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    dist = float(sys.argv[4])
+    n_images = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    gradient = len(sys.argv) > 6 and sys.argv[6] == "grad"
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    c = controls_for(size, out_ch, om_ch, dist)
+    t0 = time.time()
+    calib = build_calib_pixels(spark, c).persist()
+    calib.count()
+    t_calib = time.time() - t0
+
+    imgs = [("perf", i, make_image(c, seq=i)) for i in range(n_images)]
+    pixels = images_long_df(spark, imgs)
+
+    t0 = time.time()
+    res = run_image_plan(pixels, calib, c, gradient_stage=gradient)
+    stage_t: dict[str, float] = {}
+
+    def mark(name, action):
+        s = time.time()
+        out = action()
+        stage_t[name] = round(time.time() - s, 2)
+        return out
+
+    mark("px_persist", lambda: res.pixels.count())
+    mark("outliers", lambda: res.outliers.count())
+    mark("om_closed", lambda: res.om_pixels.count())
+    mark("labeled", lambda: res.labeled_pixels.count())
+    mark("label_table", lambda: res.label_table.count())
+    mark("integrals", lambda: res.integrals.count())
+    mark("spot_stats", lambda: res.spot_stats.count())
+    mark("spottiness", lambda: res.spottiness.count())
+    if gradient:
+        mark("gradient", lambda: res.gradient.on_arc_labels.count())
+    total = time.time() - t0
+
+    print(json.dumps({
+        "size": size, "out_ch": out_ch, "om_ch": om_ch, "dist": dist,
+        "n_images": n_images, "gradient": gradient,
+        "calib_build": round(t_calib, 2),
+        "total_plan": round(total, 2), "stages": stage_t,
+    }))
+
+    stages = rest_stages(spark)
+    stages.sort(key=lambda s: s.get("executorRunTime", 0), reverse=True)
+    print("top stages by executorRunTime (ms):")
+    for s in stages[:14]:
+        print(
+            f"  id={s['stageId']:>3} run={s['executorRunTime']:>7} "
+            f"cpu={s.get('executorCpuTime', 0)//1_000_000:>7} "
+            f"tasks={s['numCompleteTasks']:>3} "
+            f"shufW={s.get('shuffleWriteBytes', 0):>10} "
+            f"shufR={s.get('shuffleReadBytes', 0):>10} "
+            f"| {s['name'].splitlines()[0][:70]}"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,9 @@ class GradientStageResult:
     pixel_flags: DataFrame   # (image_id, y, x, label, new_spot, new_arc)
     on_arc_labels: DataFrame  # (image_id, label, p20_r2, on_arc)
     grad_clusters: DataFrame  # (image_id, newlabel, parent_label, med_azim, n_px)
+    # frames persisted by gradient_classify; the caller (or
+    # ImagePlanResult.unpersist_all) drops them after the batch is written
+    cached: tuple = ()
 
 
 def gradient_classify(
@@ -104,7 +107,11 @@ def gradient_classify(
     (area, diff_azim, diff_q, classifier).
     """
     shape = (controls.size_y, controls.size_x)
-    grads = second_gradients(px, controls)
+    # the dense 2nd-gradient kernel output fans out to four consumers
+    # (thresholds, med_q, central-band p20, gradient mask); without a
+    # persist each one re-runs the applyInPandas kernel over the full
+    # raster — measured ~2x the whole stage cost at 1 Mpx
+    grads = second_gradients(px, controls).persist()
 
     # A12: per-image global thresholds of the gradient distributions
     thresholds = grads.groupBy("image_id").agg(
@@ -129,7 +136,7 @@ def gradient_classify(
         p20.join(F.broadcast(thresholds.select("image_id", "r2_p10")), "image_id")
         .withColumn("on_arc", F.col("p20_r2") < F.col("r2_p10"))
         .select("image_id", "label", "p20_r2", "on_arc")
-    )
+    ).persist()  # tiny (one row per label); feeds mask, swaps, flags, caller
 
     # gradient mask: extreme 2nd azim derivative inside on_arc clusters
     grad_mask_px = (
@@ -223,5 +230,8 @@ def gradient_classify(
         .select("image_id", "y", "x", "label", "new_spot", "new_arc")
     )
     return GradientStageResult(
-        pixel_flags=flagged, on_arc_labels=on_arc, grad_clusters=clusters
+        pixel_flags=flagged,
+        on_arc_labels=on_arc,
+        grad_clusters=clusters,
+        cached=(grads, on_arc),
     )

@@ -332,6 +332,18 @@ class ImagePlanResult:
     spottiness: DataFrame
     gradient: "object | None" = None  # GradientStageResult when enabled
 
+    def unpersist_all(self) -> None:
+        """Drop every frame the plan persisted (call after the batch's
+        outputs are written — the streaming sink does this per batch)."""
+        frames = [
+            self.pixels, self.outliers, self.om_pixels,
+            self.labeled_pixels, self.label_table,
+        ]
+        if self.gradient is not None:
+            frames.extend(self.gradient.cached)
+        for df in frames:
+            df.unpersist()
+
 
 def run_image_plan(
     pixels: DataFrame,

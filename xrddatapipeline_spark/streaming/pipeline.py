@@ -128,11 +128,7 @@ class StreamingImagePipeline:
             res.outliers.write.mode("append").parquet(self._path("outliers"))
             self._append_csim(batch_df)
         finally:
-            for df in (
-                res.pixels, res.outliers, res.om_pixels,
-                res.labeled_pixels, res.label_table,
-            ):
-                df.unpersist()
+            res.unpersist_all()
 
     def _append_csim(self, batch_df: DataFrame) -> None:
         """T5: csim vs previous/first via the pixel store (J4-over-store).
