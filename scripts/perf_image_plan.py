@@ -60,9 +60,10 @@ def main() -> None:
     n_images = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     gradient = len(sys.argv) > 6 and sys.argv[6] == "grad"
 
+    import os
     spark = (
         SparkSession.builder.master("local[32]")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", os.environ.get("PERF_HEAP", "16g"))
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "true")
         .getOrCreate()
@@ -75,8 +76,33 @@ def main() -> None:
     calib.count()
     t_calib = time.time() - t0
 
-    imgs = [("perf", i, make_image(c, seq=i)) for i in range(n_images)]
-    pixels = images_long_df(spark, imgs)
+    # upload ONE generated image, replicate to n images executor-side
+    # (deterministic per-seq intensity perturbation) — driver-side pandas
+    # generation of N x 8.3M rows dominated wall-clock at n>1 otherwise
+    base = images_long_df(spark, [("perf", 0, make_image(c, seq=0))])
+    if n_images > 1:
+        from pyspark.sql import functions as F
+        seqs = spark.range(n_images).select(F.col("id").cast("int").alias("seq2"))
+        pixels = (
+            base.drop("seq", "image_id")
+            .crossJoin(seqs)
+            .select(
+                "dataset",
+                F.col("seq2").alias("seq"),
+                F.format_string("perf-%05d", "seq2").alias("image_id"),
+                "y",
+                "x",
+                (
+                    F.col("intensity")
+                    * (1.0 - 0.03 * F.col("seq2"))
+                    + F.pmod(F.xxhash64("y", "x", "seq2"), F.lit(7))
+                ).cast("int").alias("intensity"),
+            )
+        )
+    else:
+        pixels = base
+    pixels = pixels.persist()
+    pixels.count()
 
     t0 = time.time()
     res = run_image_plan(pixels, calib, c, gradient_stage=gradient)

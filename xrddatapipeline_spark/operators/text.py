@@ -23,7 +23,7 @@ Design notes (100 TB scale):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 HEX = "0123456789abcdef"
@@ -48,13 +48,12 @@ def md5_prefix_long(col: Column, n_nibbles: int = 12, start: int = 0) -> Column:
     bits) instead of one md5 per (value, seed) — the difference between
     O(shingles) and O(shingles x seeds) crypto-hash calls.
     """
-    h = F.md5(col)
-    out = F.lit(0).cast("long")
-    for k in range(n_nibbles):
-        out = out + _nibble_val(
-            F.substring(h, start + k + 1, 1)
-        ).cast("long") * F.lit(16 ** (n_nibbles - 1 - k))
-    return out
+    # conv(hex-substring) == the nibble-weighted sum (what the DuckDB
+    # oracle computes digit by digit) in ONE builtin instead of n_nibbles
+    # substring+instr chains — ~2x cheaper md5-hashing stages
+    return F.conv(
+        F.substring(F.md5(col), start + 1, n_nibbles), 16, 10
+    ).cast("long")
 
 
 #: affine MinHash permutation modulus (2^31 - 1, prime)
@@ -94,42 +93,55 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
     )
 
 
-def minhash_signatures(shingles: DataFrame, num_hashes: int = 32,
-                       id_col: str = "doc_id") -> DataFrame:
-    """MinHash signature: ONE md5 per shingle -> 48-bit int, then
-    ``num_hashes`` affine permutations (a_s*h + b_s mod 2^31-1) — the
-    standard universal-hash family, crypto-hash count O(shingles) not
-    O(shingles x seeds).
+def _minhash_perm(seed: int) -> "Column":
+    """Affine permutation #seed applied to the 48-bit shingle hash `h`:
+    (a_s*h + b_s) mod 2^31-1 with a_s, b_s derived from the seed by
+    integer arithmetic (constant-folded per seed at plan time)."""
+    a = 1 + (seed * MINHASH_MULT) % (MINHASH_MOD - 1)
+    b = (seed * 40503 + 12345) % MINHASH_MOD
+    return (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_MOD)
 
-    min over the shingle multiset == min over the set, so no distinct is
-    needed before the aggregate (map-side combine keeps the shuffle at
-    docs x num_hashes rows).
+
+def minhash_wide(shingles: DataFrame, num_hashes: int = 32,
+                 id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature as ONE hash aggregation: (doc_id, m_0..m_{n-1}).
+
+    ONE md5 per shingle -> 48-bit int, then ``num_hashes`` affine
+    permutations (a_s*h + b_s mod 2^31-1) — the standard universal-hash
+    family, crypto-hash count O(shingles) not O(shingles x seeds).
+
+    All permutations are aggregated as ``num_hashes`` min() columns over
+    the SAME shingle rows — no seed explode, so the aggregate input stays
+    at |shingles| rows instead of |shingles| x num_hashes, and the
+    (map-side combined) shuffle is one row per doc. min over the shingle
+    multiset == min over the set, so no distinct is needed either.
     """
     hashed = shingles.select(
         id_col,
         (md5_prefix_long(F.col("shingle")) % MINHASH_MOD).alias("h"),
     )
-    seeded = hashed.select(
+    return hashed.groupBy(id_col).agg(
+        *[F.min(_minhash_perm(s)).alias(f"m_{s}") for s in range(num_hashes)]
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 32,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Row-form MinHash signature: (doc_id, seed, minhash) — the wide
+    aggregate unpivoted (posexplode of the signature array)."""
+    wide = minhash_wide(shingles, num_hashes, id_col)
+    return wide.select(
         id_col,
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-    )
-    a = F.lit(1) + (F.col("seed").cast("long") * F.lit(MINHASH_MULT)) % F.lit(
-        MINHASH_MOD - 1
-    )
-    b = (F.col("seed").cast("long") * F.lit(40503) + F.lit(12345)) % F.lit(
-        MINHASH_MOD
-    )
-    return (
-        seeded.withColumn("m", (a * F.col("h") + b) % F.lit(MINHASH_MOD))
-        .groupBy(id_col, "seed")
-        .agg(F.min("m").alias("minhash"))
+        F.posexplode(
+            F.array(*[F.col(f"m_{s}") for s in range(num_hashes)])
+        ).alias("seed", "minhash"),
     )
 
 
 def minhash_band_buckets(signatures: DataFrame, rows_per_band: int = 4,
                          id_col: str = "doc_id") -> DataFrame:
-    """LSH banding: bucket key = md5 of the band's minhashes in seed order."""
+    """LSH banding from row-form signatures: bucket key = md5 of the
+    band's minhashes in seed order."""
     banded = signatures.withColumn(
         "band", (F.col("seed") / rows_per_band).cast("int")
     )
@@ -143,6 +155,29 @@ def minhash_band_buckets(signatures: DataFrame, rows_per_band: int = 4,
     return (
         banded.groupBy(id_col, "band")
         .agg(F.md5(ordered_concat).alias("bucket"))
+    )
+
+
+def minhash_buckets(shingles: DataFrame, num_hashes: int = 32,
+                    rows_per_band: int = 4,
+                    id_col: str = "doc_id") -> DataFrame:
+    """LSH band buckets straight from shingles: (doc_id, band, bucket).
+
+    Wide signature aggregate, then the band buckets are a plain
+    projection (md5 over the band's minhashes concatenated in seed
+    order) — no second groupBy/shuffle, unlike banding the row form.
+    """
+    wide = minhash_wide(shingles, num_hashes, id_col)
+    n_bands = num_hashes // rows_per_band
+    bucket = lambda band: F.md5(F.concat_ws("_", *[  # noqa: E731
+        F.col(f"m_{band * rows_per_band + r}").cast("string")
+        for r in range(rows_per_band)
+    ]))
+    return wide.select(
+        id_col,
+        F.posexplode(
+            F.array(*[bucket(band) for band in range(n_bands)])
+        ).alias("band", "bucket"),
     )
 
 
@@ -172,7 +207,11 @@ def shingle_jaccard(shingles: DataFrame, pairs: DataFrame | None = None,
     If `pairs` is given, restrict to those candidate pairs (verification
     step after LSH); else all pairs sharing >= 1 shingle.
     """
-    ds = shingles.distinct()
+    # the distinct shingle set (the inverted index) feeds BOTH self-join
+    # sides and the size table; without a persist each consumer re-runs
+    # tokenize -> shingle -> distinct from the raw docs (no exchange reuse
+    # across the branches — measured ~3x the whole query)
+    ds = shingles.distinct().persist()
     sizes = ds.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if pairs is not None:
         # restrict the inverted index to docs that appear in a candidate
@@ -227,29 +266,22 @@ def simhash64(df: DataFrame, text_col: str = "text",
         md5_prefix_long(F.col("tok"), 8, start=0).alias("h_hi"),
         md5_prefix_long(F.col("tok"), 8, start=8).alias("h_lo"),
     )
-    bits = toks.select(
-        id_col,
-        "h_hi",
-        "h_lo",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("p"),
-    ).withColumn(
-        "bit",
-        F.expr(
-            "CASE WHEN p < 32 THEN shiftright(h_hi, 31 - p) & 1 "
-            "ELSE shiftright(h_lo, 63 - p) & 1 END"
-        ),
+
+    def bit(p: int) -> "Column":
+        src, sh = ("h_hi", 31 - p) if p < 32 else ("h_lo", 63 - p)
+        return F.shiftright(F.col(src), sh).bitwiseAND(F.lit(1))
+
+    # all 64 votes in ONE hash aggregation over the token rows (64 sum
+    # columns) instead of exploding 64 bit-rows per token — the aggregate
+    # input stays at |tokens| rows and the shuffle is one row per doc
+    votes = toks.groupBy(id_col).agg(
+        *[F.sum(2 * bit(p) - 1).alias(f"v_{p}") for p in range(64)]
     )
-    votes = bits.groupBy(id_col, "p").agg(
-        F.sum(2 * F.col("bit") - 1).alias("vote")
-    ).withColumn("simbit", F.when(F.col("vote") > 0, "1").otherwise("0"))
-    return votes.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "simbit"))),
-                lambda s: s["simbit"],
-            ),
-            "",
-        ).alias("simhash")
+    return votes.select(
+        id_col,
+        F.concat(*[
+            F.when(F.col(f"v_{p}") > 0, "1").otherwise("0") for p in range(64)
+        ]).alias("simhash"),
     )
 
 
@@ -289,31 +321,36 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 8,
     """Winnowing document fingerprints (Schleimer et al. 2003): md5 of each
     char k-gram, keep the window-min over every w consecutive k-grams.
     Output: (doc_id, n_fingerprints, min_fp, max_fp)."""
-    grams = df.select(
+    # Shuffle-free formulation: every step (k-gram md5 array, sliding
+    # window-min over w full windows, distinct, count/min/max) is per-doc,
+    # so it's all array expressions in a single scan — the sort-window /
+    # distinct / groupBy alternative shuffles |docs| x |text| gram rows
+    # three times. Each lambda-computed array is materialized behind a
+    # Generate boundary (explode of a 1-element array) because projection
+    # collapse would otherwise inline it into every downstream reference
+    # (lambda expressions get no CSE) — O(L^2) md5s instead of O(L).
+    t = F.col(text_col)
+    n_g = F.length(text_col) - (k - 1)  # k-gram count (<=0: no grams)
+    hs_expr = F.transform(
+        F.sequence(F.lit(1), n_g),
+        lambda i: F.md5(t.substr(i, F.lit(k))),
+    )
+    with_hs = (
+        df.where(n_g - (w - 1) >= 1)  # docs with >=1 FULL window
+        .select(id_col, F.explode(F.array(hs_expr)).alias("hs"))
+    )
+    wmins_expr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - (w - 1)),
+            lambda i: F.array_min(F.slice("hs", i, w)),
+        )
+    )
+    with_wm = with_hs.select(id_col, F.explode(F.array(wmins_expr)).alias("wm"))
+    return with_wm.select(
         id_col,
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(0)))
-        ).alias("i"),
-        F.col(text_col),
-    ).select(
-        id_col, "i", F.md5(F.expr(f"substring({text_col}, i, {k})")).alias("h")
-    )
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    fps = (
-        grams.withColumn("wmin", F.min("h").over(win))
-        .withColumn("n_grams", F.count("*").over(Window.partitionBy(id_col)))
-        .where(F.col("i") <= F.col("n_grams") - (w - 1))
-        .select(id_col, "wmin")
-        .distinct()
-    )
-    return fps.groupBy(id_col).agg(
-        F.count("*").alias("n_fingerprints"),
-        F.min("wmin").alias("min_fp"),
-        F.max("wmin").alias("max_fp"),
+        F.size("wm").alias("n_fingerprints"),
+        F.array_min("wm").alias("min_fp"),
+        F.array_max("wm").alias("max_fp"),
     )
 
 

@@ -153,7 +153,7 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sh = tx.word_shingles(docs)
-    return tx.minhash_band_buckets(tx.minhash_signatures(sh, 32), 4)
+    return tx.minhash_buckets(sh, 32, 4)
 
 
 @_register(
@@ -175,8 +175,12 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sh = tx.word_shingles(docs)
-    buckets = tx.minhash_band_buckets(tx.minhash_signatures(sh, 32), 4)
+    # shingles feed the signature aggregate AND the Jaccard verification;
+    # buckets feed both sides of the candidate self-join — persist each
+    # once instead of re-shingling/re-hashing per consumer (at warehouse
+    # scale these would be bucketed tables, not caches)
+    sh = tx.word_shingles(docs).persist()
+    buckets = tx.minhash_buckets(sh, 32, 4).persist()
     cand = tx.lsh_candidate_pairs(buckets)
     return tx.shingle_jaccard(sh, pairs=cand).where(F.col("jaccard") >= 0.8)
 

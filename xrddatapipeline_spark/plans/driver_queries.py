@@ -31,7 +31,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # default; read it as long (nanos since epoch) — it is only ever
         # used as an ordering/windowing key, where long order == time order.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    # The driver's test tables are SINGLE-file, SINGLE-row-group parquet:
+    # such a scan cannot split, so every stage up to the first shuffle
+    # runs as one task on one core however wide the session is. Fan the
+    # input out (one small round-robin shuffle) when the work it feeds
+    # clearly pays for it: text/embedding tables always (md5 shingling /
+    # vector math is orders of magnitude more compute per byte than a
+    # relational scan — measured 4-5x end-to-end), relational tables only
+    # once they are big enough that single-core scanning dominates. At
+    # production scale inputs arrive as many files / many row groups and
+    # neither branch triggers.
+    compute_heavy = name in ("documents", "embeddings")
+    try:
+        big = os.path.getsize(path) > (32 << 20)
+    except OSError:
+        big = False
+    if compute_heavy or big:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 @dataclass
