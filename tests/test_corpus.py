@@ -64,6 +64,21 @@ def test_lsh_pairs_catch_exact_dup(docs):
     assert (0, 3) not in pairs
 
 
+def test_minhash_buckets_matches_banded_signatures(docs):
+    # the shuffle-free projection path must emit the exact same
+    # (doc_id, band, bucket) rows as banding the row-form signatures
+    sh = tx.word_shingles(docs)
+    fast = {
+        (r.doc_id, r.band, r.bucket)
+        for r in tx.minhash_buckets(sh, 16, 4).collect()
+    }
+    generic = {
+        (r.doc_id, r.band, r.bucket)
+        for r in tx.minhash_band_buckets(tx.minhash_signatures(sh, 16), 4).collect()
+    }
+    assert fast == generic and len(fast) > 0
+
+
 def test_jaccard_values(docs):
     sh = tx.word_shingles(docs)
     jac = {
