@@ -21,6 +21,8 @@ the 100 TB path, since the per-bucket candidate set is ~n/2^planes.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 
@@ -28,8 +30,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
-
-from xrddatapipeline_spark.operators.text import HEX, _nibble_val
 
 QSCALE = float(2 ** 40)  # quantization scale for order-independent dot sums
 
@@ -163,45 +163,66 @@ def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
-def hyperplane_weight(plane: Column, dim: Column) -> Column:
+def hyperplane_weight(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane weight in [-7.5, 7.5]:
-    first md5 nibble of 'plane_dim' minus 7.5. Portable across engines."""
-    h = F.md5(F.concat(plane.cast("string"), F.lit("_"), dim.cast("string")))
-    return _nibble_val(F.substring(h, 1, 1)).cast("double") - F.lit(7.5)
+    first md5 nibble of 'plane_dim' minus 7.5. Computed driver-side
+    (hashlib md5 == any engine's md5; half-integers are exact doubles),
+    matching the SQL-oracle formulation nibble-for-nibble."""
+    h = hashlib.md5(f"{plane}_{dim}".encode()).hexdigest()
+    return float(int(h[0], 16)) - 7.5
+
+
+def hyperplane_matrix(num_planes: int, dim: int) -> list[list[float]]:
+    """The num_planes x dim weight matrix as plain Python lists (for F.lit)."""
+    return [
+        [hyperplane_weight(p, d) for d in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
+def lsh_bucket_expr(vec: Column, num_planes: int, dim: int) -> Column:
+    """Sign-LSH bucket as a single shuffle-free projection expression:
+    bit_p = (sum_d floor(w(p,d)*x_d*2^40) >= 0), bucket = the num_planes-char
+    '0'/'1' string. The weights are 384 driver-side constants baked in as
+    array literals, so the whole bucket is one map-side expression — no
+    explode, no aggregation shuffle (the old formulation exploded
+    n*dim*planes rows through two hash-agg shuffles)."""
+    planes = hyperplane_matrix(num_planes, dim)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec, F.lit(w),
+                    lambda x, wc: F.floor(
+                        x.cast("double") * wc * F.lit(QSCALE)
+                    ).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ) >= 0,
+            "1",
+        ).otherwise("0")
+        for w in planes
+    ]
+    return F.concat(*bits)
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row (uniform-width corpus)."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    if row is None:
+        return 0
+    return int(row["n"])
 
 
 def lsh_buckets(df: DataFrame, num_planes: int = 6,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Sign-LSH bucket per vector: bit_p = (sum_d floor(w(p,d)*x_d*2^40) >= 0),
-    bucket = the num_planes-char '0'/'1' string. One explode + two hash-aggs;
-    shuffle is O(n * num_planes) then O(n)."""
-    elems = df.select(
-        id_col, F.posexplode(vec_col).alias("d", "x")
-    )
-    contrib = elems.select(
-        id_col, "d", "x",
-        F.explode(F.sequence(F.lit(0), F.lit(num_planes - 1))).alias("p"),
-    ).withColumn(
-        "c",
-        F.floor(
-            hyperplane_weight(F.col("p"), F.col("d"))
-            * F.col("x").cast("double") * F.lit(QSCALE)
-        ).cast("long"),
-    )
-    projs = contrib.groupBy(id_col, "p").agg(F.sum("c").alias("proj"))
-    bit = F.when(F.col("proj") >= 0, "1").otherwise("0")
-    return (
-        projs.withColumn("bit", bit)
-        .groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "bit"))),
-                    lambda s: s["bit"],
-                ),
-                "",
-            ).alias("bucket")
-        )
+    """(id, bucket) per vector via `lsh_bucket_expr` — one narrow projection
+    over the scan, zero shuffles."""
+    dim = _vec_dim(df, vec_col)
+    return df.select(
+        id_col,
+        lsh_bucket_expr(F.col(vec_col), num_planes, dim).alias("bucket"),
     )
 
 
@@ -210,19 +231,24 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 3,
              id_col: str = "vec_id") -> DataFrame:
     """Approximate top-k: candidates = corpus vectors in the query's LSH
     bucket, ranked by exact quantized cosine. Bucket join replaces the
-    brute-force cross join — the 100 TB-scale route."""
-    buckets = lsh_buckets(df, num_planes, vec_col, id_col)
-    corp = norms(df, vec_col, id_col).join(buckets, id_col).select(
+    brute-force cross join — the 100 TB-scale route.
+
+    Because the bucket is a pure projection expression (`lsh_bucket_expr`),
+    each side is ONE narrow select over its scan — no bucket-table self-join.
+    The only shuffles left are the broadcast-exchange of the (small) query
+    side and the top-k rank window (which Spark's WindowGroupLimit turns
+    into a map-side partial top-k before the exchange)."""
+    dim = _vec_dim(df, vec_col)
+    bucket = lsh_bucket_expr(F.col(vec_col), num_planes, dim)
+    corp = df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"),
-        F.col("qnorm").alias("qb"), "bucket",
+        quantized_dot(F.col(vec_col), F.col(vec_col)).alias("qb"),
+        bucket.alias("bucket"),
     )
-    qids = queries.select(F.col(id_col).alias("query_id"))
-    q = (
-        norms(queries, vec_col, id_col)
-        .join(buckets.join(qids, buckets[id_col] == qids["query_id"])
-              .select(id_col, "bucket"), id_col)
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("va"),
-                F.col("qnorm").alias("qa"), "bucket")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("va"),
+        quantized_dot(F.col(vec_col), F.col(vec_col)).alias("qa"),
+        bucket.alias("bucket"),
     )
     scored = (
         F.broadcast(q).join(corp, "bucket")
