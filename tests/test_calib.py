@@ -48,3 +48,32 @@ def test_calib_plan_is_narrow(spark):
     c = ImageControls(size_x=32, size_y=32)
     plan = build_calib_pixels(spark, c)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bucketed_pixel_join_is_exchange_free(spark, tmp_path):
+    """Co-bucketed (y, x) tables — calib x flat-field — must sort-merge join
+    with ZERO exchanges: neither side shuffles, ever, across repeated joins."""
+    from pyspark.sql import functions as F
+
+    from xrddatapipeline_spark.calib.cache import save_bucketed_pixel_table
+
+    c = ImageControls(size_x=32, size_y=32)
+    calib = build_calib_pixels(spark, c)
+    flat = calib.select(
+        "y", "x", (1.0 + (F.col("x") + F.col("y")) / 100.0).alias("flat")
+    )
+    save_bucketed_pixel_table(calib, "calib_bkt", 4, str(tmp_path / "calib"))
+    save_bucketed_pixel_table(flat, "flat_bkt", 4, str(tmp_path / "flat"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("calib_bkt").join(spark.table("flat_bkt"), ["y", "x"])
+        assert joined.count() == 32 * 32
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS calib_bkt")
+        spark.sql("DROP TABLE IF EXISTS flat_bkt")

@@ -95,6 +95,35 @@ def with_calib_columns(df: DataFrame, c: ImageControls) -> DataFrame:
     )
 
 
+def save_bucketed_pixel_table(
+    df: DataFrame,
+    table: str,
+    num_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist a per-pixel table bucketed+sorted by (y, x).
+
+    The scale story for J1-style pixel joins: the default calib path is
+    closed-form columns (no join at all), but externally-MEASURED per-pixel
+    tables — flat fields, dark frames, bad-pixel maps — must be stored and
+    joined. Writing every such table with the same (y, x) bucketing makes
+    all joins among them exchange-free: each task reads matching bucket
+    files from both sides and sort-merges locally, so the 8.3 M-row dense
+    side is never shuffled, for any number of joined tables or repeated
+    per-image joins. `num_buckets` should match (or divide) the cluster's
+    parallelism target; all co-joined tables must share the same count.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, "y", "x")
+        .sortBy("y", "x")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def build_calib_pixels(spark: SparkSession, c: ImageControls) -> DataFrame:
     """Per-pixel calibration table:
     (y, x, tth, azim, q, dist_sq, pol, tth_idx, ring_idx, qbin, azim_band,

@@ -51,7 +51,9 @@ def join_calib(
     per row is cheaper than sorting 8.3 M rows per image for a join. The
     join path remains for externally-measured per-pixel tables (flat
     fields, dark frames) that cannot be recomputed. Broadcast for
-    test-sized detectors; bucketed-by-(y,x) sort-merge at 8.3 Mpx."""
+    test-sized detectors; at 8.3 Mpx store every such table via
+    ``calib.cache.save_bucketed_pixel_table`` so the sort-merge join is
+    exchange-free (see test_bucketed_pixel_join_is_exchange_free)."""
     if calib is None:
         from xrddatapipeline_spark.calib.cache import with_calib_columns
 
