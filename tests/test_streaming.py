@@ -121,3 +121,42 @@ def test_settle_guard_filters_fresh_rows(spark, tmp_path):
 
     assert _count(fresh, "fresh_cnt") == 0  # just-written file is too new
     assert _count(settled, "settled_cnt") == CONTROLS.size_x * CONTROLS.size_y
+
+
+def test_live_processing_time_trigger(spark, tmp_path):
+    """T2 live-watch mode: a processingTime-trigger query picks up images
+    AS THEY LAND (the reference's 100 ms watchdog poll loop,
+    pipeline_queue.py:746-795) without restarting the query."""
+    import time
+
+    input_dir = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _land_image(spark, input_dir, 0)
+
+    calib = build_calib_pixels(spark, CONTROLS).cache()
+    pipe = StreamingImagePipeline(spark, calib, CONTROLS, out_dir)
+    q = pipe.start(
+        input_dir, ckpt,
+        available_now=False, processing_interval="500 milliseconds",
+    )
+
+    def seen() -> set:
+        try:
+            return set(pipe.output("csim").toPandas().seq)
+        except Exception:  # output not yet written by the first batch
+            return set()
+
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and 0 not in seen():
+            time.sleep(0.5)
+        assert 0 in seen(), "pre-existing image not processed by live query"
+
+        _land_image(spark, input_dir, 1)  # lands while the query is running
+        while time.time() < deadline and 1 not in seen():
+            time.sleep(0.5)
+        assert seen() >= {0, 1}, "file landed mid-stream was not picked up"
+        assert q.isActive  # live trigger keeps running (no auto-stop)
+    finally:
+        q.stop()
