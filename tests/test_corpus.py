@@ -169,3 +169,47 @@ def test_fake_decode_deterministic():
     assert 64 <= w < 2048 and 64 <= h < 2048 and 1 <= nf <= 241 and 0 <= mv < 1
     digest = hashlib.md5(b"payload").hexdigest()
     assert w == 64 + int(digest[0:4], 16) % 1984
+
+
+def test_connected_components_known_graph(spark):
+    from xrddatapipeline_spark.operators.graph import connected_components
+
+    # two chains and one triangle; a chain exercises multi-round propagation
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    got = {
+        (r.node, r.cluster_id)
+        for r in connected_components(edges).collect()
+    }
+    want = {(n, 1) for n in (1, 2, 3, 4, 5)}
+    want |= {(n, 10) for n in (10, 11, 12)}
+    want |= {(20, 20), (21, 20)}
+    assert got == want
+
+
+def test_ivf_topk_candidates_share_cell(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(v) for v in rng.normal(size=8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = sim.ivf_centroids(df, 4)
+    assert len(cents) == 4 and [c for c, _ in cents] == [0, 1, 2, 3]
+    cells = {
+        r.vec_id: r.cell
+        for r in df.select(
+            "vec_id", sim.ivf_cell_expr(F.col("embedding"), cents).alias("cell")
+        ).collect()
+    }
+    assert set(cells.values()) > {0}  # more than one cell actually populated
+
+    top = sim.ivf_topk(df, df.where("vec_id < 5"), k=3, num_cells=4).toPandas()
+    assert (top.groupby("query_id")["rank"].apply(
+        lambda s: sorted(s) == list(range(1, len(s) + 1))
+    )).all()
+    for row in top.itertuples():
+        assert cells[row.query_id] == cells[row.neighbor_id]
+        assert row.neighbor_id != row.query_id

@@ -226,6 +226,86 @@ def lsh_buckets(df: DataFrame, num_planes: int = 6,
     )
 
 
+def ivf_centroids(df: DataFrame, num_cells: int, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
+    """Deterministic coarse-quantizer centroids: the `num_cells` corpus
+    vectors with lexicographically smallest md5(vec_id) (a deterministic
+    uniform sample — engine-portable, unlike k-means init). Cells are
+    numbered 0..num_cells-1 in that md5 order. At production scale these
+    seeds would be refined with a few offline Lloyd iterations; cell
+    ASSIGNMENT below is the same either way."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(num_cells)
+        .collect()
+    )
+    return [(i, list(r[1])) for i, r in enumerate(rows)]
+
+
+def ivf_cell_expr(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid cell id as one shuffle-free expression: integer
+    squared distance qnorm(x) - 2*qdot(x,c) + qnorm(c) per centroid (all
+    exact int64 via the quantized dots), argmin by (dist, cell). The
+    centroid matrix is a driver-side literal, so assignment is a map-side
+    projection — the IVF scale property: corpus bucketing costs one scan,
+    queries probe one cell."""
+    def qconst(v: list[float]) -> int:
+        a = np.asarray(v, dtype=np.float64)
+        return int(np.floor(a * a * QSCALE).sum())
+
+    qx = quantized_dot(vec, vec)
+    cands = F.array(*[
+        F.struct(
+            (qx - 2 * quantized_dot(vec, F.lit(cvec)) + F.lit(qconst(cvec)))
+            .alias("dist"),
+            F.lit(cell).alias("cell"),
+        )
+        for cell, cvec in centroids
+    ])
+    return F.array_min(cands)["cell"]
+
+
+def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 3,
+             num_cells: int = 8, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """IVF-style ANN: partition the corpus into Voronoi cells of a coarse
+    quantizer, probe the query's cell, exact-rerank inside (nprobe=1).
+    Complements `lsh_topk` — IVF adapts to the data distribution (cells are
+    real corpus vectors) where sign-LSH is data-oblivious. Same plan shape:
+    narrow projections per side, broadcast query side, one rank-window
+    shuffle with WindowGroupLimit partial top-k."""
+    cents = ivf_centroids(df, num_cells, vec_col, id_col)
+    cell = ivf_cell_expr(F.col(vec_col), cents)
+    corp = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"),
+        quantized_dot(F.col(vec_col), F.col(vec_col)).alias("qb"),
+        cell.alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("va"),
+        quantized_dot(F.col(vec_col), F.col(vec_col)).alias("qa"),
+        cell.alias("cell"),
+    )
+    scored = (
+        F.broadcast(q).join(corp, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            quantized_dot(F.col("va"), F.col("vb"))
+            / F.sqrt(F.col("qa").cast("double") * F.col("qb").cast("double")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 3,
              num_planes: int = 6, vec_col: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:

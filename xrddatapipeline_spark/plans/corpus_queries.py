@@ -559,3 +559,156 @@ _H = "md5(text)"
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(binary_assets(_t(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster resolution (pairs -> clusters -> keep list)
+# ---------------------------------------------------------------------------
+
+SQL_NEAR_DUP_PAIRS = (
+    SQL_MINHASH_BUCKETS + "," + SQL_JACCARD + """,
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    prs AS (
+        SELECT j.doc_a, j.doc_b
+        FROM jac j JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        WHERE j.jaccard >= 0.8
+    )
+    """
+)
+
+SQL_CLUSTERS = SQL_NEAR_DUP_PAIRS + """,
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM prs
+    UNION SELECT doc_b, doc_a FROM prs
+),
+reach(node, m) AS (
+    SELECT u, u FROM edges
+  UNION
+    SELECT e.u, r.m FROM edges e JOIN reach r ON r.node = e.v
+),
+clusters AS (SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node)
+"""
+
+
+def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = tx.word_shingles(docs).persist()
+    buckets = tx.minhash_buckets(sh, 32, 4).persist()
+    cand = tx.lsh_candidate_pairs(buckets)
+    return (
+        tx.shingle_jaccard(sh, pairs=cand)
+        .where(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+
+
+@_register(
+    "dedup_near_dup_clusters",
+    "WITH RECURSIVE " + SQL_CLUSTERS + "SELECT doc_id, cluster_id FROM clusters",
+    doc="Near-dup pairs grouped into clusters: hash-min label propagation "
+        "over the MinHash-verified pair graph (operators.graph.connected_"
+        "components, O(diameter) joined rounds); cluster_id = min reachable "
+        "doc_id. Oracle: DuckDB recursive transitive closure. The step that "
+        "turns pairwise dedup output into actionable groups.",
+    tags=("dedup", "corpus", "graph", "iterative"),
+)
+def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.operators.graph import connected_components
+
+    pairs = _near_dup_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@_register(
+    "dedup_keep_list",
+    "WITH RECURSIVE " + SQL_CLUSTERS + """
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (
+        SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+    )
+    """,
+    doc="The dedup pipeline's final artifact: doc_ids that survive — every "
+        "document except non-canonical near-dup cluster members (canonical "
+        "= min doc_id per cluster; singletons keep themselves). Spark: "
+        "broadcast anti-join of the corpus against the dropped set.",
+    tags=("dedup", "corpus", "graph"),
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _near_dup_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    dropped = cc.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(F.broadcast(dropped), "doc_id", "left_anti").select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF similarity search (data-adaptive counterpart to sign-LSH)
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS = 8
+
+SQL_IVF = f"""
+cents AS (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS cell,
+           embedding
+    FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_CELLS}
+),
+nrm AS (
+    SELECT vec_id, embedding, {_sql_qdot('embedding', 'embedding')} AS qnorm
+    FROM embeddings
+),
+dists AS (
+    SELECT v.vec_id, v.embedding, v.qnorm, c.cell,
+           v.qnorm - 2 * {_sql_qdot('v.embedding', 'c.embedding')}
+               + {_sql_qdot('c.embedding', 'c.embedding')} AS dist
+    FROM nrm v CROSS JOIN cents c
+),
+asg AS (
+    SELECT vec_id, embedding, qnorm, cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM dists
+    ) WHERE rn = 1
+)
+"""
+
+
+@_register(
+    "ann_ivf_topk",
+    "WITH " + SQL_IVF + """,
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               """ + _sql_qdot('q.embedding', 'c.embedding') + """
+               / sqrt(q.qnorm * 1.0 * c.qnorm) AS cos
+        FROM asg q JOIN asg c ON q.cell = c.cell
+        WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, rank, neighbor_id, cos FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc="IVF-style ANN: 8-cell coarse quantizer (deterministic md5-sampled "
+        "corpus vectors as centroids; integer quantized-distance argmin), "
+        "nprobe=1 cell probe, exact rerank. Data-adaptive counterpart to "
+        "ann_lsh_bucketed; same exchange-light plan shape (map-side cell "
+        "assignment, broadcast queries, WindowGroupLimit top-k).",
+    tags=("similarity", "corpus", "embedding", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 8), k=3, num_cells=_IVF_CELLS
+    )

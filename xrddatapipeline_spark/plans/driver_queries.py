@@ -583,6 +583,74 @@ def w5_circular_gap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W6 — gap-based sessionization (training-pipeline event grouping)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12 h in microseconds
+
+
+@_register(
+    "w6_sessionize_events",
+    f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    flags AS (
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN ts_us - lag(ts_us) OVER w > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts_us,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_seq
+        FROM flags
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           min(event_id) AS first_event_id,
+           min(ts_us) AS start_us,
+           max(ts_us) - min(ts_us) AS span_us
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    doc="Gap-based sessionization (12 h inactivity splits a session): "
+        "lag-window boundary flag + running sum = session id, then per-"
+        "session aggregates. The batch form of the streaming session-window "
+        "operator; one shuffle on user_id serves both windows and the agg. "
+        "Timestamps compared in integer microseconds (Spark reads the "
+        "TIMESTAMP(NANOS) column as long and truncates; matches DuckDB's "
+        "ns->us truncation exactly).",
+    tags=("window", "corpus", "sessionize"),
+)
+def w6_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flags = e.withColumn(
+        "is_new",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US, 1
+        ).otherwise(0),
+    )
+    sess = flags.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        F.min("ts_us").alias("start_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("span_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # J5 — base vs masked difference via pivot self-alignment
 # ---------------------------------------------------------------------------
 
