@@ -160,3 +160,61 @@ def test_live_processing_time_trigger(spark, tmp_path):
         assert q.isActive  # live trigger keeps running (no auto-stop)
     finally:
         q.stop()
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionizer: sessions close when a later event
+    proves the gap; open sessions survive in the state store across
+    micro-batches (two availableNow runs on one checkpoint)."""
+    import pandas as pd
+
+    from xrddatapipeline_spark.streaming.sessions import sessionize_stream
+
+    landing = tmp_path / "events"
+    landing.mkdir()
+    out = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "ckpt")
+    GAP = 1_000_000  # 1 s in us
+
+    def land(name, rows):
+        pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts_us"]
+        ).to_parquet(landing / name)
+
+    def run():
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, ts_us long"
+        ).parquet(str(landing))
+        q = (
+            sessionize_stream(stream, GAP)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # user 1: two closed sessions + one open; user 2: one open session
+    land("b1.parquet", [
+        (1, 0, 0), (1, 1, 100), (1, 2, 200),        # session 0: 3 events
+        (1, 3, 5_000_000), (1, 4, 5_000_100),        # session 1: 2 events
+        (1, 5, 9_000_000),                           # session 2: open
+        (2, 6, 0), (2, 7, 50),                       # user 2: open
+    ])
+    run()
+    got = spark.read.parquet(out).toPandas()
+    got1 = got.sort_values("session_seq").reset_index(drop=True)
+    assert [tuple(r) for r in got1.itertuples(index=False)] == [
+        (1, 0, 3, 0, 200), (1, 1, 2, 5_000_000, 5_000_100),
+    ]
+
+    # batch 2 closes user 1's session 2 AND user 2's session 0 (state kept)
+    land("b2.parquet", [(1, 8, 20_000_000), (2, 9, 30_000_000)])
+    run()
+    got = spark.read.parquet(out).toPandas().sort_values(["user_id", "session_seq"])
+    rows = {(r.user_id, r.session_seq): (r.n_events, r.start_us, r.end_us)
+            for r in got.itertuples()}
+    assert rows[(1, 2)] == (1, 9_000_000, 9_000_000)
+    assert rows[(2, 0)] == (2, 0, 50)
+    assert len(rows) == 4
