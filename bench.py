@@ -40,6 +40,74 @@ HEADLINE = [
 ]
 
 
+def _image_plan_seconds(spark) -> float:
+    """End-to-end per-image XRD plan (the reference's core workload,
+    BASELINE.md stage timers): corrections -> ring outlier mask -> closing/
+    labeling -> classification -> 4-way integrals -> spot stats ->
+    spottiness, on one synthetic SIZExSIZE detector image generated
+    executor-side (pure column expressions — no driver data). Calibration
+    build is excluded (once-per-run cache, pipeline_queue.py:183)."""
+    from pyspark.sql import functions as F
+
+    from xrddatapipeline_spark.calib.cache import build_calib_pixels
+    from xrddatapipeline_spark.calib.geometry import ImageControls
+    from xrddatapipeline_spark.plans.image_pipeline import run_image_plan
+
+    size = int(os.environ.get("SPARK_GRAFT_IMG_SIZE", "512"))
+    c = ImageControls(
+        wavelength=0.24087,
+        distance=size / 3.0,
+        center_x=size * 150.0 / 2000.0,
+        center_y=size * 150.0 / 2000.0,
+        pixel_size_x=150.0,
+        pixel_size_y=150.0,
+        size_x=size,
+        size_y=size,
+        iotth=(1.0, 12.7),
+        out_channels=1000,
+        num_chans_om=500,
+        pola_val=0.99,
+        esd_mul=3.0,
+        dataset="bench",
+    )
+    calib = build_calib_pixels(spark, c).persist()
+    calib.count()
+
+    r = F.sqrt(
+        (F.col("y") - size / 2.0) ** 2 + (F.col("x") - size / 2.0) ** 2
+    )
+    intensity = (
+        F.lit(50)
+        + F.lit(150.0) * F.pow(F.sin(r / 3.0), 2)
+        + F.pmod(F.xxhash64("y", "x"), F.lit(13))
+        + F.when(F.pmod(F.xxhash64("x", "y", F.lit(7)), F.lit(911)) == 0, 4000)
+        .otherwise(0)
+    ).cast("int")
+    pixels = (
+        spark.range(size * size)
+        .select(
+            F.lit("bench").alias("dataset"),
+            F.lit(0).alias("seq"),
+            F.lit("bench-00000").alias("image_id"),
+            (F.col("id") / size).cast("int").alias("y"),
+            (F.col("id") % size).cast("int").alias("x"),
+        )
+        .withColumn("intensity", intensity)
+        .persist()
+    )
+    pixels.count()
+
+    t0 = time.perf_counter()
+    res = run_image_plan(pixels, calib, c)
+    for out in (res.integrals, res.spot_stats, res.spottiness, res.outliers):
+        out.write.format("noop").mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+    res.unpersist_all()
+    pixels.unpersist()
+    calib.unpersist()
+    return round(elapsed, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -67,6 +135,8 @@ def main() -> None:
             "overwrite"
         ).save()
         timings[name] = round(time.perf_counter() - t0, 4)
+
+    timings["xrd_image_plan_512"] = _image_plan_seconds(spark)
 
     total = round(sum(timings.values()), 4)
     print(
