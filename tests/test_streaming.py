@@ -218,3 +218,62 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     assert rows[(1, 2)] == (1, 9_000_000, 9_000_000)
     assert rows[(2, 0)] == (2, 0, 50)
     assert len(rows) == 4
+
+
+def test_sessionize_stream_matches_pandas_oracle(spark, tmp_path):
+    """Randomized equivalence: the stateful streaming sessionizer must emit
+    exactly the closed sessions an independent pandas implementation
+    computes, with events split chronologically across micro-batches
+    (maxFilesPerTrigger=1) so state crosses batch boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    from xrddatapipeline_spark.streaming.sessions import sessionize_stream
+
+    rng = np.random.default_rng(7)
+    n = 300
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 5, n),
+        "event_id": np.arange(n),
+        "ts_us": rng.integers(0, 40_000_000, n),
+    }).sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+    GAP = 1_000_000
+
+    # independent oracle: per-user gap split; sessions not followed by a
+    # later in-gap event are CLOSED only if a later event proves the gap
+    expected = set()
+    for uid, g in ev.groupby("user_id"):
+        ts = g.sort_values(["ts_us", "event_id"])["ts_us"].to_numpy()
+        sessions, start, last, cnt = [], ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t - last > GAP:
+                sessions.append((start, last, cnt))
+                start, last, cnt = t, t, 1
+            else:
+                last, cnt = t, cnt + 1
+        for seq, (s, e, c) in enumerate(sessions):  # final session stays open
+            expected.add((uid, seq, c, s, e))
+
+    landing = tmp_path / "ev"
+    landing.mkdir()
+    for i, chunk in enumerate(np.array_split(ev, 3)):
+        chunk.to_parquet(landing / f"c{i}.parquet")
+
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, ts_us long"
+    ).option("maxFilesPerTrigger", 1).parquet(str(landing))
+    q = (
+        sessionize_stream(stream, GAP)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == expected and len(expected) > 20
