@@ -1,0 +1,85 @@
+"""Plan-shape regression tests: the scale properties the operators claim
+(shuffle-free projections, single-shuffle aggs, broadcast joins, map-side
+partial top-k) asserted on the physical plans so edits can't silently
+reintroduce exchanges. Fixtures are real parquet scans so every exchange
+in the plan belongs to the operator under test."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xrddatapipeline_spark.operators import similarity as sim
+from xrddatapipeline_spark.operators import text as tx
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(df) -> int:
+    # count data-moving exchanges; broadcast exchanges counted separately
+    return sum(
+        1
+        for line in _plan(df).splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark, tmp_path_factory):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(v) for v in rng.normal(size=8)]) for i in range(64)]
+    path = str(tmp_path_factory.mktemp("plans") / "emb")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "docs")
+    spark.createDataFrame(
+        [(i, ("the quick brown fox jumps over dog %d " % (i % 3)) * 4)
+         for i in range(12)],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_lsh_buckets_is_shuffle_free(emb):
+    assert _exchanges(sim.lsh_buckets(emb, num_planes=4)) == 0
+
+
+def test_ivf_cell_assignment_is_shuffle_free(emb):
+    cents = sim.ivf_centroids(emb, 4)
+    df = emb.select("vec_id", sim.ivf_cell_expr(F.col("embedding"), cents).alias("c"))
+    assert _exchanges(df) == 0
+
+
+def test_lsh_topk_single_shuffle_with_partial_topk(emb):
+    df = sim.lsh_topk(emb, emb.where("vec_id < 4"), k=3, num_planes=4)
+    plan = _plan(df)
+    # the only non-broadcast exchange is the rank window's...
+    assert _exchanges(df) == 1
+    # ...and WindowGroupLimit prunes per-partition before it
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "BroadcastExchange" in plan  # query side broadcast, corpus never moves
+
+
+def test_winnow_fingerprints_shuffle_free_per_doc(docs):
+    # winnowing is per-document array math; only the final doc-level agg may
+    # shuffle (one exchange), never the per-position expansion
+    assert _exchanges(tx.winnow_fingerprints(docs, k=8, w=8)) <= 1
+
+
+def test_exact_dedup_single_shuffle(docs):
+    agg = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("canonical"), F.count("*").alias("n")
+    )
+    plan = _plan(agg)
+    assert _exchanges(agg) == 1
+    assert "partial_min" in plan or "partial" in plan.lower()  # map-side combine
