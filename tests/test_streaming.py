@@ -277,3 +277,62 @@ def test_sessionize_stream_matches_pandas_oracle(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got == expected and len(expected) > 20
+
+
+def test_watermarked_window_drops_late_events(spark, tmp_path):
+    """Event-time tumbling windows with a watermark: a window emits once
+    the watermark passes its end, and an event arriving behind the
+    watermark is DROPPED (never resurrects its window)."""
+    import pandas as pd
+
+    from xrddatapipeline_spark.streaming.windows import windowed_event_counts
+
+    landing = tmp_path / "ev"
+    landing.mkdir()
+
+    def land(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        # micro-second timestamps: Spark 4 rejects pandas' default NANOS
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+        pdf.to_parquet(landing / name)
+
+    def run():
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(str(landing))
+        q = (
+            windowed_event_counts(stream, "10 minutes", "5 minutes")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def got():
+        return {
+            (int(r.window_start.timestamp()), r.n_events, r.sum_value)
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+
+    # windows are 10 min = [0, 600), [600, 1200), ...; watermark lag 5 min.
+    # Run 1 pushes the committed watermark to 4000-300=3700 s, well past
+    # window [0, 600): it emits with exactly its two on-time events.
+    land("b1.parquet", [(1, 10, 1.0), (1, 20, 2.0), (2, 700, 4.0)])
+    land("b2.parquet", [(3, 2000, 8.0)])
+    land("b3.parquet", [(1, 4000, 32.0)])
+    run()
+    first = got()
+    assert {(0, 2, 3.0), (600, 1, 4.0), (1800, 1, 8.0)} <= first
+
+    # Run 2 resumes from the checkpointed watermark (3700): the t=30 event
+    # is now provably late — it must be DROPPED, not resurrect window 0
+    land("b4.parquet", [(1, 30, 100.0), (1, 5000, 64.0)])
+    run()
+    second = got()
+    # window 0 still appears exactly once, with its original aggregate
+    assert [w for (w, _, _) in second].count(0) == 1
+    assert (0, 2, 3.0) in second
+    assert all(v != 100.0 and v != 103.0 for (_, _, v) in second)
