@@ -712,3 +712,195 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(
         emb, emb.where(F.col("vec_id") < 8), k=3, num_cells=_IVF_CELLS
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: stratified sampling, token stats, cleaning composition
+# ---------------------------------------------------------------------------
+
+_SAMP_H = "md5('samp_' || CAST(doc_id AS VARCHAR))"
+
+
+@_register(
+    "sample_stratified_hash",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {hexval_sql(_SAMP_H, 0, 12)} % 1000 <
+          CASE WHEN lang = 'en' THEN 100 ELSE 500 END
+    """,
+    doc="Deterministic stratified sampling for corpus rebalancing: keep "
+        "10% of the dominant language, 50% of the rest, selected by a "
+        "salted md5 of doc_id — reproducible across runs/engines, no RNG "
+        "state, embarrassingly parallel (pure filter, zero shuffles).",
+    tags=("corpus", "sampling"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = tx.md5_prefix_long(
+        F.concat(F.lit("samp_"), F.col("doc_id").cast("string")), 12
+    )
+    rate = F.when(F.col("lang") == "en", 100).otherwise(500)
+    return docs.where(h % 1000 < rate).select("doc_id", "lang")
+
+
+@_register(
+    "text_top_tokens",
+    """
+    SELECT token, cnt FROM (
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ) ORDER BY cnt DESC, token LIMIT 20
+    """,
+    doc="Corpus token frequency top-20: explode -> map-side-combined "
+        "hash-agg -> TakeOrderedAndProject (per-partition partial top-k, "
+        "no full sort). The vocabulary/frequency profile every corpus "
+        "build starts with.",
+    tags=("text", "corpus"),
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )
+
+
+@_register(
+    "events_funnel_steps",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+    ),
+    s1 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts_us END) AS t1
+        FROM e GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id,
+               min(CASE WHEN event_type = 'click' AND ts_us > t1
+                        AND ts_us <= t1 + 28800000000
+                   THEN ts_us END) AS t2
+        FROM e JOIN s1 ON e.user_id = s1.user_id
+        GROUP BY e.user_id, s1.t1
+    ),
+    s3 AS (
+        SELECT e.user_id,
+               min(CASE WHEN event_type = 'purchase' AND ts_us > t2
+                        AND ts_us <= t2 + 86400000000
+                   THEN ts_us END) AS t3
+        FROM e JOIN s2 ON e.user_id = s2.user_id
+        GROUP BY e.user_id, s2.t2
+    )
+    SELECT s1.user_id,
+           CASE WHEN t1 IS NULL THEN 0
+                WHEN t2 IS NULL THEN 1
+                WHEN t3 IS NULL THEN 2
+                ELSE 3 END AS steps_completed
+    FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+    JOIN s3 ON s1.user_id = s3.user_id
+    """,
+    doc="Ordered time-bound funnel (first view -> click within 8 h -> "
+        "purchase within 24 h) per user: three conditional-min "
+        "aggregations, each broadcast-joined back — scale-safe for "
+        "unbounded per-user event counts (no per-user event collection), "
+        "one events shuffle per stage on the same key. Timestamps in "
+        "integer microseconds for cross-engine order parity.",
+    tags=("corpus", "funnel", "agg"),
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_type"
+    )
+    s1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias("t1")
+    )
+    s2 = (
+        e.join(F.broadcast(s1), "user_id")
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_us") > F.col("t1"))
+                    & (F.col("ts_us") <= F.col("t1") + 28_800_000_000),
+                    F.col("ts_us"),
+                )
+            ).alias("t2")
+        )
+    )
+    s3 = (
+        e.join(F.broadcast(s2.select("user_id", "t2")), "user_id")
+        .groupBy("user_id", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") > F.col("t2"))
+                    & (F.col("ts_us") <= F.col("t2") + 86_400_000_000),
+                    F.col("ts_us"),
+                )
+            ).alias("t3")
+        )
+    )
+    steps = (
+        F.when(F.col("t1").isNull(), 0)
+        .when(F.col("t2").isNull(), 1)
+        .when(F.col("t3").isNull(), 2)
+        .otherwise(3)
+    )
+    return (
+        s1.join(s2.select("user_id", "t2"), "user_id")
+        .join(s3.select("user_id", "t3"), "user_id")
+        .select("user_id", steps.cast("int").alias("steps_completed"))
+    )
+
+
+@_register(
+    "corpus_clean_filter",
+    """
+    WITH canon AS (
+        SELECT md5(text) AS h, min(doc_id) AS keep_id
+        FROM documents GROUP BY md5(text)
+    ),
+    q AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) AS ttr
+        FROM documents
+    )
+    SELECT d.doc_id, q.n_tokens
+    FROM documents d
+    JOIN canon c ON md5(d.text) = c.h AND d.doc_id = c.keep_id
+    JOIN q ON q.doc_id = d.doc_id
+    WHERE q.n_tokens >= 20 AND q.ttr <= 0.95
+    """,
+    doc="Composed cleaning pass — the shape of a production corpus filter: "
+        "exact-dedup canonical selection (hash-groupBy min) AND quality "
+        "gates (length, type-token ratio) in one plan. Catalyst fuses the "
+        "quality projection into the scan; the only shuffles are the "
+        "dedup agg and its join back.",
+    tags=("corpus", "dedup", "quality"),
+)
+def corpus_clean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    q = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)).alias("ttr"),
+    )
+    canon = q.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        q.join(canon, (q["h"] == canon["h"]) & (q["doc_id"] == canon["keep_id"]))
+        .where((F.col("n_tokens") >= 20) & (F.col("ttr") <= 0.95))
+        .select("doc_id", "n_tokens")
+    )
