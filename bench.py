@@ -118,6 +118,11 @@ def main() -> None:
         app_name="xrdspark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
+        # every bench job is small (sf0.1 tables, one sub-Mpx image), where
+        # JIT-compile time of the wide fused projections dominates — cap
+        # generated-method size so HotSpot compiles cheap units (see
+        # session.py docstring for the measured tradeoff vs 8.3 Mpx jobs)
+        extra_conf={"spark.sql.codegen.hugeMethodLimit": "3000"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

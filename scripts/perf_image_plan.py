@@ -61,12 +61,15 @@ def main() -> None:
     gradient = len(sys.argv) > 6 and sys.argv[6] == "grad"
 
     import os
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.driver.memory", os.environ.get("PERF_HEAP", "16g"))
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "true")
-        .getOrCreate()
+
+    from xrddatapipeline_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", os.environ.get("PERF_HEAP", "16g"))
+    spark = get_spark(
+        app_name="perf-image-plan",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "true"},  # REST stage metrics below
     )
     spark.sparkContext.setLogLevel("ERROR")
 

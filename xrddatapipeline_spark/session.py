@@ -12,14 +12,14 @@ Settings chosen for the 100 TB design point and safe on local[N]:
   initial value).
 - Session timezone pinned to UTC so timestamp semantics match the DuckDB
   oracle used by the correctness gate.
-- codegen.hugeMethodLimit lowered to 3000: wide fused projections (the
-  per-pixel calib math, 32-way minhash aggs) generate single methods in
-  the 3000-8000+ bytecode range, where HotSpot either refuses to JIT
-  (>8000) or compiles at high cost for no measured steady-state gain over
-  the split/interpreted fallback. Measured on this workload: minhash
-  cold 12.4s -> 6.3s, image plan 1 Mpx 15.3 -> 10.4 cold and 8.8 -> 7.8
-  steady-state. Override via extra_conf for plans whose hot methods are
-  known to JIT profitably.
+- codegen.hugeMethodLimit is left at Spark's default (65535) because the
+  design point is BIG partitions, where JIT-compiling the wide fused
+  projections pays for itself: at 8.3 Mpx/image the full plan measures
+  29-36 s with the default vs 43-45 s with limit 3000. For SMALL-batch /
+  interactive jobs the tradeoff inverts (compile time dominates: minhash
+  at sf0.1 cold 12.4 s -> 6.3 s, image plan at 1 Mpx 15.3 -> 10.4 s with
+  limit 3000) — pass extra_conf={"spark.sql.codegen.hugeMethodLimit":
+  "3000"} there, as bench.py does for its sf0.1 queries.
 """
 
 from __future__ import annotations
@@ -59,7 +59,6 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.codegen.hugeMethodLimit", "3000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.ui.enabled", "false")
