@@ -213,3 +213,27 @@ def test_ivf_topk_candidates_share_cell(spark):
     for row in top.itertuples():
         assert cells[row.query_id] == cells[row.neighbor_id]
         assert row.neighbor_id != row.query_id
+
+
+def test_asof_join_known_values(spark):
+    from xrddatapipeline_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 20, "c"), (2, 7, "d")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 12, 200.0), (3, 1, 999.0)],
+        "k long, t long, v double",
+    )
+    got = {
+        (r.tag, r.t_asof, r.v_asof)
+        for r in asof_join(left, right, by=["k"], on="t",
+                           payload=["t", "v"]).collect()
+    }
+    assert got == {
+        ("a", 5, 100.0),     # tie: right row at same t matches (>=)
+        ("b", 5, 100.0),     # t=12 is later, only t=5 precedes
+        ("c", 12, 200.0),    # most recent prior wins
+        ("d", None, None),   # no right rows for k=2
+    }

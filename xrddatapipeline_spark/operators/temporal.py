@@ -1,0 +1,80 @@
+"""Temporal joins Spark lacks natively: as-of (most-recent-prior) join.
+
+`asof_join(left, right, ...)` attaches to each left row the right row with
+the greatest `on` value <= the left row's, per `by` group — the classic
+point-in-time lookup (event -> latest prior signup / calibration scan ->
+latest prior dark frame).
+
+Implementation is the scalable UNION + WINDOW formulation, not a range
+join: tag both inputs, union them, sort each `by` partition once by
+(`on`, tag) with right rows first on ties, and carry the last non-null
+right payload forward with `last(..., ignoreNulls=True)`. One shuffle on
+`by`, O(n log n_partition) local sort, zero candidate-pair blowup —
+a naive inequality join explodes to O(left x right) per group and a
+banded range join still multiplies; this stays linear after the sort,
+which is why it survives 100 TB event tables. Skewed `by` keys are the
+same skew the window already has (AQE cannot split a window partition;
+for pathological single-key skew, pre-bucket `on` ranges).
+
+Ties inside the right side (same `by`, same `on`) are resolved before the
+union (greatest tiebreak column wins) so the result is deterministic and
+engine-portable — DuckDB's native ASOF JOIN (the test oracle) leaves
+equal-key choice unspecified otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    on: str,
+    payload: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: all left columns plus, for each `payload` column of
+    `right`, the value from the most recent right row (right.on <= left.on
+    within the same `by` keys), or null if none precedes. `on` must be an
+    orderable column present in both; right is deduplicated to one row per
+    (`by`, `on`) — greatest first payload column wins."""
+    r_cols = [c for c in payload if c != on]
+    r1 = right.groupBy(*by, on).agg(
+        *[F.max(c).alias(c) for c in r_cols]
+    )
+    r_payload = F.struct(F.col(on).alias(on + suffix),
+                         *[F.col(c).alias(c + suffix) for c in r_cols])
+
+    l_cols = left.columns
+    tagged_l = left.select(
+        *l_cols,
+        F.lit(None).cast(
+            r1.select(r_payload.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
+        F.lit(1).alias("_tag"),
+    )
+    tagged_r = r1.select(
+        *[
+            F.col(c) if c in (*by, on) else F.lit(None).cast(
+                dict(left.dtypes)[c]
+            ).alias(c)
+            for c in l_cols
+        ],
+        r_payload.alias("_r"),
+        F.lit(0).alias("_tag"),
+    )
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on), F.col("_tag"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged_l.unionByName(tagged_r)
+        .withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+        .where(F.col("_tag") == 1)
+        .select(*l_cols, F.col("_match.*"))
+    )

@@ -904,3 +904,53 @@ def corpus_clean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n_tokens") >= 20) & (F.col("ttr") <= 0.95))
         .select("doc_id", "n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# J8 — as-of (most-recent-prior) join
+# ---------------------------------------------------------------------------
+
+@_register(
+    "j8_asof_signup_join",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, ts_us, max(event_id) AS sign_event
+        FROM e WHERE event_type = 'signup' GROUP BY user_id, ts_us
+    ),
+    l AS (
+        SELECT event_id, user_id, ts_us FROM e WHERE event_type <> 'signup'
+    )
+    SELECT l.event_id, l.user_id, l.ts_us,
+           r.ts_us AS sign_ts, r.sign_event
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+    """,
+    doc="As-of join: each event paired with the user's most recent prior "
+        "(or simultaneous) signup — the point-in-time lookup Spark lacks "
+        "natively, via the linear union+window formulation "
+        "(operators/temporal.py::asof_join; one shuffle, no pair blowup). "
+        "Oracle: DuckDB's native ASOF LEFT JOIN.",
+    tags=("join", "corpus", "temporal"),
+)
+def j8_asof_signup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.expr("ts div 1000").alias("ts_us"), "event_type",
+    )
+    right = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts_us", F.col("event_id").alias("sign_event")
+    )
+    left = ev.where(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts_us"
+    )
+    out = asof_join(left, right, by=["user_id"], on="ts_us",
+                    payload=["ts_us", "sign_event"])
+    return out.withColumnRenamed("ts_us_asof", "sign_ts").withColumnRenamed(
+        "sign_event_asof", "sign_event"
+    )
