@@ -237,3 +237,17 @@ def test_asof_join_known_values(spark):
         ("c", 12, 200.0),    # most recent prior wins
         ("d", None, None),   # no right rows for k=2
     }
+
+
+def test_graph_and_asof_empty_inputs(spark):
+    from xrddatapipeline_spark.operators.graph import connected_components
+    from xrddatapipeline_spark.operators.temporal import asof_join
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty_edges).count() == 0
+
+    left = spark.createDataFrame([(1, 5, "a")], "k long, t long, tag string")
+    empty_right = spark.createDataFrame([], "k long, t long, v double")
+    row = asof_join(left, empty_right, by=["k"], on="t",
+                    payload=["t", "v"]).collect()[0]
+    assert (row.tag, row.t_asof, row.v_asof) == ("a", None, None)
