@@ -251,3 +251,37 @@ def test_graph_and_asof_empty_inputs(spark):
     row = asof_join(left, empty_right, by=["k"], on="t",
                     payload=["t", "v"]).collect()[0]
     assert (row.tag, row.t_asof, row.v_asof) == ("a", None, None)
+
+
+def test_multimodal_resize_and_frames_binary_plumbing(spark):
+    import hashlib
+
+    from xrddatapipeline_spark.operators.multimodal import (
+        binary_assets,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"payload number {i} with some text") for i in range(6)],
+        "doc_id long, text string",
+    )
+    assets = binary_assets(docs)
+
+    rs = resize_images(assets, box=256).collect()
+    assert len(rs) == 6
+    for r in rs:
+        assert isinstance(r.content, (bytes, bytearray)) and len(r.content) == 16
+        assert max(r.new_width, r.new_height) == 256  # box fit, aspect kept
+        want = hashlib.md5(
+            f"payload number {r.doc_id} with some text".encode()
+            + f"_{r.new_width}x{r.new_height}".encode()
+        ).digest()
+        assert bytes(r.content) == want
+
+    fr = sample_frames(assets, every_n=7).toPandas()
+    # images contribute exactly one frame 0; video/audio stride by 7
+    img_ids = {r.doc_id for r in rs if r.media_type == "image"}
+    assert (fr[fr.doc_id.isin(img_ids)].frame_idx == 0).all()
+    assert (fr.frame_idx % 7 == 0).all()
+    assert fr.frame_id.str.len().eq(32).all()

@@ -104,3 +104,72 @@ def hexval_sql(hash_expr: str, start: int, n: int) -> str:
         for k in range(n)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, "
+    "new_width int, new_height int, content binary"
+)
+
+FRAME_SCHEMA = "doc_id long, media_type string, frame_idx int, frame_id string"
+
+
+def resize_images(assets: DataFrame, box: int = 256) -> DataFrame:
+    """Aspect-preserving resize into a `box`x`box` bounding box, as an
+    Arrow-batched `mapInPandas` transform.
+
+    Dimensions come from the (stubbed) decode; the scaled size uses pure
+    integer arithmetic (`d * box // max(w, h)`) so the geometry is
+    engine-exact for the oracle. The resized payload is a deterministic
+    fake (md5 of content + target dims) standing in for real pixel data —
+    a real deployment swaps the body for PIL/cv2 thumbnailing. Binary in,
+    binary out: payloads stay Arrow buffers end to end, no driver hop.
+    """
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, content in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["content"]
+            ):
+                w, h, _, _ = _fake_decode(content, mt)
+                s = max(w, h)
+                nw, nh = w * box // s, h * box // s
+                fake = hashlib.md5(
+                    content + f"_{nw}x{nh}".encode()
+                ).digest()
+                rows.append((doc_id, mt, w, h, nw, nh, fake))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "width", "height",
+                         "new_width", "new_height", "content"],
+            )
+
+    return assets.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 7) -> DataFrame:
+    """Frame sampling for video/audio payloads: one OUTPUT ROW per sampled
+    frame (frame_idx = 0, every_n, 2*every_n, ... < n_frames) — the
+    row-expanding UDTF shape a frame-extraction stage has at scale. The
+    per-frame payload is stubbed as an md5 id (real deployments emit the
+    decoded frame bytes); images pass through as their single frame 0.
+    """
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, content in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["content"]
+            ):
+                _, _, n_frames, _ = _fake_decode(content, mt)
+                h = hashlib.md5(content).hexdigest()
+                for idx in range(0, n_frames, every_n):
+                    rows.append(
+                        (doc_id, mt, idx,
+                         hashlib.md5(f"{h}_{idx}".encode()).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "frame_idx", "frame_id"],
+            )
+
+    return assets.mapInPandas(_sample, schema=FRAME_SCHEMA)

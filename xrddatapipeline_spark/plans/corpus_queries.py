@@ -954,3 +954,61 @@ def j8_asof_signup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("ts_us_asof", "sign_ts").withColumnRenamed(
         "sign_event_asof", "sign_event"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: resize geometry + frame sampling
+# ---------------------------------------------------------------------------
+
+@_register(
+    "mm_resize_geometry",
+    f"""
+    WITH dims AS (
+        SELECT doc_id, {_MT_SQL} AS media_type,
+               CAST(64 + {hexval_sql(_H, 0, 4)} % 1984 AS INT) AS width,
+               CAST(64 + {hexval_sql(_H, 4, 4)} % 1984 AS INT) AS height
+        FROM documents
+    )
+    SELECT doc_id, media_type, width, height,
+           CAST(width * 256 // greatest(width, height) AS INT) AS new_width,
+           CAST(height * 256 // greatest(width, height) AS INT) AS new_height
+    FROM dims
+    """,
+    doc="Aspect-preserving resize into a 256-box as mapInPandas over binary "
+        "payloads (stubbed pixels, integer-exact geometry). The payload "
+        "column is excluded from the compare (fake bytes); the geometry "
+        "IS the checkable contract.",
+    tags=("multimodal", "corpus", "pandas-udf"),
+)
+def mm_resize_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.operators.multimodal import resize_images
+
+    out = resize_images(binary_assets(_t(spark, sf_dir, "documents")), box=256)
+    return out.select(
+        "doc_id", "media_type", "width", "height", "new_width", "new_height"
+    )
+
+
+@_register(
+    "mm_frame_sample",
+    f"""
+    WITH meta AS (
+        SELECT doc_id, {_MT_SQL} AS media_type, md5(text) AS h,
+               CAST(CASE WHEN {_MT_SQL} = 'image' THEN 1
+                    ELSE 1 + {hexval_sql(_H, 8, 2)} % 240 END AS INT) AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, media_type, CAST(idx AS INT) AS frame_idx,
+           md5(h || '_' || CAST(idx AS VARCHAR)) AS frame_id
+    FROM meta, UNNEST(range(0, CAST(n_frames AS BIGINT), 7)) AS u(idx)
+    """,
+    doc="Frame sampling (every 7th frame) as a row-expanding mapInPandas "
+        "UDTF: one output row per sampled frame with a deterministic "
+        "frame id standing in for decoded bytes. Oracle replays the md5 "
+        "frame-count formula and the stride with UNNEST(range(...,7)).",
+    tags=("multimodal", "corpus", "pandas-udf"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.operators.multimodal import sample_frames
+
+    return sample_frames(binary_assets(_t(spark, sf_dir, "documents")), every_n=7)
