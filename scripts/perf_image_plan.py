@@ -12,9 +12,12 @@ time can be attributed to concrete stages (shuffle? python? scan?).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
