@@ -1,0 +1,91 @@
+"""CLI driver — the `python pipeline_queue.py` analog (SURVEY §3.1).
+
+Watches (or backfills) a landing directory of detector TIFFs, runs the full
+per-image plan, and writes the output tables under --out. Calibration comes
+from a .imctrl or .poni file, optional masks from a .immask file.
+
+    # process existing images, then stop (the reference's backfill mode):
+    python scripts/run_pipeline.py --input /data/landing \\
+        --controls run.imctrl --out /data/out
+
+    # live watch (the reference's 100 ms poll loop):
+    python scripts/run_pipeline.py --input /data/landing \\
+        --controls run.poni --out /data/out --watch --interval "1 second"
+
+Outputs: parquet tables integrals / spot_stats / spottiness / outliers /
+csim under --out (Delta where delta-spark is installed), readable with the
+plans.readback query layer or any SQL engine.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from xrddatapipeline_spark.calib.cache import build_calib_pixels
+from xrddatapipeline_spark.calib.geometry import ImageControls
+from xrddatapipeline_spark.session import get_spark
+from xrddatapipeline_spark.sources.controls import (
+    imctrl_to_controls,
+    parse_imctrl,
+    parse_immask,
+    parse_poni,
+    poni_to_detector_frame,
+)
+from xrddatapipeline_spark.streaming.pipeline import StreamingImagePipeline
+
+
+def load_controls(path: str, **overrides) -> ImageControls:
+    text = open(path).read()
+    if path.endswith(".poni"):
+        return imctrl_to_controls(poni_to_detector_frame(parse_poni(text)),
+                                  **overrides)
+    return imctrl_to_controls(parse_imctrl(text), **overrides)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--input", required=True, help="landing dir of TIFFs")
+    ap.add_argument("--controls", required=True, help=".imctrl or .poni file")
+    ap.add_argument("--mask", help=".immask file (optional)")
+    ap.add_argument("--out", required=True, help="output table root")
+    ap.add_argument("--checkpoint", help="stream checkpoint dir "
+                                         "(default: <out>/_checkpoint)")
+    ap.add_argument("--watch", action="store_true",
+                    help="keep running and process files as they land "
+                         "(default: backfill existing files, then stop)")
+    ap.add_argument("--interval", default="1 second",
+                    help="processingTime trigger for --watch")
+    ap.add_argument("--batch-images", type=int, default=1,
+                    help="images per micro-batch (maxFilesPerTrigger)")
+    ap.add_argument("--glob", default="*.tif*", help="input filename glob")
+    args = ap.parse_args(argv)
+
+    controls = load_controls(args.controls)
+    if args.mask:
+        controls.extra["immask"] = parse_immask(open(args.mask).read())
+
+    spark = get_spark(app_name="xrd-pipeline")
+    spark.sparkContext.setLogLevel("WARN")
+    calib = build_calib_pixels(spark, controls).persist()
+    calib.count()  # T2: cache created once, before the first image
+
+    pipe = StreamingImagePipeline(spark, calib, controls, args.out)
+    query = pipe.start(
+        args.input,
+        args.checkpoint or os.path.join(args.out, "_checkpoint"),
+        available_now=not args.watch,
+        processing_interval=args.interval if args.watch else None,
+        max_files_per_trigger=args.batch_images,
+        path_glob=args.glob,
+        source_format="tiff",
+    )
+    query.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -336,3 +336,38 @@ def test_watermarked_window_drops_late_events(spark, tmp_path):
     assert [w for (w, _, _) in second].count(0) == 1
     assert (0, 2, 3.0) in second
     assert all(v != 100.0 and v != 103.0 for (_, _, v) in second)
+
+
+def test_cli_backfill_from_tiffs(spark, tmp_path):
+    """End-to-end CLI parity with the reference's entry point: a landing
+    dir of detector TIFFs + an .imctrl file -> full plan outputs, via
+    scripts/run_pipeline.py main() in backfill mode."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from run_pipeline import main
+
+    from xrddatapipeline_spark.sources.tiff import write_tiff_gray
+    from tests.test_sources_sinks import IMCTRL
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for seq in (0, 1):
+        img = make_image(CONTROLS, seq=seq)
+        write_tiff_gray(str(landing / f"synth-{seq:05d}.tif"), img)
+    ctrl = tmp_path / "run.imctrl"
+    ctrl.write_text(IMCTRL)
+
+    out = tmp_path / "out"
+    rc = main([
+        "--input", str(landing),
+        "--controls", str(ctrl),
+        "--out", str(out),
+    ])
+    assert rc == 0
+
+    integrals = spark.read.parquet(str(out / "integrals")).toPandas()
+    assert set(integrals.image_id) == {"synth-00000", "synth-00001"}
+    assert set(integrals.kind) == {"base", "om", "spotsmasked", "arcsmasked"}
+    csim = spark.read.parquet(str(out / "csim")).toPandas()
+    assert sorted(csim.seq) == [0, 1]

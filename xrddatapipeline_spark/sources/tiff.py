@@ -202,6 +202,11 @@ def stream_tiff_images(
     """Streaming TIFF source (T1): landing dir -> pixel-row stream."""
     binary = (
         spark.readStream.format("binaryFile")
+        # streaming sources cannot infer schemas; binaryFile's is fixed
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
         .option("pathGlobFilter", glob)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .load(input_dir)

@@ -166,17 +166,31 @@ class StreamingImagePipeline:
         max_files_per_trigger: int = 1,
         path_glob: str | None = None,
         settle_seconds: float = 0.0,
+        source_format: str = "parquet",
     ) -> StreamingQuery:
         """Start the stream. ``available_now=True`` is the reference's
         'process existing images only' auto-stop mode (T4); a
-        ``processing_interval`` (e.g. '1 second') is the live-watch mode."""
-        stream = read_pixel_stream(
-            self.spark,
-            input_dir,
-            max_files_per_trigger=max_files_per_trigger,
-            path_glob=path_glob,
-            settle_seconds=settle_seconds,
-        )
+        ``processing_interval`` (e.g. '1 second') is the live-watch mode.
+        ``source_format='tiff'`` watches a directory of detector TIFFs
+        (the reference's actual input) and decodes them in-stream;
+        'parquet' expects pre-decoded pixel files (PIXEL_SCHEMA)."""
+        if source_format == "tiff":
+            from xrddatapipeline_spark.sources.tiff import stream_tiff_images
+
+            stream = stream_tiff_images(
+                self.spark,
+                input_dir,
+                glob=path_glob or "*.tif*",
+                max_files_per_trigger=max_files_per_trigger,
+            )
+        else:
+            stream = read_pixel_stream(
+                self.spark,
+                input_dir,
+                max_files_per_trigger=max_files_per_trigger,
+                path_glob=path_glob,
+                settle_seconds=settle_seconds,
+            )
         writer = stream.writeStream.foreachBatch(self.process_batch).option(
             "checkpointLocation", checkpoint_dir
         )
