@@ -83,3 +83,13 @@ def test_exact_dedup_single_shuffle(docs):
     plan = _plan(agg)
     assert _exchanges(agg) == 1
     assert "partial_min" in plan or "partial" in plan.lower()  # map-side combine
+
+
+def test_sessionize_single_shuffle(spark):
+    """w6's claim: both windows AND the session aggregation ride ONE
+    user_id exchange (hashpartitioning(user_id) satisfies the grouped
+    (user_id, session_seq) clustering)."""
+    from xrddatapipeline_spark.plans.driver_queries import REGISTRY
+
+    df = REGISTRY["w6_sessionize_events"].spark(spark, "/root/testdata/sf0.001")
+    assert _exchanges(df) == 1
