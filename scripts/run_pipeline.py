@@ -62,6 +62,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--batch-images", type=int, default=1,
                     help="images per micro-batch (maxFilesPerTrigger)")
     ap.add_argument("--glob", default="*.tif*", help="input filename glob")
+    ap.add_argument("--gradient", action="store_true",
+                    help="run the gradient classification stage (the "
+                         "reference's optional 2nd-derivative repair pass)")
     args = ap.parse_args(argv)
 
     controls = load_controls(args.controls)
@@ -73,7 +76,9 @@ def main(argv: list[str] | None = None) -> int:
     calib = build_calib_pixels(spark, controls).persist()
     calib.count()  # T2: cache created once, before the first image
 
-    pipe = StreamingImagePipeline(spark, calib, controls, args.out)
+    pipe = StreamingImagePipeline(
+        spark, calib, controls, args.out, gradient_stage=args.gradient
+    )
     query = pipe.start(
         args.input,
         args.checkpoint or os.path.join(args.out, "_checkpoint"),

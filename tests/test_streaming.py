@@ -371,3 +371,23 @@ def test_cli_backfill_from_tiffs(spark, tmp_path):
     assert set(integrals.kind) == {"base", "om", "spotsmasked", "arcsmasked"}
     csim = spark.read.parquet(str(out / "csim")).toPandas()
     assert sorted(csim.seq) == [0, 1]
+
+
+def test_streaming_gradient_stage_output(spark, tmp_path):
+    """gradient_stage=True threads the optional 2nd-derivative repair pass
+    through the streaming wrapper and lands its gradient_arcs table."""
+    input_dir = str(tmp_path / "landing")
+    _land_image(spark, input_dir, 0)
+
+    calib = build_calib_pixels(spark, CONTROLS).cache()
+    pipe = StreamingImagePipeline(
+        spark, calib, CONTROLS, str(tmp_path / "out"), gradient_stage=True
+    )
+    q = pipe.start(input_dir, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(180)
+
+    arcs = pipe.output("gradient_arcs").toPandas()
+    assert set(arcs.columns) >= {"image_id", "label", "on_arc"}
+    assert (arcs.image_id == "synth-00000").all()
+    # the regular outputs still land alongside
+    assert pipe.output("integrals").count() > 0

@@ -56,6 +56,8 @@ PIXEL_SCHEMA = (
 )
 
 OUTPUT_TABLES = ("integrals", "spot_stats", "spottiness", "outliers", "csim")
+#: written additionally when the pipeline runs with gradient_stage=True
+GRADIENT_TABLES = ("gradient_arcs",)
 
 
 def read_pixel_stream(
@@ -100,6 +102,7 @@ class StreamingImagePipeline:
     controls: ImageControls
     out_dir: str
     broadcast_calib: bool = True
+    gradient_stage: bool = False
     batches_seen: int = field(default=0, init=False)
 
     def _path(self, table: str) -> str:
@@ -119,13 +122,21 @@ class StreamingImagePipeline:
         )
 
         res = run_image_plan(
-            batch_df, self.calib, self.controls, broadcast_calib=self.broadcast_calib
+            batch_df,
+            self.calib,
+            self.controls,
+            broadcast_calib=self.broadcast_calib,
+            gradient_stage=self.gradient_stage,
         )
         try:
             res.integrals.write.mode("append").parquet(self._path("integrals"))
             res.spot_stats.write.mode("append").parquet(self._path("spot_stats"))
             res.spottiness.write.mode("append").parquet(self._path("spottiness"))
             res.outliers.write.mode("append").parquet(self._path("outliers"))
+            if self.gradient_stage and res.gradient is not None:
+                res.gradient.on_arc_labels.write.mode("append").parquet(
+                    self._path("gradient_arcs")
+                )
             self._append_csim(batch_df)
         finally:
             res.unpersist_all()
