@@ -19,9 +19,7 @@ import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
 
-from pyspark.sql import SparkSession
 
 from xrddatapipeline_spark.calib.cache import build_calib_pixels
 from xrddatapipeline_spark.calib.geometry import ImageControls

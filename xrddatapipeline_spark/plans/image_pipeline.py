@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 
 from xrddatapipeline_spark.calib.geometry import ImageControls
 from xrddatapipeline_spark.functions.binning import tth_bin_center
-from xrddatapipeline_spark.operators.integrate import integrate_binned_mean
 from xrddatapipeline_spark.operators.ring_stats import flag_outliers
 from xrddatapipeline_spark.operators.raster import close_mask_pixels, label_pixels
 
