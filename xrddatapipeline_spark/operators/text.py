@@ -364,3 +364,89 @@ def char_bigrams(df: DataFrame, text_col: str = "text",
         ).alias("i"),
         F.col(text_col),
     ).select(*cols, F.expr("substring(text, i, 2)").alias("bg"))
+
+
+def repetition_scores(df: DataFrame, n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Intra-document repetition: the fraction of word n-grams that are
+    duplicates of an earlier n-gram in the SAME document (the
+    Gopher/MassiveText repetitive-content quality filter).
+
+    Pure per-row array math over the materialized token array — zero
+    shuffles, embarrassingly parallel over the corpus. Docs with fewer
+    than `n` tokens score 0 over 0 grams (dup_frac null)."""
+    toks_df = df.select(
+        F.col(id_col),
+        F.explode(F.array(tokens_col(F.col(text_col)))).alias("_toks"),
+    )
+    grams = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("_toks", (i + k).cast("int"))
+                       for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # Generate boundary: `_grams` feeds three expressions below, and
+    # projection collapse would inline the lambda-bearing transform into
+    # each one (no CSE inside lambdas) — explode(array(..)) pins it
+    g = toks_df.select(
+        id_col, F.explode(F.array(grams)).alias("_grams")
+    )
+    n_grams = F.size("_grams").cast("long")
+    n_distinct = F.size(F.array_distinct("_grams")).cast("long")
+    return g.select(
+        id_col,
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        F.when(n_grams > 0, (n_grams - n_distinct) / n_grams)
+        .alias("dup_frac"),
+    )
+
+
+def span_hashes(df: DataFrame, width: int = 8, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Fixed-width token-span content hashes: one row per non-overlapping
+    `width`-token chunk — (doc_id, span_idx, span_hash). The unit of
+    span-level dedup (C4-style repeated-boilerplate removal operates on
+    spans/lines, not whole documents). Trailing partial chunks count when
+    non-empty."""
+    toks_df = df.select(
+        F.col(id_col),
+        F.explode(F.array(tokens_col(F.col(text_col)))).alias("_toks"),
+    )
+    n_spans = F.ceil(F.size("_toks") / F.lit(width)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda s: F.struct(
+            s.cast("int").alias("span_idx"),
+            F.md5(
+                F.concat_ws(" ", F.slice("_toks", s * width + 1, width))
+            ).alias("span_hash"),
+        ),
+    )
+    return toks_df.select(
+        id_col, F.explode(spans).alias("_s")
+    ).select(id_col, "_s.span_idx", "_s.span_hash")
+
+
+def duplicated_spans(df: DataFrame, width: int = 8, min_copies: int = 2,
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Spans repeated across (or within) documents: hash-groupBy over
+    `span_hashes` — (span_hash, n_copies, n_docs, canonical doc/span).
+    One shuffle on a high-entropy key; the output is the boilerplate
+    removal list."""
+    s = span_hashes(df, width, text_col, id_col)
+    return (
+        s.groupBy("span_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.min(F.col(id_col)).alias("first_doc"),
+            F.min(F.struct(F.col(id_col), F.col("span_idx")))["span_idx"]
+            .alias("first_span"),
+        )
+        .where(F.col("n_copies") >= min_copies)
+    )

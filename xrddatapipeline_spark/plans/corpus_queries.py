@@ -1012,3 +1012,64 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xrddatapipeline_spark.operators.multimodal import sample_frames
 
     return sample_frames(binary_assets(_t(spark, sf_dir, "documents")), every_n=7)
+
+
+# ---------------------------------------------------------------------------
+# Repetition filtering + span-level dedup
+# ---------------------------------------------------------------------------
+
+@_register(
+    "text_repetition_score",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                   [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                    FOR i IN range(1, len(t) - 1)]
+               ELSE [] END AS grams
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(grams) > 0 THEN
+               (len(grams) - len(list_distinct(grams))) * 1.0 / len(grams)
+           END AS dup_frac
+    FROM g
+    """,
+    doc="Intra-document repetition (Gopher-style quality filter): fraction "
+        "of word 3-grams duplicated within the same document. Pure per-row "
+        "array math — zero shuffles.",
+    tags=("text", "corpus", "dedup"),
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.repetition_scores(_t(spark, sf_dir, "documents"), n=3)
+
+
+@_register(
+    "dedup_span_hash",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    spans AS (
+        SELECT doc_id, CAST(s AS INT) AS span_idx,
+               md5(array_to_string(t[s * 8 + 1 : s * 8 + 8], ' ')) AS span_hash
+        FROM w, UNNEST(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(s)
+    )
+    SELECT span_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc,
+           min(struct_pack(d := doc_id, s := span_idx)).s AS first_span
+    FROM spans
+    GROUP BY span_hash
+    HAVING count(*) >= 2
+    """,
+    doc="Span-level dedup (C4-style boilerplate removal unit): hash every "
+        "non-overlapping 8-token span, keep hashes occurring >= 2 times "
+        "with copy/doc counts and the canonical first location. One "
+        "shuffle on a high-entropy key.",
+    tags=("dedup", "corpus"),
+)
+def dedup_span_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.duplicated_spans(_t(spark, sf_dir, "documents"), width=8)
