@@ -1073,3 +1073,43 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_span_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.duplicated_spans(_t(spark, sf_dir, "documents"), width=8)
+
+
+@_register(
+    "text_unigram_logprob",
+    """
+    WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+    tot AS (SELECT count(*) AS n FROM tk)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           avg(ln(n * 1.0 / c)) AS avg_neg_logp
+    FROM tk JOIN cnt USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="Unigram surprisal (perplexity proxy) per document: corpus-wide "
+        "token distribution, then mean -ln p(token) per doc. The classic "
+        "cheap LM-quality signal. Plan: explode -> map-side-combined vocab "
+        "agg (vocab-sized result) broadcast back to the token stream -> "
+        "per-doc avg; the token stream is scanned twice but shuffled only "
+        "as vocab-key partials. Float avg is not a rank key (1e-6 rtol).",
+    tags=("text", "corpus", "quality"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(F.broadcast(counts), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.avg(F.log(F.col("n") * 1.0 / F.col("c"))).alias("avg_neg_logp"),
+        )
+    )
