@@ -1113,3 +1113,43 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.log(F.col("n") * 1.0 / F.col("c"))).alias("avg_neg_logp"),
         )
     )
+
+
+@_register(
+    "emb_lang_centroids",
+    f"""
+    WITH el AS (
+        SELECT d.lang,
+               generate_subscripts(e.embedding, 1) - 1 AS d_idx,
+               unnest(e.embedding) AS x
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    )
+    SELECT lang, CAST(d_idx AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CAST(floor(CAST(x AS DOUBLE) * {_QS}) AS BIGINT)) AS BIGINT)
+               / {_QS} / count(*) AS centroid
+    FROM el GROUP BY lang, d_idx
+    """,
+    doc="Per-language embedding centroids (the building block of real "
+        "IVF/k-means refinement): dim-exploded map-side-combined "
+        "aggregation, one shuffle on (lang, dim) — never collects vectors. "
+        "Quantized integer sums make the mean bit-identical across "
+        "engines (order-independent).",
+    tags=("corpus", "embedding", "agg"),
+)
+def emb_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    el = emb.join(F.broadcast(docs), "vec_id").select(
+        "lang", F.posexplode("embedding").alias("dim", "x")
+    )
+    qs = float(2 ** 40)
+    return el.groupBy("lang", "dim").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        (
+            F.sum(F.floor(F.col("x").cast("double") * qs).cast("long"))
+            .cast("long") / qs / F.count("*")
+        ).alias("centroid"),
+    )
