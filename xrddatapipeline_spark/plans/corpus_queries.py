@@ -1153,3 +1153,80 @@ def emb_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long") / qs / F.count("*")
         ).alias("centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational spine: TPC-H q3/q6 analogs
+# ---------------------------------------------------------------------------
+
+@_register(
+    "tpch_q6ish_forecast_revenue",
+    """
+    SELECT sum(l_extendedprice * l_discount) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan-filter-aggregate; every predicate "
+        "reaches the parquet scan (PushedFilters), no shuffle beyond the "
+        "single-row final agg. The pushdown-correctness canary.",
+    tags=("agg", "relational"),
+)
+def tpch_q6ish_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+@_register(
+    "tpch_q3ish_order_volume_topk",
+    """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           sum(l_quantity) AS total_qty,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY total_qty DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective fact-fact join + grouped agg + top-k "
+        "(TakeOrderedAndProject — per-partition partial top-k, no global "
+        "sort). Rank key is the integer-exact quantity sum so the LIMIT "
+        "frontier is engine-deterministic; float revenue rides along as a "
+        "value column.",
+    tags=("join", "agg", "relational"),
+)
+def tpch_q3ish_order_volume_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        .join(
+            o.where(
+                F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy(F.col("total_qty").desc(), "l_orderkey")
+        .limit(10)
+    )
