@@ -1230,3 +1230,51 @@ def tpch_q3ish_order_volume_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_qty").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@_register(
+    "events_daily_rollup",
+    """
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               value
+        FROM events
+    )
+    SELECT event_type, CAST(day AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS sum_value,
+           max(value) AS max_value
+    FROM e GROUP BY event_type, day
+    """,
+    doc="Hypertable-style continuous aggregate: Spark builds an HOURLY "
+        "rollup first and RE-AGGREGATES it to daily (counts/sums/maxes "
+        "compose; the hourly table is what a dashboard would materialize), "
+        "while the oracle computes daily directly from raw rows — the "
+        "hash-match proves the rollup algebra. Two tiny keyed shuffles, "
+        "the second over an already-reduced table.",
+    tags=("agg", "corpus", "rollup"),
+)
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("(ts div 1000) div 3600000000").alias("hour"),
+            "value",
+        )
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.max("value").alias("m"),
+        )
+    )
+    return (
+        hourly.withColumn("day", (F.col("hour") / 24).cast("long"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("s").alias("sum_value"),
+            F.max("m").alias("max_value"),
+        )
+    )
