@@ -285,3 +285,30 @@ def test_multimodal_resize_and_frames_binary_plumbing(spark):
     assert (fr[fr.doc_id.isin(img_ids)].frame_idx == 0).all()
     assert (fr.frame_idx % 7 == 0).all()
     assert fr.frame_id.str.len().eq(32).all()
+
+
+def test_range_join_matches_bruteforce(spark):
+    import numpy as np
+
+    from xrddatapipeline_spark.operators.temporal import range_join
+
+    rng = np.random.default_rng(5)
+    left = [(int(k), int(t)) for k, t in
+            zip(rng.integers(0, 4, 80), rng.integers(0, 300, 80))]
+    right = [(int(k), int(t)) for k, t in
+             zip(rng.integers(0, 4, 80), rng.integers(0, 300, 80))]
+    ldf = spark.createDataFrame(left, "k long, t long")
+    rdf = spark.createDataFrame(right, "k long, t long")
+    LOW, HIGH = 3, 17
+
+    got = {
+        (r.l_k, r.l_t, r.r_t)
+        for r in range_join(ldf, rdf, by=["k"], on="t",
+                            low=LOW, high=HIGH).collect()
+    }
+    want = {
+        (lk, lt, rt)
+        for lk, lt in left for rk, rt in right
+        if lk == rk and LOW <= rt - lt <= HIGH
+    }
+    assert got == want and len(want) > 50

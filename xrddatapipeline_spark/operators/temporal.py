@@ -78,3 +78,48 @@ def asof_join(
         .where(F.col("_tag") == 1)
         .select(*l_cols, F.col("_match.*"))
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    on: str,
+    low: int,
+    high: int,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Banded interval join: pairs (l, r) sharing `by` keys with
+    l.on + low <= r.on <= l.on + high.
+
+    A naive inequality join is O(|left| x |right|) per key group; this is
+    the standard banded formulation — bucket `on` by the band width
+    (high - low), explode each left row to its two candidate buckets,
+    equi-join on (by..., bucket), then apply the exact range filter. Each
+    left row meets only the right rows within one band of its own, so the
+    candidate set is output-proportional, the join is a plain hash join
+    Catalyst/AQE can reason about, and skew splits normally. Both inputs
+    shuffle once on (by..., bucket).
+    """
+    width = high - low
+    if width <= 0:
+        raise ValueError("high must exceed low")
+    l_cols = [F.col(c).alias(left_prefix + c) for c in left.columns]
+    r_cols = [F.col(c).alias(right_prefix + c) for c in right.columns]
+    lb = F.floor((F.col(left_prefix + on) + F.lit(low)) / F.lit(width))
+    l = left.select(*l_cols).withColumn(
+        "_bucket", F.explode(F.array(lb.cast("long"), lb.cast("long") + 1))
+    )
+    r = right.select(*r_cols).withColumn(
+        "_bucket", F.floor(F.col(right_prefix + on) / F.lit(width)).cast("long")
+    )
+    cond = l["_bucket"] == r["_bucket"]
+    for k in by:
+        cond &= l[left_prefix + k] == r[right_prefix + k]
+    delta = r[right_prefix + on] - l[left_prefix + on]
+    return (
+        l.join(r, cond)
+        .where((delta >= low) & (delta <= high))
+        .drop("_bucket")
+    )

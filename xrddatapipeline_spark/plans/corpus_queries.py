@@ -1278,3 +1278,53 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("m").alias("max_value"),
         )
     )
+
+
+@_register(
+    "j9_range_join_error_burst",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        FROM events
+    ),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    x AS (SELECT * FROM e WHERE event_type = 'error')
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(count(x.event_id) AS BIGINT) AS n_errors,
+           min(x.event_id) AS first_error_id
+    FROM p LEFT JOIN x
+      ON p.user_id = x.user_id
+     AND x.ts_us > p.ts_us AND x.ts_us <= p.ts_us + 86400000000
+    GROUP BY p.event_id, p.user_id
+    """,
+    doc="Range (interval) join: errors within 24 h after each purchase, "
+        "via the banded formulation (operators/temporal.py::range_join — "
+        "band-bucket equi-join + exact filter, output-proportional "
+        "candidates) where the oracle uses a naive inequality join. "
+        "Left-join semantics recovered by re-joining the purchase set.",
+    tags=("join", "corpus", "temporal"),
+)
+def j9_range_join_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.expr("ts div 1000").alias("ts_us"), "event_type",
+    )
+    p = ev.where(F.col("event_type") == "purchase").drop("event_type")
+    x = ev.where(F.col("event_type") == "error").drop("event_type")
+    pairs = range_join(p, x, by=["user_id"], on="ts_us",
+                       low=1, high=86_400_000_000)
+    hits = pairs.groupBy(
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("l_user_id").alias("user_id"),
+    ).agg(
+        F.count("*").cast("long").alias("n_errors"),
+        F.min("r_event_id").alias("first_error_id"),
+    )
+    return (
+        p.select(F.col("event_id").alias("purchase_id"),
+                 "user_id")
+        .join(hits, ["purchase_id", "user_id"], "left")
+        .fillna({"n_errors": 0})
+    )
