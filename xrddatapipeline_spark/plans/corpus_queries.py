@@ -1328,3 +1328,73 @@ def j9_range_join_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hits, ["purchase_id", "user_id"], "left")
         .fillna({"n_errors": 0})
     )
+
+
+@_register(
+    "pack_context_windows",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS start_tok
+        FROM t
+    )
+    SELECT CAST(coalesce(start_tok, 0) // 2048 AS BIGINT) AS window_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           sum(n_tokens) AS n_tokens,
+           min(doc_id) AS first_doc
+    FROM c GROUP BY 1
+    """,
+    doc="Sequence-packing accounting (GPT-style concat-then-cut into "
+        "2048-token context windows): each doc is assigned the window its "
+        "first token lands in. The oracle uses a global running-sum "
+        "window; Spark uses the scale-correct two-phase distributed "
+        "prefix sum — per-shard partial sums, tiny broadcast of shard "
+        "offsets, per-row offset add — because a global-order window is "
+        "a single task at 100 TB.",
+    tags=("corpus", "packing", "agg"),
+)
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ctx = 2048
+    shard_size = 64  # docs per shard; ~n_docs/64 shards in the broadcast
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / shard_size).cast("long").alias("shard"),
+    )
+    # phase 1: per-shard totals -> cumulative offset per shard (the shard
+    # table is tiny: one row per 64 docs -> broadcast back)
+    shard_tot = t.groupBy("shard").agg(F.sum("n_tokens").alias("tot"))
+    w_sh = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = shard_tot.withColumn(
+        "offset", F.coalesce(F.sum("tot").over(w_sh), F.lit(0))
+    ).select("shard", "offset")
+    # phase 2: running sum WITHIN each shard (parallel across shards),
+    # plus the broadcast shard offset = exact global prefix sum
+    w_in = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = (
+        t.join(F.broadcast(offsets), "shard")
+        .withColumn(
+            "start_tok",
+            F.col("offset") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
+        )
+    )
+    return (
+        c.groupBy((F.col("start_tok") / ctx).cast("long").alias("window_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
