@@ -25,7 +25,7 @@ from xrddatapipeline_spark.operators.multimodal import (
     decode_features,
     hexval_sql,
 )
-from xrddatapipeline_spark.plans.driver_queries import _register, _t
+from xrddatapipeline_spark.plans.driver_queries import _register, _t, _ts_us
 
 # ---------------------------------------------------------------------------
 # Shared oracle CTE fragments (DuckDB SQL)
@@ -815,9 +815,7 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    e = ev.select(
-        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_type"
-    )
+    e = ev.select("user_id", _ts_us(ev).alias("ts_us"), "event_type")
     s1 = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias("t1")
     )
@@ -939,9 +937,9 @@ def corpus_clean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j8_asof_signup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xrddatapipeline_spark.operators.temporal import asof_join
 
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id",
-        F.expr("ts div 1000").alias("ts_us"), "event_type",
+    raw = _t(spark, sf_dir, "events")
+    ev = raw.select(
+        "event_id", "user_id", _ts_us(raw).alias("ts_us"), "event_type"
     )
     right = ev.where(F.col("event_type") == "signup").select(
         "user_id", "ts_us", F.col("event_id").alias("sign_event")
@@ -1259,7 +1257,7 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         ev.select(
             "event_type",
-            F.expr("(ts div 1000) div 3600000000").alias("hour"),
+            F.floor(_ts_us(ev) / F.lit(3_600_000_000)).alias("hour"),
             "value",
         )
         .groupBy("event_type", "hour")
@@ -1307,9 +1305,9 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j9_range_join_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xrddatapipeline_spark.operators.temporal import range_join
 
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id",
-        F.expr("ts div 1000").alias("ts_us"), "event_type",
+    raw = _t(spark, sf_dir, "events")
+    ev = raw.select(
+        "event_id", "user_id", _ts_us(raw).alias("ts_us"), "event_type"
     )
     p = ev.where(F.col("event_type") == "purchase").drop("event_type")
     x = ev.where(F.col("event_type") == "error").drop("event_type")
@@ -1396,5 +1394,251 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
             F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@_register(
+    "tpch_q14_promo_share",
+    """
+    SELECT strftime(l_shipdate, '%Y-%m') AS month,
+           sum(CASE WHEN p_type = 'PROMO'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+               AS promo_revenue,
+           sum(l_extendedprice * (1 - l_discount)) AS total_revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+    doc="TPC-H Q14 analog (promotion revenue share by ship month): "
+        "fact-to-dimension equi-join with the dimension broadcast (part "
+        "is O(SF) small vs lineitem; no shuffle of the fact side before "
+        "the join) feeding a conditional aggregate. The month grouping "
+        "key is derived, so the only fact-side shuffle is the final "
+        "12-ish-key hash agg, map-side combined.",
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            .alias("promo_revenue"),
+            F.sum(rev).alias("total_revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "events_trailing_hour_stats",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+    )
+    SELECT event_id, user_id, ts_us,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           avg(value) OVER w AS avg_value_1h,
+           max(value) OVER w AS max_value_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Trailing-1h per-user moving aggregate via a RANGE window frame "
+        "(time-valued frame bounds, peers included on ties — identical "
+        "semantics in Spark and DuckDB). One shuffle on user_id; the "
+        "frame scan is a single ordered pass per user partition. The "
+        "time-series smoothing / rate-limiting primitive.",
+    tags=("window", "corpus", "temporal"),
+)
+def events_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "user_id", _ts_us(ev).alias("ts_us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id", "user_id", "ts_us",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.avg("value").over(w).alias("avg_value_1h"),
+        F.max("value").over(w).alias("max_value_1h"),
+    )
+
+
+@_register(
+    "events_rollup_grouping",
+    """
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day, value
+        FROM events
+    )
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           CAST(coalesce(day, -1) AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS sum_value
+    FROM e GROUP BY ROLLUP (event_type, day)
+    """,
+    doc="Hierarchical ROLLUP (grouping sets) over (event_type, day): one "
+        "logical aggregate produces the detail, per-type subtotal, and "
+        "grand-total levels in a single shuffle (Spark expands grouping "
+        "sets map-side). Neither key is ever NULL in the data, so the "
+        "coalesced sentinels ('ALL'/-1) are unambiguous. Beyond the "
+        "reference (SURVEY notes no rollup/cube anywhere) — the OLAP "
+        "dashboard primitive.",
+    tags=("agg", "corpus", "rollup"),
+)
+def events_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.floor(_ts_us(ev) / F.lit(86_400_000_000)).alias("day"),
+        "value",
+    )
+    return (
+        e.rollup("event_type", "day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit(-1)).alias("day"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "text_tfidf_top_terms",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * ((1000000 * n.n) // df.df) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term
+        ) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, CAST(score AS BIGINT) AS score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    doc="Per-document top-3 terms by tf-idf with a RATIONAL idf "
+        "(tf * (1e6*N div df), integer floor division) so the rank key is "
+        "exact integer math — bit-identical across engines, no ln() ulp "
+        "drift — while preserving tf-idf's ordering character. Plan: "
+        "explode -> (doc,term) hash agg -> term-keyed df agg broadcast "
+        "back (the vocabulary is a bounded dimension per language; at "
+        "unbounded vocab this becomes a term-keyed shuffle join) -> "
+        "per-doc row_number top-k.",
+    tags=("text", "corpus", "window"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.count("*").cast("long").alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.expr("tf * ((1000000 * n) div df)"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+@_register(
+    "docs_length_deciles",
+    """
+    WITH r AS (
+        SELECT doc_id, n_chars,
+               ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+        FROM documents
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           sum(n_chars) AS sum_chars
+    FROM r GROUP BY decile
+    """,
+    doc="Document-length decile profile. The oracle uses a global NTILE "
+        "(single-task total order); the Spark side computes the SAME "
+        "assignment scale-correctly: range-repartition on the sort key, "
+        "per-partition row_number, tiny per-partition-count broadcast -> "
+        "exact global rank, then NTILE's closed-form tile formula "
+        "(first n%k tiles get floor(n/k)+1 rows) in integer math. No "
+        "global-order window anywhere in the distributed plan.",
+    tags=("window", "corpus", "agg"),
+)
+def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    k = 10
+    parts = docs.repartitionByRange(16, "n_chars", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("pid").orderBy("n_chars", "doc_id")
+    local = parts.withColumn("lrn", F.row_number().over(w_in).cast("long"))
+    counts = local.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_p = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_p), F.lit(0))
+    )
+    total = offsets.agg(F.sum("cnt").cast("long").alias("n"))
+    ranked = (
+        local.join(F.broadcast(offsets.select("pid", "off")), "pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rank", F.col("off") + F.col("lrn"))
+    )
+    base = F.expr(f"n div {k}")
+    extra = F.expr(f"n % {k}")
+    cut = extra * (base + 1)
+    decile = F.when(
+        F.col("rank") <= cut,
+        ((F.col("rank") - 1) / (base + 1)).cast("long") + 1,
+    ).otherwise(
+        extra + ((F.col("rank") - 1 - cut) / base).cast("long") + 1
+    )
+    return (
+        ranked.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
         )
     )

@@ -18,7 +18,7 @@ import os
 from dataclasses import dataclass, field
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from xrddatapipeline_spark.operators.integrate import integrate_binned_mean
@@ -27,9 +27,10 @@ from xrddatapipeline_spark.operators.ring_stats import group_median_mad
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is Parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-        # default; read it as long (nanos since epoch) — it is only ever
-        # used as an ordering/windowing key, where long order == time order.
+        # Some testdata vintages write ts as Parquet TIMESTAMP(NANOS), which
+        # Spark 4 rejects by default; this conf surfaces it as a bigint of
+        # nanos instead (newer vintages use TIMESTAMP(MICROS) and read as
+        # TIMESTAMP_NTZ — _ts_us() normalizes both to epoch microseconds).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
@@ -51,6 +52,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if compute_heavy or big:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
+
+
+def _ts_us(df: DataFrame) -> Column:
+    """events.ts as integer microseconds-since-epoch, robust to vintage.
+
+    Older driver testdata wrote ts as Parquet TIMESTAMP(NANOS), which the
+    ``nanosAsLong`` conf surfaces as a bigint of nanoseconds; newer data is
+    TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ. Normalize both to
+    the integer microseconds DuckDB's ``epoch_us(ts)`` produces (session
+    timezone is pinned UTC, so the NTZ->TZ cast is the identity mapping).
+    """
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return F.expr("ts div 1000")
+    return F.unix_micros(F.col("ts").cast("timestamp"))
 
 
 @dataclass
@@ -621,16 +638,13 @@ _SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12 h in microseconds
         "lag-window boundary flag + running sum = session id, then per-"
         "session aggregates. The batch form of the streaming session-window "
         "operator; one shuffle on user_id serves both windows and the agg. "
-        "Timestamps compared in integer microseconds (Spark reads the "
-        "TIMESTAMP(NANOS) column as long and truncates; matches DuckDB's "
-        "ns->us truncation exactly).",
+        "Timestamps compared in integer microseconds (_ts_us normalizes "
+        "either testdata vintage to DuckDB's epoch_us semantics).",
     tags=("window", "corpus", "sessionize"),
 )
 def w6_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    e = ev.select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
-    )
+    e = ev.select("user_id", "event_id", _ts_us(ev).alias("ts_us"))
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     flags = e.withColumn(
         "is_new",
