@@ -93,3 +93,50 @@ def test_sessionize_single_shuffle(spark):
 
     df = REGISTRY["w6_sessionize_events"].spark(spark, "/root/testdata/sf0.001")
     assert _exchanges(df) == 1
+
+
+def test_q14_broadcasts_dimension_single_agg_exchange(spark, sf_dir):
+    """tpch_q14's claim: part is broadcast (no fact-side shuffle before
+    the join); the only data exchange is the final month hash agg."""
+    from xrddatapipeline_spark.plans.driver_queries import REGISTRY
+
+    df = REGISTRY["tpch_q14_promo_share"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert _exchanges(df) == 1
+
+
+def test_trailing_hour_window_single_user_shuffle(spark, sf_dir):
+    from xrddatapipeline_spark.plans.driver_queries import REGISTRY
+
+    df = REGISTRY["events_trailing_hour_stats"].spark(spark, sf_dir)
+    assert _exchanges(df) == 1
+
+
+def test_rollup_single_exchange_with_expand(spark, sf_dir):
+    """ROLLUP expands grouping sets map-side (Expand node) and aggregates
+    all levels through ONE shuffle."""
+    from xrddatapipeline_spark.plans.driver_queries import REGISTRY
+
+    df = REGISTRY["events_rollup_grouping"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "Expand" in plan
+    assert _exchanges(df) == 1
+
+
+def test_deciles_uses_range_partitioning_no_global_window(spark, sf_dir):
+    """docs_length_deciles' claim: global rank comes from range
+    repartition + per-partition row_number + offset broadcast — the plan
+    must contain a range exchange and must NOT contain a single-partition
+    window over the full table (SinglePartition exchanges may only feed
+    the tiny per-partition-count/offset side)."""
+    from xrddatapipeline_spark.plans.driver_queries import REGISTRY
+
+    df = REGISTRY["docs_length_deciles"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "rangepartitioning" in plan.lower()
+    # the full-table window partitions by pid, never by nothing-at-all:
+    # every Window over the doc rows must carry a partition spec
+    for line in plan.splitlines():
+        if "Window [" in line and "row_number()" in line:
+            assert "pid" in line
