@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from xrddatapipeline_spark.calib.cache import build_calib_pixels
 from xrddatapipeline_spark.streaming import StreamingImagePipeline, read_pixel_stream
@@ -391,3 +392,74 @@ def test_streaming_gradient_stage_output(spark, tmp_path):
     assert (arcs.image_id == "synth-00000").all()
     # the regular outputs still land alongside
     assert pipe.output("integrals").count() > 0
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream interval join: pairs within the time
+    band emit exactly once; a row arriving behind the watermark finds
+    its partner evicted from the state store and emits nothing."""
+    import pandas as pd
+
+    from xrddatapipeline_spark.streaming.joins import interval_join_streams
+
+    ldir, rdir = tmp_path / "purch", tmp_path / "err"
+    ldir.mkdir(); rdir.mkdir()
+
+    def land(d, name, rows, cols):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+        pdf.to_parquet(d / name)
+
+    def run():
+        ls = spark.readStream.schema(
+            "user_id long, ts timestamp, amount double"
+        ).parquet(str(ldir))
+        rs = spark.readStream.schema(
+            "user_id long, ts timestamp, code string"
+        ).parquet(str(rdir))
+        joined = interval_join_streams(
+            ls, rs, key="user_id", within="1 hour",
+            left_late="10 minutes", right_late="10 minutes",
+        )
+        q = (
+            joined.select(
+                "user_id",
+                F.unix_timestamp("ts").alias("pt"),
+                F.unix_timestamp("ts_r").alias("et"),
+                F.col("code_r").alias("code"),
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def got():
+        return {
+            (r.user_id, r.pt, r.et, r.code)
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+
+    # user 1: purchase t=100, errors at t=200 (in band) and t=5000 (out of
+    # 1h band); user 2: purchase t=1000, error t=900 (before -> no match).
+    land(ldir, "l1.parquet", [(1, 100, 9.99), (2, 1000, 5.0)],
+         ["user_id", "ts", "amount"])
+    land(rdir, "r1.parquet",
+         [(1, 200, "E1"), (1, 5000, "E2"), (2, 900, "E3")],
+         ["user_id", "ts", "code"])
+    # push both watermarks far forward so old state is evicted
+    land(ldir, "l2.parquet", [(9, 50000, 1.0)], ["user_id", "ts", "amount"])
+    land(rdir, "r2.parquet", [(9, 50001, "WM")], ["user_id", "ts", "code"])
+    run()
+    first = got()
+    assert (1, 100, 200, "E1") in first
+    assert all(c != "E2" and c != "E3" for (_, _, _, c) in first)
+
+    # a late error for user 1 behind the watermark: its purchase row has
+    # been evicted -> no new match may appear on resume
+    land(rdir, "r3.parquet", [(1, 150, "LATE")], ["user_id", "ts", "code"])
+    run()
+    assert all(c != "LATE" for (_, _, _, c) in got())
