@@ -243,11 +243,14 @@ def ivf_centroids(df: DataFrame, num_cells: int, vec_col: str = "embedding",
     return [(i, list(r[1])) for i, r in enumerate(rows)]
 
 
-def ivf_cell_expr(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """Nearest-centroid cell id as one shuffle-free expression: integer
-    squared distance qnorm(x) - 2*qdot(x,c) + qnorm(c) per centroid (all
-    exact int64 via the quantized dots), argmin by (dist, cell). The
-    centroid matrix is a driver-side literal, so assignment is a map-side
+def ivf_assign_expr(
+    vec: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid assignment as one shuffle-free expression: a
+    struct<dist, cell> holding the integer squared distance
+    qnorm(x) - 2*qdot(x,c) + qnorm(c) to the winning centroid (all exact
+    int64 via the quantized dots), argmin by (dist, cell). The centroid
+    matrix is a driver-side literal, so assignment is a map-side
     projection — the IVF scale property: corpus bucketing costs one scan,
     queries probe one cell."""
     def qconst(v: list[float]) -> int:
@@ -263,7 +266,12 @@ def ivf_cell_expr(vec: Column, centroids: list[tuple[int, list[float]]]) -> Colu
         )
         for cell, cvec in centroids
     ])
-    return F.array_min(cands)["cell"]
+    return F.array_min(cands)
+
+
+def ivf_cell_expr(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Winning cell id of `ivf_assign_expr` (kept as the common surface)."""
+    return ivf_assign_expr(vec, centroids)["cell"]
 
 
 def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 3,

@@ -1642,3 +1642,84 @@ def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@_register(
+    "emb_kmeans_update",
+    "WITH " + SQL_IVF + f""",
+    el AS (
+        SELECT cell, generate_subscripts(embedding, 1) - 1 AS d_idx,
+               unnest(embedding) AS x
+        FROM asg
+    )
+    SELECT CAST(cell AS INT) AS cell, CAST(d_idx AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CAST(floor(CAST(x AS DOUBLE) * {_QS}) AS BIGINT)) AS BIGINT)
+               / {_QS} / count(*) AS centroid
+    FROM el GROUP BY cell, d_idx
+    """,
+    doc="One full Lloyd (k-means) iteration over the embedding corpus: "
+        "map-side nearest-centroid assignment against the 8 deterministic "
+        "IVF seeds (driver-literal centroid matrix, zero-shuffle argmin of "
+        "exact integer quantized distances), then the centroid UPDATE as a "
+        "dim-exploded quantized-sum aggregation — one (cell, dim) shuffle, "
+        "map-side combined, never collecting vectors. Iterating = feeding "
+        "these means back as the next round's literals; this is the IVF/"
+        "k-means refinement loop emb_lang_centroids was the building block "
+        "for.",
+    tags=("corpus", "embedding", "agg", "ivf"),
+)
+def emb_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(emb, _IVF_CELLS)
+    asg = emb.select(
+        sim.ivf_cell_expr(F.col("embedding"), cents).alias("cell"),
+        "embedding",
+    )
+    el = asg.select("cell", F.posexplode("embedding").alias("dim", "x"))
+    qs = float(2 ** 40)
+    return el.groupBy("cell", "dim").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        (
+            F.sum(F.floor(F.col("x").cast("double") * qs).cast("long"))
+            .cast("long") / qs / F.count("*")
+        ).alias("centroid"),
+    )
+
+
+@_register(
+    "emb_kmeans_inertia",
+    "WITH " + SQL_IVF + """,
+    bestd AS (
+        SELECT vec_id, cell, dist FROM (
+            SELECT vec_id, cell, dist, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cell) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    )
+    SELECT CAST(cell AS INT) AS cell, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(dist) AS BIGINT) AS sum_qdist
+    FROM bestd GROUP BY cell
+    """,
+    doc="k-means convergence metric: per-cell member count and total "
+        "integer quantized squared distance to the assigned centroid "
+        "(exact int64 sum — order-independent, so the convergence check "
+        "is bit-stable across engines and cluster layouts). Same "
+        "shuffle-free assignment as emb_kmeans_update; one 8-key "
+        "map-side-combined shuffle.",
+    tags=("corpus", "embedding", "agg", "ivf"),
+)
+def emb_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(emb, _IVF_CELLS)
+    b = emb.select(
+        sim.ivf_assign_expr(F.col("embedding"), cents).alias("b")
+    )
+    return (
+        b.select(F.col("b.cell").alias("cell"), F.col("b.dist").alias("dist"))
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("dist").cast("long").alias("sum_qdist"),
+        )
+    )
