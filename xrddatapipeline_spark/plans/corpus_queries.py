@@ -1723,3 +1723,120 @@ def emb_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dist").cast("long").alias("sum_qdist"),
         )
     )
+
+
+@_register(
+    "docs_percent_rank",
+    """
+    SELECT doc_id, lang,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM documents
+    WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+    """,
+    doc="Distribution-rank analytics (percent_rank + cume_dist) per "
+        "language partition: the quality-threshold calibration primitive "
+        "('keep the top X% of docs per language'). doc_id tie-break makes "
+        "the ordering total, so the integer-ratio outputs are engine-"
+        "exact. One shuffle on lang; partitions stay language-sized (the "
+        "per-key window caveat in SCALE.md §3 applies to monster "
+        "languages — pre-split by hash salt if one lang dominates).",
+    tags=("window", "corpus"),
+)
+def docs_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "lang",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@_register(
+    "docs_set_ops",
+    """
+    SELECT 'en_and_src1' AS which, doc_id FROM (
+        SELECT doc_id FROM documents WHERE lang = 'en'
+        INTERSECT
+        SELECT doc_id FROM documents WHERE source = 'src1'
+    )
+    UNION ALL
+    SELECT 'en_minus_src1' AS which, doc_id FROM (
+        SELECT doc_id FROM documents WHERE lang = 'en'
+        EXCEPT
+        SELECT doc_id FROM documents WHERE source = 'src1'
+    )
+    """,
+    doc="Relational set operators (INTERSECT / EXCEPT, distinct "
+        "semantics) over two filtered corpus slices, tagged and unioned. "
+        "Spark plans both as hash left-semi/anti joins behind one "
+        "exchange per side; the reference only ever unions boolean pixel "
+        "masks (SURVEY §2.7), so this is the engine-completeness surface "
+        "for real relational set algebra.",
+    tags=("setop", "corpus"),
+)
+def docs_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    en = docs.where(F.col("lang") == "en").select("doc_id")
+    s1 = docs.where(F.col("source") == "src1").select("doc_id")
+    both = en.intersect(s1).select(
+        F.lit("en_and_src1").alias("which"), "doc_id"
+    )
+    only = en.exceptAll(s1).distinct().select(
+        F.lit("en_minus_src1").alias("which"), "doc_id"
+    )
+    return both.unionByName(only)
+
+
+@_register(
+    "events_pivot_daily",
+    """
+    WITH e AS (
+        SELECT epoch_us(ts) // 86400000000 AS day, event_type, value
+        FROM events
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS n_purchase,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+           coalesce(sum(value) FILTER (event_type = 'purchase'), 0.0)
+               AS purchase_value
+    FROM e GROUP BY day
+    """,
+    doc="PIVOT: long event rows to one wide row per day with per-type "
+        "columns. Spark's groupBy().pivot() with the value list given "
+        "explicitly — no discovery pass over the data — compiles to the "
+        "same single-shuffle conditional aggregate the oracle spells out "
+        "(the dashboard wide-table materialization; W3/J5-style readback "
+        "consumes exactly this shape).",
+    tags=("agg", "corpus", "pivot"),
+)
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "error", "signup"]
+    e = ev.select(
+        F.floor(_ts_us(ev) / F.lit(86_400_000_000)).alias("day"),
+        "event_type", "value",
+    )
+    wide = (
+        e.groupBy("day")
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))
+                  ).alias("v"),
+        )
+    )
+    out = wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+        F.coalesce(F.col("purchase_v"), F.lit(0.0)).alias("purchase_value"),
+    )
+    return out
