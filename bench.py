@@ -37,6 +37,14 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "text_fingerprint_winnow",
     "mm_decode_features",
+    # round-1 additions: relational join/agg breadth + distributed rank +
+    # k-means refinement
+    "tpch_q14_promo_share",
+    "events_trailing_hour_stats",
+    "events_rollup_grouping",
+    "text_tfidf_top_terms",
+    "docs_length_deciles",
+    "emb_kmeans_update",
 ]
 
 
