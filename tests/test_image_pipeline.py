@@ -180,3 +180,34 @@ def test_cosine_similarity_series(spark):
         [cos(flat[s], flat[max(s - 1, 0)]) for s in range(3)],
         rtol=1e-12,
     )
+
+
+def test_observed_stage_counters_match_outputs(spark):
+    """run_image_plan(observe=True): the Observation counters (A22 analog
+    of the reference's per-stage printouts) piggyback on output actions
+    and equal independently recomputed counts."""
+    img = make_image(CONTROLS, seq=7)
+    pixels = images_long_df(spark, [("synth", 7, img)])
+    calib = build_calib_pixels(spark, CONTROLS).cache()
+    res = run_image_plan(pixels, calib, CONTROLS, observe=True)
+    try:
+        # materialize every output the way the streaming sink would
+        for out in (res.integrals, res.spot_stats, res.spottiness,
+                    res.outliers):
+            out.write.format("noop").mode("overwrite").save()
+        m = {}
+        for o in res.observations.values():
+            m.update(o.get)
+        assert m["n_px"] == img.size
+        assert m["n_outlier_px"] == res.outliers.count()
+        assert m["n_om_px"] == res.om_pixels.count()
+        assert m["n_clusters"] == res.label_table.count()
+        assert m["n_spots"] + m["n_arcs"] <= m["n_clusters"]
+        assert m["n_integral_rows"] == res.integrals.count()
+        assert set(m) == {
+            "n_px", "n_base_masked", "n_outlier_px", "n_om_px",
+            "n_clusters", "n_spots", "n_arcs", "n_integral_rows",
+        }
+    finally:
+        res.unpersist_all()
+        calib.unpersist()

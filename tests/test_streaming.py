@@ -463,3 +463,28 @@ def test_stream_stream_interval_join(spark, tmp_path):
     land(rdir, "r3.parquet", [(1, 150, "LATE")], ["user_id", "ts", "code"])
     run()
     assert all(c != "LATE" for (_, _, _, c) in got())
+
+
+def test_stage_metrics_observability_sink(spark, tmp_path):
+    """observe_metrics=True lands one stage-counter row per batch under
+    out/stage_metrics, harvested from the batch's own writes."""
+    input_dir, out_dir = str(tmp_path / "landing"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _land_image(spark, input_dir, 0)
+    _land_image(spark, input_dir, 1)
+    calib = build_calib_pixels(spark, CONTROLS).cache()
+    pipe = StreamingImagePipeline(
+        spark, calib, CONTROLS, out_dir, observe_metrics=True
+    )
+    q = pipe.start(input_dir, ckpt, available_now=True,
+                   max_files_per_trigger=1)
+    q.awaitTermination(120)
+    m = spark.read.json(out_dir + "/stage_metrics").toPandas()
+    assert len(m) == 2  # one row per single-image batch
+    n_px = CONTROLS.size_x * CONTROLS.size_y
+    assert (m["n_px"] == n_px).all()
+    assert set(m.columns) >= {
+        "batch_id", "n_px", "n_base_masked", "n_outlier_px", "n_om_px",
+        "n_clusters", "n_spots", "n_arcs", "n_integral_rows",
+    }
+    calib.unpersist()

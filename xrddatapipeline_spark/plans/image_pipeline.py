@@ -21,9 +21,9 @@ aggregation keys; calib join broadcasts below ~10 MB and bucket-joins above.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from xrddatapipeline_spark.calib.geometry import ImageControls
@@ -332,6 +332,12 @@ class ImagePlanResult:
     spot_stats: DataFrame
     spottiness: DataFrame
     gradient: "object | None" = None  # GradientStageResult when enabled
+    # stage counters (A22 analog of the reference's per-stage printouts,
+    # pipeline_queue.py:1007-1014): populated when run_image_plan(...,
+    # observe=True); each Observation.get blocks until an action has run
+    # over the observed frame, then yields its named metrics for free —
+    # no extra job per counter.
+    observations: dict[str, Observation] = field(default_factory=dict)
 
     def unpersist_all(self) -> None:
         """Drop every frame the plan persisted (call after the batch's
@@ -352,6 +358,7 @@ def run_image_plan(
     controls: ImageControls,
     broadcast_calib: bool = True,
     gradient_stage: bool = False,
+    observe: bool = False,
 ) -> ImagePlanResult:
     """Full per-image plan (pipeline.py:78-504 equivalent), lazily composed.
 
@@ -359,22 +366,56 @@ def run_image_plan(
     (plans.gradient_stage): the spot/arc pixel sets fed to the integrals
     become the refined new_spot/new_arc flags (classification.py:587-606)."""
     shape = (controls.size_y, controls.size_x)
+
+    obs: dict[str, Observation] = {}
+
+    def _obs(df: DataFrame, name: str, *metrics) -> DataFrame:
+        # free-riding stage counters (reference's per-stage printouts,
+        # pipeline_queue.py:1007-1014): computed by the action that
+        # materializes the frame anyway — never an extra job.
+        if not observe:
+            return df
+        o = Observation(name)
+        obs[name] = o
+        return df.observe(o, *metrics)
+
     # px (the dense calib-joined pixel table) feeds five outputs; without a
     # persist every output re-executes the pixels ⋈ calib join. ~8.3 M rows
     # x ~15 columns per image — a deliberate per-batch cache, dropped by the
     # caller (streaming does this per foreachBatch).
-    px = with_base_mask(
-        join_calib(pixels, calib, broadcast=broadcast_calib, controls=controls)
+    px = _obs(
+        with_base_mask(
+            join_calib(
+                pixels, calib, broadcast=broadcast_calib, controls=controls
+            )
+        ),
+        "corrections",
+        F.count(F.lit(1)).alias("n_px"),
+        F.count_if(F.col("base_mask")).alias("n_base_masked"),
     ).persist()
     # The sparse intermediates (outlier/om/labeled pixel sets, label table)
     # feed several downstream outputs; persist them so the expensive
     # upstream (ring stats + raster kernels) runs once, not once per output.
     # They are ~1e4-1e5 rows per image — cheap to cache at any scale.
-    outliers = outlier_pixels(px, esd_mul=controls.esd_mul).persist()
-    om = closed_outlier_pixels(outliers, shape).persist()
+    outliers = _obs(
+        outlier_pixels(px, esd_mul=controls.esd_mul),
+        "outlier_mask",
+        F.count(F.lit(1)).alias("n_outlier_px"),
+    ).persist()
+    om = _obs(
+        closed_outlier_pixels(outliers, shape),
+        "binary_closing",
+        F.count(F.lit(1)).alias("n_om_px"),
+    ).persist()
     lpx, label_table = classify_clusters(px, om, shape)
     lpx = lpx.persist()
-    label_table = label_table.persist()
+    label_table = _obs(
+        label_table,
+        "shape_classification",
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.count_if(F.col("classifier") == 1).alias("n_spots"),
+        F.count_if(F.col("classifier") == 2).alias("n_arcs"),
+    ).persist()
     # one sparse flag table covers all three mask variants: the om set IS
     # the labeled pixel set, and spot/arc membership is the classifier (or
     # the gradient stage's refined new_spot/new_arc flags)
@@ -399,7 +440,11 @@ def run_image_plan(
             (F.col("classifier") == 1).alias("is_spot_px"),
             (F.col("classifier") == 2).alias("is_arc_px"),
         )
-    integrals = integrate_all(px, mask_flags, controls)
+    integrals = _obs(
+        integrate_all(px, mask_flags, controls),
+        "integrations",
+        F.count(F.lit(1)).alias("n_integral_rows"),
+    )
     stats = spot_stats(lpx, label_table, px)
     spotty = spottiness_per_qbin(px, om)
     return ImagePlanResult(
@@ -412,4 +457,5 @@ def run_image_plan(
         spot_stats=stats,
         spottiness=spotty,
         gradient=grad,
+        observations=obs,
     )

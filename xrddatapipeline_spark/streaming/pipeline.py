@@ -103,6 +103,7 @@ class StreamingImagePipeline:
     out_dir: str
     broadcast_calib: bool = True
     gradient_stage: bool = False
+    observe_metrics: bool = False
     batches_seen: int = field(default=0, init=False)
 
     def _path(self, table: str) -> str:
@@ -127,6 +128,7 @@ class StreamingImagePipeline:
             self.controls,
             broadcast_calib=self.broadcast_calib,
             gradient_stage=self.gradient_stage,
+            observe=self.observe_metrics,
         )
         try:
             res.integrals.write.mode("append").parquet(self._path("integrals"))
@@ -138,6 +140,18 @@ class StreamingImagePipeline:
                     self._path("gradient_arcs")
                 )
             self._append_csim(batch_df)
+            if self.observe_metrics and res.observations:
+                # A22 analog: the reference prints per-stage counters at
+                # Stop (pipeline_queue.py:1007-1014); here each batch
+                # appends one row of stage counters, harvested for free
+                # from the writes above (Observation piggybacks on the
+                # materializing action — no extra job).
+                flat: dict[str, int] = {"batch_id": int(batch_id)}
+                for o in res.observations.values():
+                    flat.update({k: int(v) for k, v in o.get.items()})
+                self.spark.createDataFrame([flat]).write.mode("append").json(
+                    self._path("stage_metrics")
+                )
         finally:
             res.unpersist_all()
 
