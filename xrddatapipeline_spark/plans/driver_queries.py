@@ -911,19 +911,48 @@ def a20_cosine_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M1 — connected-component labeling through the driver contract (rows-only:
-# CC is not SQL-expressible, so the driver records the weaker check)
+# M1 — connected-component labeling through the driver contract. The raw
+# label VALUES are kernel-implementation detail, so the output re-keys each
+# component by its canonical pixel (min linear index) — a label-invariant
+# quotient the DuckDB oracle reproduces with a recursive-CTE transitive
+# closure over the 8-neighbor pixel graph.
 # ---------------------------------------------------------------------------
 
 @_register(
     "m1_label_components",
-    None,
+    """
+    WITH RECURSIVE pts AS (
+        SELECT DISTINCT CAST(o_orderkey % 96 AS INT) AS y,
+               CAST((o_orderkey * 31 + o_custkey) % 96 AS INT) AS x
+        FROM orders
+        WHERE (o_orderkey * 7 + o_custkey) % 13 = 0
+    ),
+    nodes AS (SELECT y * 96 + x AS id, y, x FROM pts),
+    edges AS (
+        SELECT a.id AS src, b.id AS dst
+        FROM nodes a JOIN nodes b
+          ON abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1 AND a.id <> b.id
+    ),
+    walk(id, reach) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    comp AS (SELECT id, min(reach) AS comp_id FROM walk GROUP BY id)
+    SELECT CAST(comp_id AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT) AS area,
+           min(n.y) AS min_y, min(n.x) AS min_x
+    FROM comp JOIN nodes n ON comp.id = n.id
+    GROUP BY comp_id
+    """,
     doc="Connected-component labeling kernel (M1, classification.py:387 et "
     "al.) through the applyInPandas harness: a deterministic 96x96 mask is "
     "derived from the orders table, labeled 8-connected, and reduced to a "
-    "per-label area table. No SQL oracle (CC is not expressible); the "
-    "kernel itself is numpy-oracle-tested in tests/test_kernels.py.",
-    tags=("kernel", "xrd", "rows-only"),
+    "per-component area table keyed by the component's min-linear-index "
+    "pixel (label-assignment-invariant). Oracle: recursive-CTE transitive "
+    "closure over the 8-neighbor graph — tractable at oracle scale, which "
+    "is exactly why the engine uses the kernel/hash-min routes instead.",
+    tags=("kernel", "xrd", "graph"),
 )
 def m1_label_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xrddatapipeline_spark.operators.raster import label_pixels
@@ -946,9 +975,15 @@ def m1_label_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = label_pixels(pts, shape=(side, side), connectivity=2)
     return (
         labeled.groupBy("label")
-        .agg(F.count("*").alias("area"), F.min("y").alias("min_y"),
-             F.min("x").alias("min_x"))
-        .orderBy("label")
+        .agg(
+            F.min(F.col("y").cast("long") * side + F.col("x"))
+            .alias("component"),
+            F.count("*").cast("long").alias("area"),
+            F.min("y").alias("min_y"),
+            F.min("x").alias("min_x"),
+        )
+        .drop("label")
+        .select("component", "area", "min_y", "min_x")
     )
 
 
