@@ -1840,3 +1840,41 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("purchase_v"), F.lit(0.0)).alias("purchase_value"),
     )
     return out
+
+
+@_register(
+    "orders_rank_ties",
+    """
+    WITH o AS (
+        SELECT o_orderkey, c_mktsegment,
+               CAST(floor(o_totalprice / 10000) AS BIGINT) AS price_band
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT o_orderkey, c_mktsegment, price_band,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk
+    FROM o
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY price_band DESC)
+    """,
+    doc="rank()/dense_rank() with REAL ties (price coarsened to 10k "
+        "bands): gap vs no-gap tie semantics, per market segment. Rank "
+        "values are tie-group properties, so the output is deterministic "
+        "whatever order peers arrive in — safe under any shuffle layout. "
+        "Customer dimension broadcasts; one window shuffle on segment.",
+    tags=("window", "relational"),
+)
+def orders_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "o_orderkey", "c_mktsegment",
+        F.floor(F.col("o_totalprice") / 10000).alias("price_band"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("price_band").desc())
+    return o.select(
+        "o_orderkey", "c_mktsegment", "price_band",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
