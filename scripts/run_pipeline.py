@@ -65,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--gradient", action="store_true",
                     help="run the gradient classification stage (the "
                          "reference's optional 2nd-derivative repair pass)")
+    ap.add_argument("--observe", action="store_true",
+                    help="append per-batch stage counters to "
+                         "<out>/stage_metrics (the reference's per-stage "
+                         "printouts, pipeline_queue.py:1007-1014)")
     args = ap.parse_args(argv)
 
     controls = load_controls(args.controls)
@@ -77,7 +81,9 @@ def main(argv: list[str] | None = None) -> int:
     calib.count()  # T2: cache created once, before the first image
 
     pipe = StreamingImagePipeline(
-        spark, calib, controls, args.out, gradient_stage=args.gradient
+        spark, calib, controls, args.out,
+        gradient_stage=args.gradient,
+        observe_metrics=args.observe,
     )
     query = pipe.start(
         args.input,
