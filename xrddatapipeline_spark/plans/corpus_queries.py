@@ -1878,3 +1878,105 @@ def orders_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).cast("long").alias("rnk"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
     )
+
+
+@_register(
+    "tpch_q4ish_exists_semijoin",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape — correlated EXISTS: orders with at least one "
+        "45+-quantity line, counted by priority. Spark plans the left-semi "
+        "hash join Catalyst decorrelates EXISTS into (SURVEY §4: subquery "
+        "decorrelation is free); the probe side carries only the join key "
+        "after pruning, and the l_quantity predicate is pushed to the "
+        "lineitem scan below the join.",
+    tags=("join", "relational", "subquery"),
+)
+def tpch_q4ish_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        orders.join(
+            li, orders.o_orderkey == li.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+@_register(
+    "customers_without_orders",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+           min(c_custkey) AS sample_custkey
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    GROUP BY c_mktsegment
+    """,
+    doc="NOT EXISTS as a left-anti hash join: customers with no big "
+        "(>300k) order, by segment. The dual of the semi-join; with the "
+        "orders side filtered then reduced to distinct custkeys it "
+        "broadcasts at dimension scale and the customer table is never "
+        "shuffled before the anti-join.",
+    tags=("join", "relational", "subquery"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.join(
+            F.broadcast(keys), cust.c_custkey == keys.o_custkey, "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.min("c_custkey").alias("sample_custkey"),
+        )
+    )
+
+
+@_register(
+    "orders_above_global_avg",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_above,
+           max(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    doc="Scalar subquery: filter against a whole-table aggregate. Spark "
+        "evaluates the 1-row aggregate once and broadcasts it into the "
+        "filter (a 2-scan plan, both full-parallel; no per-row "
+        "re-evaluation). avg is compared, never output, so double-sum "
+        "order sensitivity cannot flip row membership except on an exact "
+        "boundary tie — none exists in the data.",
+    tags=("agg", "relational", "subquery"),
+)
+def orders_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    avg1 = orders.agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        orders.join(F.broadcast(avg1))
+        .where(F.col("o_totalprice") > F.col("_avg"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_above"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
