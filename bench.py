@@ -106,7 +106,7 @@ def _image_plan_seconds(spark) -> float:
     pixels.count()
 
     t0 = time.perf_counter()
-    res = run_image_plan(pixels, calib, c)
+    res = run_image_plan(pixels, calib, c, barrier="local_checkpoint")
     for out in (res.integrals, res.spot_stats, res.spottiness, res.outliers):
         out.write.format("noop").mode("overwrite").save()
     elapsed = time.perf_counter() - t0

@@ -211,3 +211,37 @@ def test_observed_stage_counters_match_outputs(spark):
     finally:
         res.unpersist_all()
         calib.unpersist()
+
+
+def test_local_checkpoint_barrier_equivalent_and_released(spark):
+    """barrier='local_checkpoint' (the streaming default) produces the
+    same integrals as the persist barrier, and unpersist_all frees the
+    checkpointed RDD storage (a long-lived stream cannot wait for GC)."""
+    img = make_image(CONTROLS, seq=3)
+    pixels = images_long_df(spark, [("synth", 3, img)])
+    calib = build_calib_pixels(spark, CONTROLS).cache()
+
+    res_p = run_image_plan(pixels, calib, CONTROLS, barrier="persist")
+    want = res_p.integrals.orderBy("kind", "tth_idx").toPandas()
+    res_p.unpersist_all()
+
+    def rdd_ids() -> set:
+        return {
+            i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    before = rdd_ids()
+    res_c = run_image_plan(pixels, calib, CONTROLS,
+                           barrier="local_checkpoint")
+    got = res_c.integrals.orderBy("kind", "tth_idx").toPandas()
+    np.testing.assert_allclose(
+        got["intensity"].values, want["intensity"].values, rtol=1e-12
+    )
+    assert list(got["kind"]) == list(want["kind"])
+
+    assert rdd_ids() - before, "checkpointed barriers should be stored"
+    res_c.unpersist_all()
+    # every checkpointed barrier frame was explicitly released (other
+    # tests' unrelated caches may remain)
+    assert not (rdd_ids() - before), rdd_ids() - before
+    calib.unpersist()

@@ -104,6 +104,12 @@ class StreamingImagePipeline:
     broadcast_calib: bool = True
     gradient_stage: bool = False
     observe_metrics: bool = False
+    # local_checkpoint truncates lineage at the plan's reuse boundaries:
+    # the per-image plan is deep, and eager re-analysis otherwise costs the
+    # driver ~30 s per BATCH (size-independent). foreachBatch retries a
+    # failed batch wholesale, so the lost fault-tolerance of the
+    # checkpointed RDDs is already covered one level up.
+    barrier: str = "local_checkpoint"
     batches_seen: int = field(default=0, init=False)
 
     def _path(self, table: str) -> str:
@@ -129,6 +135,7 @@ class StreamingImagePipeline:
             broadcast_calib=self.broadcast_calib,
             gradient_stage=self.gradient_stage,
             observe=self.observe_metrics,
+            barrier=self.barrier,
         )
         try:
             res.integrals.write.mode("append").parquet(self._path("integrals"))
