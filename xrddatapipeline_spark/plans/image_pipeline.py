@@ -389,18 +389,26 @@ def run_image_plan(
     transformation AND per output job, a driver-side cost independent of
     pixel count; checkpointed barriers make every downstream plan shallow.
     Measured warm steady-state per image on local[32]: 1 Mpx 40-48 s
-    (persist) vs 9-11 s (local_checkpoint); 8.3 Mpx ~par (22-39 s vs
-    26-28 s — the columnar persist cache reads faster than the row-based
-    checkpoint RDD once compute dominates, offsetting the analysis win).
-    Executor loss under local_checkpoint costs the whole image — the
-    right trade under foreachBatch, which retries the batch anyway."""
+    (persist) vs 9-11 s (local_checkpoint); single 8.3 Mpx ~par (22-39 s
+    vs 26-28 s); 8-image 8.3 Mpx batches 15.9 s/img (persist) vs
+    12.7-14.5 s/img (checkpoint, serialized storage). Executor loss under
+    local_checkpoint costs the whole image — the right trade under
+    foreachBatch, which retries the batch anyway."""
     shape = (controls.size_y, controls.size_x)
     if barrier not in ("persist", "local_checkpoint"):
         raise ValueError(f"unknown barrier {barrier!r}")
 
     def _bar(df: DataFrame) -> DataFrame:
         if barrier == "local_checkpoint":
-            return df.localCheckpoint(eager=True)
+            from pyspark.storagelevel import StorageLevel
+
+            # serialized rows: the default deserialized level OOMs a 16 GB
+            # heap at 8 x 8.3 Mpx (object-graph overhead); serialized holds
+            # 8-image batches comfortably AND measures faster (12.7-14.5
+            # s/img vs 15.9 with persist at 8 x 2880^2)
+            return df.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
         return df.persist()
 
     obs: dict[str, Observation] = {}
