@@ -1,6 +1,6 @@
 """Perf repro: full per-image plan at a parameterized detector size.
 
-Usage: python scripts/perf_image_plan.py SIZE OUT_CH OM_CH DIST [N_IMAGES]
+Usage: python scripts/perf_image_plan.py SIZE OUT_CH OM_CH DIST [N_IMAGES] [grad|ckpt|grad-ckpt]
 e.g.   python scripts/perf_image_plan.py 1024 1000 500 341
        python scripts/perf_image_plan.py 2880 2500 1000 959
 
@@ -59,7 +59,9 @@ def main() -> None:
     size, out_ch, om_ch = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     dist = float(sys.argv[4])
     n_images = int(sys.argv[5]) if len(sys.argv) > 5 else 1
-    gradient = len(sys.argv) > 6 and sys.argv[6] == "grad"
+    mode = sys.argv[6] if len(sys.argv) > 6 else ""
+    gradient = "grad" in mode
+    barrier = "local_checkpoint" if "ckpt" in mode else "persist"
 
     import os
 
@@ -109,7 +111,8 @@ def main() -> None:
     pixels.count()
 
     t0 = time.time()
-    res = run_image_plan(pixels, calib, c, gradient_stage=gradient)
+    res = run_image_plan(pixels, calib, c, gradient_stage=gradient,
+                         barrier=barrier)
     stage_t: dict[str, float] = {}
 
     def mark(name, action):
@@ -132,7 +135,7 @@ def main() -> None:
 
     print(json.dumps({
         "size": size, "out_ch": out_ch, "om_ch": om_ch, "dist": dist,
-        "n_images": n_images, "gradient": gradient,
+        "n_images": n_images, "gradient": gradient, "barrier": barrier,
         "calib_build": round(t_calib, 2),
         "total_plan": round(total, 2), "stages": stage_t,
     }))
