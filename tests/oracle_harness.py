@@ -44,8 +44,14 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, rtol: float = 1e-6) -> list[str]:
-    """Return a list of mismatch descriptions (empty == match)."""
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, rtol: float = 0.0) -> list[str]:
+    """Return a list of mismatch descriptions (empty == match).
+
+    Exact by default (rtol=0): the driver hashes values, so a last-ulp float
+    difference or an int64-vs-float64 dtype skew is a real failure there.
+    Queries are expected to produce order-independent exact outputs (integer
+    aggregates, exact medians, quantized dot products — see similarity.py).
+    """
     errs: list[str] = []
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     if list(a.columns) != list(b.columns):
@@ -54,6 +60,14 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, rtol: floa
         return [f"row count mismatch: spark={len(a)} oracle={len(b)}"]
     for c in a.columns:
         av, bv = a[c], b[c]
+        if (av.dtype.kind in "fc") != (bv.dtype.kind in "fc"):
+            # int-vs-float dtype skew (e.g. DuckDB HUGEINT -> float64 while
+            # Spark emits int64) changes the driver's value hash even when
+            # the numbers agree — flag it as a schema-level mismatch.
+            errs.append(
+                f"col {c}: dtype kind mismatch spark={av.dtype} oracle={bv.dtype}"
+            )
+            continue
         if av.dtype.kind in "fc" or bv.dtype.kind in "fc":
             for i, (x, y) in enumerate(zip(av.astype(float), bv.astype(float))):
                 if pd.isna(x) and pd.isna(y):

@@ -1,0 +1,339 @@
+"""Detector pseudo-TIFF variant decode (SURVEY §2.1 S2).
+
+Each test hand-builds a file with the variant's signature (tag presence,
+bit depth, strip offset, image size — GSASII_imports.py:1068-1399 dispatch)
+and checks `read_detector_tiff` recovers the pixel payload, type label and
+per-detector pixel size.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from xrddatapipeline_spark.sources.tiff import (
+    decode_image,
+    read_detector_tiff,
+    write_tiff_gray,
+)
+
+
+def make_pseudo_tiff(
+    width: int,
+    height: int,
+    payload: bytes,
+    payload_offset: int,
+    *,
+    bo: str = "<",
+    bits: int | None = None,
+    strip_offset: int | None = None,
+    model: str | None = None,
+    description: str | None = None,
+    string_offset: int | None = None,
+    photometric: int | None = None,
+    mar_tag: bool = False,
+) -> bytes:
+    """Minimal pseudo-TIFF: header, raw payload at a magic offset, IFD last.
+
+    ASCII tag payloads (Model/ImageDescription) are placed at
+    `string_offset` (default: right after the TIFF header, i.e. before the
+    pixel payload, matching the real files where the description precedes
+    the strip; pass an offset past the payload when the payload itself
+    starts at byte 8).
+    """
+    mark = b"II" if bo == "<" else b"MM"
+    strings: list[tuple[int, bytes, int]] = []  # (tag, bytes, offset)
+    cursor = string_offset if string_offset is not None else 8
+    for tag, text in ((270, description), (272, model)):
+        if text is not None:
+            raw = text.encode() + b"\x00"
+            strings.append((tag, raw, cursor))
+            cursor += len(raw)
+    if string_offset is None and strings:
+        assert cursor <= payload_offset, "strings must fit before the payload"
+
+    end = max([payload_offset + len(payload)] + [o + len(r) for _, r, o in strings])
+    ifd_off = end + (-end % 2)
+
+    entries: list[tuple[int, int, int, bytes]] = [
+        (256, 4, 1, struct.pack(bo + "I", width)),
+        (257, 4, 1, struct.pack(bo + "I", height)),
+    ]
+    if bits is not None:
+        entries.append((258, 3, 1, struct.pack(bo + "HH", bits, 0)))
+    if photometric is not None:
+        entries.append((262, 3, 1, struct.pack(bo + "HH", photometric, 0)))
+    if strip_offset is not None:
+        entries.append((273, 4, 1, struct.pack(bo + "I", strip_offset)))
+    for tag, raw, off in strings:
+        entries.append((tag, 2, len(raw), struct.pack(bo + "I", off)))
+    if mar_tag:
+        entries.append((34710, 4, 1, struct.pack(bo + "I", 0)))
+    entries.sort()
+
+    buf = bytearray(b"\x00" * ifd_off)
+    buf[0:2] = mark
+    buf[2:8] = struct.pack(bo + "HI", 42, ifd_off)
+    for _, raw, off in strings:
+        buf[off:off + len(raw)] = raw
+    buf[payload_offset:payload_offset + len(payload)] = payload
+    buf += struct.pack(bo + "H", len(entries))
+    for tag, vtype, count, value in entries:
+        buf += struct.pack(bo + "HHI", tag, vtype, count) + value
+    buf += struct.pack(bo + "I", 0)
+    return bytes(buf)
+
+
+def _rand(dtype, shape, seed=0, lo=0, hi=1000):
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(lo, hi, size=shape)
+    return a.astype(dtype)
+
+
+def test_pilatus_model_tag_int32_at_4096():
+    img = _rand("<i4", (80, 100), seed=1)
+    data = make_pseudo_tiff(
+        100, 80, img.tobytes(), 4096, model="PILATUS 2M, S/N 24-0111"
+    )
+    tif_type, header, got = read_detector_tiff(data)
+    assert tif_type == "Pilatus"
+    assert header["pixelSize"] == [172.0, 172.0]
+    np.testing.assert_array_equal(got, img.astype(np.int32))
+
+
+def test_ge_model_16bit_at_8():
+    img = _rand("<u2", (64, 96), seed=2)
+    raw = img.tobytes()
+    data = make_pseudo_tiff(
+        96, 64, raw, 8, bits=16, model="GE detector",
+        string_offset=8 + len(raw),
+    )
+    tif_type, header, got = read_detector_tiff(data)
+    assert tif_type == "GE"
+    assert header["pixelSize"] == [200.0, 200.0]
+    np.testing.assert_array_equal(got, img.astype(np.int32))
+
+
+def test_chess_model_32bit_at_8():
+    img = _rand("<u4", (32, 48), seed=3)
+    raw = img.tobytes()
+    data = make_pseudo_tiff(
+        48, 32, raw, 8, bits=32, model="area ADSC",
+        string_offset=8 + len(raw),
+    )
+    tif_type, header, got = read_detector_tiff(data)
+    assert tif_type == "CHESS"
+    np.testing.assert_array_equal(got, img.astype(np.int32))
+
+
+def test_pilatus3_description_before_strip():
+    img = _rand("<i4", (40, 50), seed=4, lo=-5, hi=5)
+    desc = "# Detector: Pilatus3 1M"
+    data = make_pseudo_tiff(
+        50, 40, img.tobytes(), 256, description=desc, strip_offset=256
+    )
+    tif_type, header, got = read_detector_tiff(data)
+    assert tif_type == "Pilatus3"
+    assert header["pixelSize"] == [172.0, 172.0]
+    np.testing.assert_array_equal(got, img.astype(np.int32))
+
+
+def test_imagej_16bit_lcls_pixel_size():
+    img = _rand("<u2", (30, 20), seed=5)
+    data = make_pseudo_tiff(
+        20, 30, img.tobytes(), 128, bits=16,
+        description="ImageJ=1.52a", strip_offset=128,
+    )
+    tif_type, header, got = read_detector_tiff(data)
+    assert tif_type == "ImageJ"
+    assert header["pixelSize"] == [109.92, 109.92]
+    np.testing.assert_array_equal(got, img.astype(np.int32))
+
+
+def test_gain_map_float32_x1000():
+    gain = _rand("<f4", (16, 16), seed=6, lo=0.9, hi=1.1)
+    data = make_pseudo_tiff(
+        16, 16, gain.tobytes(), 128,
+        description="11-ID-C gain", strip_offset=128,
+    )
+    tif_type, header, got = read_detector_tiff(data)
+    assert tif_type == "Gain map"
+    np.testing.assert_array_equal(got, (gain * 1000).astype(np.int32))
+
+
+def test_dnd_photometric_16bit_at_512():
+    img = _rand("<u2", (24, 36), seed=7)
+    data = make_pseudo_tiff(36, 24, img.tobytes(), 512, photometric=5)
+    tif_type, header, got = read_detector_tiff(data)
+    assert tif_type == "DND"
+    assert header["pixelSize"] == [158.0, 158.0]
+    np.testing.assert_array_equal(got, img.astype(np.int32))
+
+
+def test_aps_gold_1536_at_64():
+    img = _rand("<u2", (1536, 1536), seed=8)
+    data = make_pseudo_tiff(1536, 1536, img.tobytes(), 64)
+    tif_type, header, got = read_detector_tiff(data)
+    assert tif_type == "APS Gold"
+    assert header["pixelSize"] == [150.0, 150.0]
+    np.testing.assert_array_equal(got, img.astype(np.int32))
+
+
+def test_mar325_2048_strip_4096():
+    img = _rand("<u2", (2048, 2048), seed=9)
+    data = make_pseudo_tiff(
+        2048, 2048, img.tobytes(), 4096, strip_offset=4096
+    )
+    tif_type, header, got = read_detector_tiff(data)
+    assert tif_type == "MAR325"
+    np.testing.assert_array_equal(got, img.astype(np.int32))
+
+
+def test_mar225_3072_strip_4096():
+    img = _rand("<u2", (3072, 3072), seed=10)
+    data = make_pseudo_tiff(
+        3072, 3072, img.tobytes(), 4096, strip_offset=4096
+    )
+    tif_type, header, got = read_detector_tiff(data)
+    assert tif_type == "MAR225"
+    assert header["pixelSize"] == [73.0, 73.0]
+    np.testing.assert_array_equal(got, img.astype(np.int32))
+
+
+def test_marccd_tag_34710():
+    img = _rand("<u2", (128, 64), seed=11)
+    data = make_pseudo_tiff(
+        64, 128, img.tobytes(), 4096, mar_tag=True
+    )
+    tif_type, header, got = read_detector_tiff(data)
+    assert tif_type == "MARCCD"
+    np.testing.assert_array_equal(got, img.astype(np.int32))
+
+
+def test_pe_float32_datatype5_vs_int32():
+    vals = _rand("<f4", (1024, 1024), seed=12, lo=0, hi=100)
+    raw = vals.tobytes()
+    data = bytearray(
+        make_pseudo_tiff(1024, 1024, raw, 8, bits=32, strip_offset=8)
+    )
+    tif_type, header, got = read_detector_tiff(bytes(data))
+    assert tif_type == "PE"
+    np.testing.assert_array_equal(got, vals.astype(np.int32))
+    # same bytes, dataType=0 sidecar -> int32 payload semantics
+    tif_type2, _, got2 = read_detector_tiff(bytes(data), {"dataType": 0})
+    ints = np.frombuffer(raw, dtype="<i4").reshape(1024, 1024)
+    np.testing.assert_array_equal(got2, ints)
+
+
+def test_medoptics_16bit_1024():
+    img = _rand("<u2", (1024, 1024), seed=13)
+    data = make_pseudo_tiff(
+        1024, 1024, img.tobytes(), 8, bits=16, strip_offset=8
+    )
+    tif_type, header, got = read_detector_tiff(data)
+    assert tif_type == "MedOptics D1"
+    assert header["pixelSize"] == [46.9, 46.9]
+    np.testing.assert_array_equal(got, img.astype(np.int32))
+
+
+def test_pe4k_float32_divided_by_16():
+    vals = _rand("<f4", (4096, 4096), seed=14, lo=0, hi=1000)
+    data = make_pseudo_tiff(
+        4096, 4096, vals.tobytes(), 8, bits=32, strip_offset=8
+    )
+    tif_type, header, got = read_detector_tiff(data)
+    assert tif_type == "PE4k"
+    np.testing.assert_array_equal(got, (vals / 16.0).astype(np.int32))
+
+
+def test_rayonix_4096_strip_4096():
+    img = _rand("<u2", (4096, 4096), seed=15)
+    data = make_pseudo_tiff(
+        4096, 4096, img.tobytes(), 4096, strip_offset=4096
+    )
+    tif_type, header, got = read_detector_tiff(data)
+    assert tif_type == "Rayonix"
+    assert header["pixelSize"] == [73.242, 73.242]
+    np.testing.assert_array_equal(got, img.astype(np.int32))
+
+
+def test_aps_2880_float32_both_byteorders():
+    for bo in ("<", ">"):
+        vals = _rand(bo + "f4", (2880, 2880), seed=16, lo=0, hi=500)
+        data = make_pseudo_tiff(
+            2880, 2880, vals.tobytes(), 8, bo=bo
+        )
+        tif_type, header, got = read_detector_tiff(data)
+        assert tif_type == "APS-2880"
+        assert header["pixelSize"] == [150.0, 150.0]
+        np.testing.assert_array_equal(got, vals.astype(np.int32))
+
+
+def test_eiger_1m_uint32():
+    img = _rand("<u4", (1102, 3070), seed=17)
+    data = make_pseudo_tiff(3070, 1102, img.tobytes(), 8)
+    tif_type, header, got = read_detector_tiff(data)
+    assert tif_type == "Eiger 1M"
+    assert header["pixelSize"] == [75.0, 75.0]
+    np.testing.assert_array_equal(got, img.astype(np.int32))
+
+
+def test_small_fixed_formats():
+    cases = [
+        ((391, 380), "<i2", 8, "pixium"),
+        ((380, 391), "u1", 110, "pixium-8"),
+        ((825, 830), "u1", 8, "anonymous-8"),
+        ((1800, 1800), "u1", 110, "anonymous-1800"),
+        ((1024, 402), "<u2", 8, "anonymous-1024x402"),
+    ]
+    for (w, h), dt, off, label in cases:
+        img = _rand(dt, (h, w), seed=18)
+        data = make_pseudo_tiff(w, h, img.tobytes(), off)
+        tif_type, _, got = read_detector_tiff(data)
+        assert tif_type == label, (label, tif_type)
+        np.testing.assert_array_equal(got, img.astype(np.int32))
+
+
+def test_metadata_defaults_and_overrides():
+    img = _rand("<u2", (24, 36), seed=19)
+    data = make_pseudo_tiff(36, 24, img.tobytes(), 512, photometric=5)
+    _, header, _ = read_detector_tiff(data)
+    # reference defaulting rules (GSASII_imports.py:1383-1390)
+    assert header["wavelength"] == 0.10
+    assert header["distance"] == 100.0
+    assert header["PolaVal"][0] == 0.99
+    assert header["center"] == [158.0 * 36 / 2000.0, 158.0 * 24 / 2000.0]
+    _, header2, _ = read_detector_tiff(
+        data, {"wavelength": 0.2114, "distance": 650.0, "polarization": 0.95}
+    )
+    assert header2["wavelength"] == 0.2114
+    assert header2["distance"] == 650.0
+    assert header2["PolaVal"][0] == 0.95
+
+
+def test_self_described_baseline_not_hijacked(tmp_path):
+    # a 2880x2880 int32 baseline TIFF from our own writer must NOT be
+    # misread as the raw-float32 APS-2880 pseudo-format
+    img = np.arange(2880 * 2880, dtype=np.int32).reshape(2880, 2880) % 7919
+    p = str(tmp_path / "x-00001.tif")
+    write_tiff_gray(p, img)
+    content = open(p, "rb").read()
+    with pytest.raises(ValueError):
+        read_detector_tiff(content)
+    np.testing.assert_array_equal(decode_image(content), img)
+
+
+def test_decode_image_prefers_detector_path():
+    img = _rand("<i4", (80, 100), seed=20)
+    data = make_pseudo_tiff(
+        100, 80, img.tobytes(), 4096, model="PILATUS 100K"
+    )
+    np.testing.assert_array_equal(decode_image(data), img.astype(np.int32))
+
+
+def test_unknown_format_raises():
+    data = make_pseudo_tiff(33, 35, b"\x00" * 100, 8)
+    with pytest.raises(ValueError):
+        read_detector_tiff(data)

@@ -1345,7 +1345,7 @@ def j9_range_join_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(coalesce(start_tok, 0) // 2048 AS BIGINT) AS window_id,
            CAST(count(*) AS BIGINT) AS n_docs,
-           sum(n_tokens) AS n_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
            min(doc_id) AS first_doc
     FROM c GROUP BY 1
     """,
@@ -1592,7 +1592,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_docs,
            min(n_chars) AS min_chars,
            max(n_chars) AS max_chars,
-           sum(n_chars) AS sum_chars
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM r GROUP BY decile
     """,
     doc="Document-length decile profile. The oracle uses a global NTILE "
@@ -1604,14 +1604,24 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "global-order window anywhere in the distributed plan.",
     tags=("window", "corpus", "agg"),
 )
-def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_length_deciles(
+    spark: SparkSession, sf_dir: str, _barrier: bool = True
+) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     k = 10
     parts = docs.repartitionByRange(16, "n_chars", "doc_id").withColumn(
         "pid", F.spark_partition_id()
     )
     w_in = Window.partitionBy("pid").orderBy("n_chars", "doc_id")
+    # The ranked frame feeds BOTH the per-partition counts and the final
+    # join; without a barrier Catalyst re-derives it per consumer and the
+    # parquet is scanned 3x with 3 separate range exchanges. Materialize
+    # it once (2 narrow cols x n_docs rows spread over the 16 range
+    # partitions — cheap at any scale). `_barrier=False` exposes the
+    # lazy plan for shape tests.
     local = parts.withColumn("lrn", F.row_number().over(w_in).cast("long"))
+    if _barrier:
+        local = local.localCheckpoint(eager=True)
     counts = local.groupBy("pid").agg(F.count("*").alias("cnt"))
     w_p = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(

@@ -178,7 +178,8 @@ def tpch_q5ish_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s11_json_props_extract",
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
            count(*) AS n_events
     FROM events
     GROUP BY event_type
@@ -621,10 +622,10 @@ _SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12 h in microseconds
     ),
     sess AS (
         SELECT user_id, event_id, ts_us,
-               sum(is_new) OVER (
+               CAST(sum(is_new) OVER (
                    PARTITION BY user_id ORDER BY ts_us, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_seq
+               ) AS BIGINT) AS session_seq
         FROM flags
     )
     SELECT user_id, session_seq,
@@ -785,7 +786,8 @@ def a11_central_band_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(floor(l_extendedprice / 5000) AS INT) AS qbin,
            count(*) AS n_total,
-           sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_masked,
+           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_masked,
            CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*) AS frac_masked
     FROM lineitem

@@ -1,12 +1,15 @@
-"""TIFF detector-image source: minimal decoder + binaryFile -> pixel rows.
+"""TIFF detector-image source: variant-sniffing decoder + binaryFile -> pixels.
 
 Role parity with the reference's image readers (`load_image`,
 GSASII_imports.py:82-84; `GetTifData` GSASII_imports.py:1068-1399, which
-sniffs ~20 detector pseudo-TIFF variants). This is an independent
-implementation of the *public* baseline TIFF 6.0 structure (header, IFD
-walk, strip assembly) for uncompressed grayscale images — the canonical
-detector case (2880x2880 int32/float32). Exotic per-detector variants
-raise cleanly; a real deployment drops `tifffile` into `_decode_one`.
+sniffs ~20 detector pseudo-TIFF variants). `read_detector_tiff` is an
+independent implementation of that sniffing dispatch: a standard TIFF 6.0
+IFD walk (the reference's sequential walk reads the same single-value tags)
+followed by the per-detector (tag-presence, bit-depth, strip-offset,
+image-size) decision tree — Pilatus/Pilatus3, GE/Dexela, CHESS, ImageJ,
+gain maps, DND, APS Gold, PE/PE4k, MedOptics D1, MAR225/325, Rayonix,
+11-ID-C, scanCCD, Eiger 1M and the fixed-size beamline formats. Baseline
+strip-organized TIFF 6.0 files fall back to `read_tiff_gray`.
 
 Spark shape (SURVEY §1.4 / §2.1 S1-S2): `spark.read.format("binaryFile")`
 (batch) or `readStream.format("binaryFile")` (streaming) carries
@@ -63,12 +66,13 @@ def _read_tag_values(data: bytes, bo: str, vtype: int, count: int,
     return list(struct.unpack(f"{bo}{count}{fmt}", raw))
 
 
-def read_tiff_gray(data: bytes) -> np.ndarray:
-    """Decode an uncompressed grayscale baseline TIFF to a 2-D numpy array.
+def _parse_ifd(data: bytes) -> tuple[str, dict[int, tuple[int, int, list]]]:
+    """Byte order + first-IFD tag table: {tag: (type, count, values)}.
 
-    Handles both byte orders, 8/16/32-bit unsigned/signed/float samples,
-    and multi-strip layouts. Raises ValueError for compressed or
-    multi-sample images (out of scope; see module docstring).
+    For out-of-line values (size > 4 bytes) `values` holds the decoded
+    payload; ASCII (type 2) values keep the raw *offset* in values[0] with
+    the decoded bytes in values[1] so callers can mirror the reference's
+    offset arithmetic (GSASII_imports.py:1139-1141, 1231-1233).
     """
     if data[:2] == b"II":
         bo = "<"
@@ -82,11 +86,34 @@ def read_tiff_gray(data: bytes) -> np.ndarray:
     (ifd_off,) = struct.unpack(bo + "I", data[4:8])
 
     (n_tags,) = struct.unpack(bo + "H", data[ifd_off:ifd_off + 2])
-    tags: dict[int, list] = {}
+    tags: dict[int, tuple[int, int, list]] = {}
     for i in range(n_tags):
         ent = data[ifd_off + 2 + 12 * i: ifd_off + 2 + 12 * (i + 1)]
         tag, vtype, count = struct.unpack(bo + "HHI", ent[:8])
-        tags[tag] = _read_tag_values(data, bo, vtype, count, ent[8:12])
+        if vtype == 2:
+            size = count
+            if size <= 4:
+                off = ifd_off + 2 + 12 * i + 8
+            else:
+                (off,) = struct.unpack(bo + "I", ent[8:12])
+            tags[tag] = (vtype, count, [off, data[off:off + count]])
+        else:
+            tags[tag] = (
+                vtype, count,
+                _read_tag_values(data, bo, vtype, count, ent[8:12]),
+            )
+    return bo, tags
+
+
+def read_tiff_gray(data: bytes) -> np.ndarray:
+    """Decode an uncompressed grayscale baseline TIFF to a 2-D numpy array.
+
+    Handles both byte orders, 8/16/32-bit unsigned/signed/float samples,
+    and multi-strip layouts. Raises ValueError for compressed or
+    multi-sample images (out of scope; see module docstring).
+    """
+    bo, full = _parse_ifd(data)
+    tags = {t: v[2] for t, v in full.items()}
 
     width = int(tags[_TAG_WIDTH][0])
     height = int(tags[_TAG_HEIGHT][0])
@@ -109,6 +136,242 @@ def read_tiff_gray(data: bytes) -> np.ndarray:
     )
     arr = np.frombuffer(payload, dtype=dtype, count=height * width)
     return arr.reshape(height, width)
+
+
+def _raw(data: bytes, offset: int, dtype: str, npix: int) -> np.ndarray:
+    """Raw pixel payload at a fixed byte offset (the pseudo-TIFF pattern)."""
+    dt = np.dtype(dtype)
+    need = offset + npix * dt.itemsize
+    if len(data) < need:
+        raise ValueError(
+            f"truncated detector TIFF: need {need} bytes, have {len(data)}"
+        )
+    return np.frombuffer(data, dtype=dt, count=npix, offset=offset)
+
+
+def _is_self_described_baseline(
+    ifd: dict[int, tuple[int, int, list]], npix: int, bits: int
+) -> bool:
+    if _TAG_SAMPLE_FORMAT not in ifd or _TAG_STRIP_COUNTS not in ifd:
+        return False
+    counts = ifd[_TAG_STRIP_COUNTS][2]
+    return bool(counts) and sum(int(c) for c in counts) == npix * (bits // 8)
+
+
+def read_detector_tiff(
+    data: bytes, metadata: dict | None = None
+) -> tuple[str, dict, np.ndarray]:
+    """Sniff + decode a detector pseudo-TIFF; (tif_type, header, image).
+
+    Independent reimplementation of the reference's `GetTifData` decision
+    tree (GSASII_imports.py:1068-1399): dispatch on tag presence
+    (34710 MAR / 272 Model / 270 Description / 262 Photometric), bit depth
+    (tag 258), strip offset (tag 273) and image size, each branch reading a
+    raw pixel payload at a detector-specific offset/dtype. Returns the image
+    as int32 shaped (height, width) plus the header dict the reference
+    builds (pixelSize um, center mm, wavelength A, distance mm, PolaVal,
+    det2theta) with the same defaulting rules. `metadata` is the parsed
+    `.metadata` sidecar (sources/controls.py); its `dataType` selects the
+    PE float32-vs-int32 payload and its pixel sizes back-fill `pixelSize`.
+    Raises ValueError for formats outside the reference's table.
+    """
+    meta = metadata or {}
+    data_type = int(meta.get("dataType", 5))
+    bo, ifd = _parse_ifd(data)
+
+    def tagv(tag: int, idx: int = 0):
+        return ifd[tag][2][idx]
+
+    sizexy = [int(tagv(_TAG_WIDTH)), int(tagv(_TAG_HEIGHT))]
+    nx, ny = sizexy
+    npix = nx * ny
+    bits = int(tagv(_TAG_BITS)) if _TAG_BITS in ifd else 0
+    strip0 = int(tagv(_TAG_STRIP_OFFSETS)) if _TAG_STRIP_OFFSETS in ifd else -1
+    # tag 273/279 with count>1 marks a multislice (CheMin-style) file
+    n_slice = ifd[_TAG_STRIP_OFFSETS][1] if _TAG_STRIP_OFFSETS in ifd else 1
+
+    tif_type = None
+    image = None
+    pixy = None
+    center = [None, None]
+    wavelength = distance = polarization = None
+
+    if 34710 in ifd:
+        # MAR CCD: 4096-byte frame header then uint16 pixels. The reference
+        # delegates to ReadMarCCDFrame for header metadata; the pixel
+        # payload layout is the same as MAR225/325 below.
+        tif_type = "MARCCD"
+        pixy = [158.0, 158.0]
+        image = _raw(data, 4096, bo + "u2", npix).astype(np.int32)
+    elif n_slice > 1:
+        # CheMin multislice: PIL-decoded, x10 scaled, flipped (reference
+        # GSASII_imports.py:1188-1208). PIL is optional in this container.
+        try:
+            from PIL import Image as Im
+        except ImportError as e:
+            raise ValueError("multislice TIFF needs Pillow") from e
+        import io
+
+        tif_type = "CheMin"
+        pixy = [40.0, 40.0]
+        image = (
+            np.flipud(np.array(Im.open(io.BytesIO(data)))).astype(np.int32)
+            * 10
+        )
+        distance = 18.0
+        center = [pixy[0] * sizexy[0] / 2000.0, 0.0]
+        wavelength = 1.78892
+    elif 272 in ifd:  # Model tag
+        model = bytes(ifd[272][2][1])
+        if b"PILATUS" in model:
+            tif_type = "Pilatus"
+            pixy = [172.0, 172.0]
+            image = _raw(data, 4096, bo + "i4", npix).astype(np.int32)
+        elif bits == 16:
+            if sizexy in ([3888, 3072], [3072, 3888]):
+                tif_type = "Dexela"
+                pixy = [74.8, 74.8]
+            else:
+                tif_type = "GE"
+                pixy = [200.0, 200.0]
+            image = _raw(data, 8, bo + "u2", npix).astype(np.int32)
+        elif bits == 32:
+            tif_type = "CHESS"
+            pixy = [200.0, 200.0]
+            image = _raw(data, 8, bo + "u4", npix).astype(np.int32)
+    elif 270 in ifd:  # ImageDescription tag
+        desc_off = int(ifd[270][2][0])
+        desc = data[desc_off:strip0] if strip0 > desc_off else bytes(
+            ifd[270][2][1]
+        )
+        if b"Pilatus3" in desc:
+            tif_type = "Pilatus3"
+            pixy = [172.0, 172.0]
+            image = _raw(data, strip0, bo + "i4", npix).astype(np.int32)
+        elif b"ImageJ" in desc:
+            tif_type = "ImageJ"
+            if bits == 32:
+                pixy = [200.0, 200.0]
+                image = _raw(data, strip0, bo + "i4", npix).astype(np.int32)
+            elif bits == 16:
+                pixy = [109.92, 109.92]  # LCLS ImageJ files
+                image = _raw(data, strip0, bo + "u2", npix).astype(np.int32)
+        else:  # gain map (APS 11-ID-C): float32 x1000
+            tif_type = "Gain map"
+            pixy = [200.0, 200.0]
+            image = (
+                _raw(data, strip0, bo + "f4", npix) * 1000
+            ).astype(np.int32)
+    elif 262 in ifd and int(tagv(262)) > 4:
+        tif_type = "DND"
+        pixy = [158.0, 158.0]
+        image = _raw(data, 512, bo + "u2", npix).astype(np.int32)
+    elif _is_self_described_baseline(ifd, npix, bits):
+        # The remaining branches dispatch on image size alone. A file whose
+        # IFD carries a consistent SampleFormat + StripByteCounts is a real
+        # strip-organized TIFF (e.g. our own `write_tiff_gray` output) —
+        # route it to the baseline reader rather than guessing a detector
+        # payload by size.
+        raise ValueError("self-described baseline TIFF")
+    elif sizexy == [1536, 1536]:
+        tif_type = "APS Gold"
+        pixy = [150.0, 150.0]
+        image = _raw(data, 64, bo + "u2", npix).astype(np.int32)
+    elif sizexy in ([2048, 2048], [1024, 1024], [3072, 3072]):
+        if strip0 == 8:
+            if bits == 32:
+                tif_type = "PE"
+                pixy = [200.0, 200.0]
+                dt = "f4" if data_type == 5 else "i4"
+                image = _raw(data, 8, bo + dt, npix).astype(np.int32)
+            elif bits == 16:
+                tif_type = "MedOptics D1"
+                pixy = [46.9, 46.9]
+                image = _raw(data, 8, bo + "u2", npix).astype(np.int32)
+        elif strip0 == 4096:
+            if sizexy[0] == 3072:
+                tif_type, pixy = "MAR225", [73.0, 73.0]
+            else:
+                tif_type, pixy = "MAR325", [158.0, 158.0]
+            image = _raw(data, 4096, bo + "u2", npix).astype(np.int32)
+        elif strip0 == 512:
+            tif_type = "11-ID-C"
+            pixy = [200.0, 200.0]
+            image = _raw(data, 512, bo + "u2", npix).astype(np.int32)
+    elif sizexy == [4096, 4096]:
+        if strip0 == 8:
+            if bits == 16:
+                tif_type = "scanCCD"
+                pixy = [9.0, 9.0]
+                image = _raw(data, 8, bo + "u2", npix).astype(np.int32)
+            elif bits == 32:
+                tif_type = "PE4k"
+                pixy = [100.0, 100.0]
+                image = (
+                    _raw(data, 8, bo + "f4", npix) / 2.0**4
+                ).astype(np.int32)
+        elif strip0 == 4096:
+            tif_type = "Rayonix"
+            pixy = [73.242, 73.242]
+            image = _raw(data, 4096, bo + "u2", npix).astype(np.int32)
+    elif sizexy == [391, 380]:
+        tif_type = "pixium"
+        pixy = [109.92, 109.92]
+        image = _raw(data, 8, bo + "i2", npix).astype(np.int32)
+    elif sizexy == [380, 391]:
+        tif_type = "pixium-8"
+        pixy = [109.92, 109.92]
+        image = _raw(data, 110, "u1", npix).astype(np.int32)
+    elif sizexy == [825, 830]:
+        tif_type = "anonymous-8"
+        pixy = [109.92, 109.92]
+        image = _raw(data, 8, "u1", npix).astype(np.int32)
+    elif sizexy == [1800, 1800]:
+        tif_type = "anonymous-1800"
+        pixy = [109.92, 109.92]
+        image = _raw(data, 110, "u1", npix).astype(np.int32)
+    elif sizexy == [2880, 2880]:
+        tif_type = "APS-2880"
+        pixy = [150.0, 150.0]
+        image = _raw(data, 8, bo + "f4", npix).astype(np.int32)
+    elif sizexy == [3070, 1102]:
+        tif_type = "Eiger 1M"
+        pixy = [75.0, 75.0]
+        image = _raw(data, 8, bo + "u4", npix).astype(np.int32)
+    elif sizexy == [1024, 402]:
+        tif_type = "anonymous-1024x402"
+        pixy = [56.0, 56.0]
+        image = _raw(data, 8, bo + "u2", npix).astype(np.int32)
+
+    if image is None or image.size != npix:
+        raise ValueError("not a known detector tiff file")
+    image = image.reshape(sizexy[1], sizexy[0])
+
+    # reference defaulting rules (GSASII_imports.py:1383-1398)
+    if not center[0]:
+        center = [pixy[0] * sizexy[0] / 2000.0, pixy[1] * sizexy[1] / 2000.0]
+    wavelength = float(meta.get("wavelength", wavelength or 0.10))
+    distance = float(meta.get("distance", distance or 100.0))
+    polarization = float(meta.get("polarization", polarization or 0.99))
+    if "detectorxpixelsize" in meta and "detectorypixelsize" in meta:
+        if pixy is None:
+            pixy = [
+                float(meta["detectorxpixelsize"]),
+                float(meta["detectorypixelsize"]),
+            ]
+    header = {
+        "tifType": tif_type,
+        "pixelSize": pixy,
+        "wavelength": wavelength,
+        "distance": distance,
+        "setdist": distance,
+        "center": center,
+        "size": sizexy,
+        "PolaVal": [polarization, False],
+        "samplechangerpos": float(meta.get("samplechangercoordinate", 0.0)),
+        "det2theta": 0.0,
+    }
+    return tif_type, header, image
 
 
 def write_tiff_gray(path: str, image: np.ndarray) -> None:
@@ -154,9 +417,24 @@ def parse_image_filename(path: str) -> tuple[str, int]:
     return m.group("name"), int(m.group("number"))
 
 
+def decode_image(content: bytes, metadata: dict | None = None) -> np.ndarray:
+    """Decode any supported TIFF to int32: detector sniff, then baseline.
+
+    Mirrors the reference's load order (`GetTifData` first, generic reader
+    as fallback): the pseudo-TIFF variants carry raw payloads at magic
+    offsets that a strip-based reader would mis-assemble, so the detector
+    dispatch must win when it recognizes the file.
+    """
+    try:
+        _, _, img = read_detector_tiff(content, metadata)
+        return img
+    except (ValueError, KeyError):
+        return read_tiff_gray(content).astype(np.int32)
+
+
 def _decode_one(path: str, content: bytes) -> pd.DataFrame:
     dataset, seq = parse_image_filename(path)
-    img = read_tiff_gray(content).astype(np.int32)
+    img = decode_image(content)
     h, w = img.shape
     ys, xs = np.mgrid[0:h, 0:w]
     return pd.DataFrame(
