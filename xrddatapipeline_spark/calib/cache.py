@@ -40,38 +40,99 @@ def with_calib_columns(df: DataFrame, c: ImageControls) -> DataFrame:
     """Append (tth, azim, q, dist_sq, pol, tth_idx, ring_idx, qbin,
     azim_band, azim_mask) to a DataFrame with integer (y, x) columns —
     closed-form expressions, no join, stays in whole-stage codegen."""
-    rmat = rotation_matrix(c.tilt, c.rotation)
+    import math
+
     px_mm_x = c.pixel_size_x / 1000.0
     px_mm_y = c.pixel_size_y / 1000.0
+    t_r, r_r = math.radians(c.tilt), math.radians(c.rotation)
+    dist = c.distance / math.cos(t_r)  # beam-detector intersection distance
 
     dx = (F.col("x") + 0.5) * px_mm_x - c.center_x
     dy = (F.col("y") + 0.5) * px_mm_y - c.center_y
-    lab_x = F.lit(float(rmat[0, 0])) * dx + F.lit(float(rmat[0, 1])) * dy
-    lab_y = F.lit(float(rmat[1, 0])) * dx + F.lit(float(rmat[1, 1])) * dy
-    lab_z = F.lit(float(rmat[2, 0])) * dx + F.lit(float(rmat[2, 1])) * dy + F.lit(
-        c.distance
-    )
-    df = df.withColumns({"_lx": lab_x, "_ly": lab_y, "_lz": lab_z})
-    rho = F.sqrt(F.col("_lx") ** 2 + F.col("_ly") ** 2)
-    tth = F.degrees(F.atan2(rho, F.col("_lz")))
-    azim = F.pmod(
-        F.degrees(F.atan2(F.col("_ly"), F.col("_lx"))) + F.lit(c.azmth_off),
-        F.lit(360.0),
-    )
-    df = df.withColumns(
-        {
-            "tth": tth,
-            "azim": azim,
-            "dist_sq": (
-                (F.col("_lx") ** 2 + F.col("_ly") ** 2 + F.col("_lz") ** 2)
-                / F.lit(c.distance**2)
-            ),
-        }
-    ).drop("_lx", "_ly", "_lz")
+    df = df.withColumns({"_dx": dx, "_dy": dy})
+    dxc, dyc = F.col("_dx"), F.col("_dy")
+
+    if c.det2theta:
+        # swung-detector branch (GetTthAzmG parity, GSASII_imports.py:974-
+        # 1019): v = M p + dist z_hat, penetration on v_z, w = Ry(d2t)^T v
+        m = rotation_matrix(c.tilt, c.rotation)
+        vx = F.lit(float(m[0, 0])) * dxc + F.lit(float(m[0, 1])) * dyc
+        vy = F.lit(float(m[1, 0])) * dxc + F.lit(float(m[1, 1])) * dyc
+        vz = (
+            F.lit(float(m[2, 0])) * dxc
+            + F.lit(float(m[2, 1])) * dyc
+            + F.lit(dist)
+        )
+        df = df.withColumns({"_vx": vx, "_vy": vy, "_vz": vz})
+        vxc, vyc, vzc = F.col("_vx"), F.col("_vy"), F.col("_vz")
+        if c.det_depth:
+            norm0 = F.sqrt(vxc**2 + vyc**2 + vzc**2)
+            tth0 = F.degrees(F.acos(vzc / norm0))
+            dzp = (
+                F.lit(c.det_depth)
+                * (1.0 - F.cos(F.radians(tth0)))
+                * F.lit(dist**2 / 1000.0)
+            )
+            df = df.withColumn("_vz", vzc + dzp)
+            vzc = F.col("_vz")
+        cd = math.cos(math.radians(c.det2theta))
+        sd = math.sin(math.radians(c.det2theta))
+        df = df.withColumns(
+            {
+                "_wx": F.lit(cd) * vxc - F.lit(sd) * vzc,
+                "_wy": vyc,
+                "_wz": F.lit(sd) * vxc + F.lit(cd) * vzc,
+            }
+        )
+        wxc, wyc, wzc = F.col("_wx"), F.col("_wy"), F.col("_wz")
+        norm = F.sqrt(wxc**2 + wyc**2 + wzc**2)
+        tth = F.degrees(F.acos(wzc / norm))
+        azim = F.pmod(
+            F.degrees(F.atan2(wyc, wxc)) + F.lit(c.azmth_off), F.lit(360.0)
+        )
+        df = df.withColumns({"tth": tth, "azim": azim}).drop(
+            "_vx", "_vy", "_vz", "_wx", "_wy", "_wz"
+        )
+    else:
+        # coplanar branch (GetTthAzmG2 parity, GSASII_imports.py:1027-1046):
+        # dz = sin(tilt)(dx sin(rot) - dy cos(rot)), angle from the
+        # in-plane radius against (dist - dz + penetration)
+        dz = F.lit(math.sin(t_r)) * (
+            dxc * math.sin(r_r) - dyc * math.cos(r_r)
+        )
+        df = df.withColumn("_dz", dz)
+        dzc = F.col("_dz")
+        rad = F.sqrt(
+            F.greatest(dxc**2 + dyc**2 - dzc**2, F.lit(0.0))
+        )
+        df = df.withColumn("_rad", rad)
+        radc = F.col("_rad")
+        tth0 = F.degrees(F.atan(radc / (F.lit(dist) - dzc)))
+        dzp = (
+            F.lit(c.det_depth)
+            * (1.0 - F.cos(F.radians(tth0)))
+            * F.lit(dist**2 / 1000.0)
+        )
+        tth = F.degrees(F.atan2(radc, F.lit(dist) - dzc + dzp))
+        azim = F.pmod(
+            F.degrees(F.atan2(dyc, dxc)) + F.lit(c.azmth_off), F.lit(360.0)
+        )
+        df = df.withColumns({"tth": tth, "azim": azim}).drop("_dz", "_rad")
+
+    # geometric correction G about the tilt-displaced pole (both branches;
+    # GetTthAzmG2:1041-1045)
+    x0 = c.distance * math.tan(t_r)
+    x0x, x0y = x0 * math.cos(r_r), x0 * math.sin(r_r)
+    df = df.withColumn(
+        "dist_sq",
+        ((dxc - x0x) ** 2 + (dyc - x0y) ** 2 + c.distance**2)
+        / F.lit(c.distance**2),
+    ).drop("_dx", "_dy")
     df = df.withColumn("q", tth_to_q("tth", c.wavelength))
-    # Kahn polarization factor (GSASII_imports.py:558-579 semantics)
+    # Kahn polarization factor at azimuth - 90 deg (Polarization,
+    # GSASII_imports.py:556-579; call site Make2ThetaAzimuthMap:553)
     p = c.pola_val
-    a = F.radians("azim")
+    a = F.radians(F.col("azim") - 90.0)
     t = F.radians("tth")
     pol = (
         ((1.0 - p) * F.cos(a) ** 2 + p * F.sin(a) ** 2) * F.cos(t) ** 2

@@ -3,11 +3,13 @@
 Treats image/audio/video as opaque `binary` columns with typed metadata, the
 way a 100 TB training-data lake stores them (payload bytes + sidecar
 columns, partitioned by modality/dataset). The Spark-side plumbing — schema,
-`mapInPandas` batch iteration, Arrow batch shape — is real and tested; the
-actual media decode is STUBBED: the container has no image/audio libraries,
-so `decode_features` tries real decoders and falls back to a clearly-marked
-deterministic fake derived from the payload's md5 (making the whole path
-oracle-checkable end-to-end).
+`mapInPandas` batch iteration, Arrow batch shape — is real and tested.
+Decode is layered: a built-in PNG reader (zlib inflate + filter
+reconstruction, no external deps) decodes real PNG payloads; Pillow, when
+installed, covers other raster formats; payloads that parse as neither
+(e.g. the text-bytes stand-ins in the synthetic corpus) fall back to a
+clearly-marked deterministic fake derived from the payload's md5, keeping
+the whole path oracle-checkable end-to-end.
 
 Scale notes: `mapInPandas` streams Arrow record batches — no per-row Python
 overhead, no driver collect; binary payloads stay columnar Arrow buffers.
@@ -52,6 +54,118 @@ def binary_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
+
+
+def _png_unfilter(raw, width: int, height: int, nch: int):
+    """Undo PNG per-row filtering (spec filters 0-4) -> uint8 (h, stride)."""
+    import numpy as np
+
+    stride = width * nch
+    rows = np.frombuffer(raw, dtype=np.uint8)[: height * (stride + 1)]
+    rows = rows.reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.int32)
+    for r in range(height):
+        ftype = int(rows[r, 0])
+        cur = rows[r, 1:].astype(np.int32)
+        prev = out[r - 1] if r else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            out[r] = cur
+        elif ftype == 2:  # Up
+            out[r] = (cur + prev) & 0xFF
+        else:  # Sub/Average/Paeth need the in-row left neighbor
+            row = out[r]
+            for i in range(stride):
+                a = row[i - nch] if i >= nch else 0
+                b = prev[i]
+                if ftype == 1:
+                    v = cur[i] + a
+                elif ftype == 3:
+                    v = cur[i] + (a + b) // 2
+                elif ftype == 4:
+                    c = prev[i - nch] if i >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = cur[i] + pr
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+                row[i] = v & 0xFF
+    return out.astype(np.uint8)
+
+
+def _decode_png(content: bytes):
+    """Minimal real PNG decode: (width, height, mean_val) or None.
+
+    Supports 8-bit non-interlaced grayscale/RGB (+alpha) — the common
+    training-data case; anything else returns None and defers to Pillow or
+    the fake. mean_val is the pixel mean over all channels scaled to [0,1].
+    """
+    import struct
+    import zlib
+
+    if not content.startswith(_PNG_MAGIC):
+        return None
+    pos = len(_PNG_MAGIC)
+    width = height = None
+    nch = None
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(content):
+            (length,) = struct.unpack(">I", content[pos:pos + 4])
+            ctype = content[pos + 4:pos + 8]
+            chunk = content[pos + 8:pos + 8 + length]
+            if ctype == b"IHDR":
+                width, height, depth, color, _comp, _filt, interlace = (
+                    struct.unpack(">IIBBBBB", chunk)
+                )
+                if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                    return None
+                nch = _PNG_CHANNELS[color]
+            elif ctype == b"IDAT":
+                idat += chunk
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if not width or not idat or nch is None:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) < height * (width * nch + 1):
+            return None
+        px = _png_unfilter(raw, width, height, nch)
+    except Exception:  # noqa: BLE001 — malformed payload -> not a PNG
+        return None
+    return int(width), int(height), float(px.mean() / 255.0)
+
+
+def _real_decode(content: bytes, media_type: str):
+    """Real decode attempt: built-in PNG reader, then Pillow when present.
+
+    Returns (width, height, n_frames, mean_val) or None if the payload is
+    not a decodable raster image.
+    """
+    png = _decode_png(content)
+    if png is not None:
+        w, h, mean = png
+        return w, h, 1, mean
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        img = Image.open(io.BytesIO(content))
+        n_frames = int(getattr(img, "n_frames", 1))
+        arr = np.asarray(img.convert("L"), dtype=np.float64)
+    except Exception:  # noqa: BLE001 — not an image Pillow knows
+        return None
+    return int(img.width), int(img.height), n_frames, float(arr.mean() / 255.0)
+
+
 def _fake_decode(content: bytes, media_type: str) -> tuple[int, int, int, float]:
     """Deterministic FAKE decode (container has no media libs).
 
@@ -70,19 +184,14 @@ def _fake_decode(content: bytes, media_type: str) -> tuple[int, int, int, float]
 def decode_features(assets: DataFrame) -> DataFrame:
     """Decode payloads to typed features via `mapInPandas` (Arrow-batched).
 
-    Tries real decoders first; otherwise the deterministic fake above.
+    Per payload: real decode (built-in PNG reader, then Pillow if
+    installed), falling back to the deterministic fake for bytes that are
+    not decodable media.
     """
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:  # real decoder path — absent in this container, stubbed
-            import PIL.Image  # noqa: F401
-            raise NotImplementedError(
-                "real media decode not wired; see _fake_decode"
-            )
-        except ImportError:
-            pass
         for pdf in batches:
             feats = [
-                _fake_decode(c, m)
+                _real_decode(c, m) or _fake_decode(c, m)
                 for c, m in zip(pdf["content"], pdf["media_type"])
             ]
             out = pd.DataFrame(

@@ -1793,7 +1793,9 @@ def docs_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = en.intersect(s1).select(
         F.lit("en_and_src1").alias("which"), "doc_id"
     )
-    only = en.exceptAll(s1).distinct().select(
+    # subtract == SQL EXCEPT (distinct); exceptAll().distinct() differs
+    # whenever a key appears in both inputs with higher left multiplicity
+    only = en.subtract(s1).select(
         F.lit("en_minus_src1").alias("which"), "doc_id"
     )
     return both.unionByName(only)

@@ -809,6 +809,67 @@ def a15_fraction_masked_per_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P7 — correction-image chain (dark + gain + flat background)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "p7_correction_chain",
+    """
+    WITH corr AS (
+        SELECT l_partkey % 20 AS qbin,
+               CAST(trunc(
+                   (CAST(trunc(l_quantity * 10) AS INTEGER)
+                    + CAST(trunc(p_retailprice * -0.01) AS INTEGER))
+                   * (1000 + p_size) / 1000.0
+                   - 5
+               ) AS INTEGER) AS corrected
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT CAST(qbin AS BIGINT) AS qbin,
+           count(*) AS n_px,
+           CAST(sum(corrected) AS BIGINT) AS sum_val,
+           min(corrected) AS min_val,
+           max(corrected) AS max_val
+    FROM corr GROUP BY 1
+    """,
+    doc="P7 correction chain analog (_getCorrImage, GSASII_imports.py:"
+        "660-735): dark term added with int truncation, gain map applied "
+        "as x*gain/1000 float division, flat background subtracted, final "
+        "int cast — run through operators.corrections."
+        "apply_correction_images with lineitem as the pixel frame and "
+        "part as the per-'pixel' dark/gain tables (broadcast joins).",
+    tags=("xrd", "corrections"),
+)
+def p7_correction_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.operators.corrections import (
+        apply_correction_images,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        (F.col("l_quantity") * 10).alias("intensity"),
+    )
+    pt = _t(spark, sf_dir, "part")
+    dark = pt.select(F.col("p_partkey").alias("pk"),
+                     F.col("p_retailprice").alias("dark"))
+    gain = pt.select(F.col("p_partkey").alias("pk"),
+                     (1000 + F.col("p_size")).alias("gain"))
+    corrected = apply_correction_images(
+        li, dark=dark, dark_scale=-0.01, gain=gain, flat_bkg=5.0,
+        keys=("pk",),
+    )
+    return (
+        corrected.groupBy((F.col("pk") % 20).alias("qbin"))
+        .agg(
+            F.count("*").alias("n_px"),
+            F.sum("intensity").alias("sum_val"),
+            F.min("intensity").alias("min_val"),
+            F.max("intensity").alias("max_val"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # A18 — per-bin gradient stats with two-pass MAD (spottiness_azim_grad)
 # ---------------------------------------------------------------------------
 

@@ -331,8 +331,19 @@ def _release(df: DataFrame) -> None:
         if lp.getClass().getName().endswith("LogicalRDD"):
             lp.rdd().unpersist(False)
             return
-    except Exception:
-        pass
+    except Exception as e:
+        # JVM internals moved (PySpark upgrade): Dataset.unpersist below
+        # does NOT free localCheckpoint RDDs, so a silent fallback would
+        # reintroduce the slow storage leak in long-lived streams — warn.
+        import warnings
+
+        warnings.warn(
+            f"_release: LogicalRDD unpersist path failed ({e!r}); "
+            "falling back to Dataset.unpersist, which leaks "
+            "localCheckpoint storage until GC",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     df.unpersist()
 
 
@@ -375,8 +386,19 @@ def run_image_plan(
     gradient_stage: bool = False,
     observe: bool = False,
     barrier: str = "persist",
+    corrections: dict | None = None,
 ) -> ImagePlanResult:
-    """Full per-image plan (pipeline.py:78-504 equivalent), lazily composed.
+    """Full per-image plan (pipeline.py:78-504 equivalent).
+
+    NOTE: with ``barrier="local_checkpoint"`` (the streaming default) plan
+    construction is EAGER — five intermediates materialize as Spark jobs
+    before this function returns; ``barrier="persist"`` keeps it lazy.
+
+    ``corrections`` (optional) is a kwargs dict for
+    ``operators.corrections.apply_correction_images`` (dark / background /
+    gain / flat_bkg, P7 chain) applied to the raw pixels before masking
+    and integration, as the reference does in _getCorrImage
+    (GSASII_imports.py:660-735).
 
     ``gradient_stage=True`` adds the §2.9 gradient classification
     (plans.gradient_stage): the spot/arc pixel sets fed to the integrals
@@ -397,6 +419,12 @@ def run_image_plan(
     shape = (controls.size_y, controls.size_x)
     if barrier not in ("persist", "local_checkpoint"):
         raise ValueError(f"unknown barrier {barrier!r}")
+    if corrections:
+        from xrddatapipeline_spark.operators.corrections import (
+            apply_correction_images,
+        )
+
+        pixels = apply_correction_images(pixels, **corrections)
 
     def _bar(df: DataFrame) -> DataFrame:
         if barrier == "local_checkpoint":

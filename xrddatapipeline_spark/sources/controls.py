@@ -73,6 +73,8 @@ def imctrl_to_controls(d: dict[str, Any], **overrides: Any) -> ImageControls:
         tilt=float(d.get("tilt", 0.0)),
         rotation=float(d.get("rotation", 0.0)),
         azmth_off=float(d.get("azmthOff", 0.0)),
+        det_depth=float(d.get("DetDepth", 0.0)),
+        det2theta=float(d.get("det2theta", 0.0)),
         pixel_size_x=float(pixel[0]),
         pixel_size_y=float(pixel[1]),
         size_x=int(size[0]),
@@ -86,7 +88,21 @@ def imctrl_to_controls(d: dict[str, Any], **overrides: Any) -> ImageControls:
     )
     kwargs.update(overrides)
     extra = {k: v for k, v in d.items() if k not in kwargs}
-    return ImageControls(**kwargs, extra=extra)
+    controls = ImageControls(**kwargs, extra=extra)
+    if "num_chans_om" not in overrides:
+        # the reference derives the ring-channel count from the detector
+        # span of the IOtth window (cache_creation.py:324-333) rather than
+        # reading it from config; an explicit numChans key still wins
+        from xrddatapipeline_spark.calib.geometry import derive_num_chans
+
+        if "numChans" in d:
+            controls.num_chans_om = int(d["numChans"])
+        else:
+            try:
+                controls.num_chans_om = derive_num_chans(controls)
+            except (ValueError, ZeroDivisionError):
+                pass  # keep the dataclass default for degenerate geometry
+    return controls
 
 
 def parse_poni(text: str) -> dict[str, Any]:

@@ -60,6 +60,39 @@ OUTPUT_TABLES = ("integrals", "spot_stats", "spottiness", "outliers", "csim")
 GRADIENT_TABLES = ("gradient_arcs",)
 
 
+def _observation_get(o, name: str, timeout_s: float = 60.0):
+    """``Observation.get`` with a bounded wait.
+
+    ``get`` blocks indefinitely until some action materializes the observed
+    frame. All frames the pipeline observes ARE consumed by the batch
+    writes, so this normally returns immediately — the timeout converts a
+    misconfigured barrier/observe combination (an observed frame nothing
+    materialized) from a silent stream hang into a visible warning.
+    """
+    import time
+    import warnings
+
+    deadline = time.monotonic() + timeout_s
+    try:
+        while time.monotonic() < deadline:
+            # non-blocking readiness probe (JVM Observation.getRowOrEmpty)
+            if o._jo.getRowOrEmpty().isDefined():
+                return o.get
+            time.sleep(0.05)
+    except Exception:  # noqa: BLE001 — private accessor moved in a PySpark
+        # upgrade: fall back to the blocking get (normal path — every
+        # observed frame is materialized by the batch writes above)
+        return o.get
+    warnings.warn(
+        f"observation {name!r} not materialized after {timeout_s}s "
+        "(observed frame never consumed by an action?) — skipping its "
+        "stage counters",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return None
+
+
 def read_pixel_stream(
     spark: SparkSession,
     input_dir: str,
@@ -154,8 +187,14 @@ class StreamingImagePipeline:
                 # from the writes above (Observation piggybacks on the
                 # materializing action — no extra job).
                 flat: dict[str, int] = {"batch_id": int(batch_id)}
-                for o in res.observations.values():
-                    flat.update({k: int(v) for k, v in o.get.items()})
+                for name, o in res.observations.items():
+                    # Observation.get blocks until an action materializes
+                    # the observed frame; with barrier='persist' a frame no
+                    # output consumed would hang the stream forever — bound
+                    # the wait and skip (with a warning) instead of hanging.
+                    got = _observation_get(o, name, timeout_s=60.0)
+                    if got is not None:
+                        flat.update({k: int(v) for k, v in got.items()})
                 self.spark.createDataFrame([flat]).write.mode("append").json(
                     self._path("stage_metrics")
                 )
