@@ -82,6 +82,59 @@ def test_tiff_rejects_compressed():
         read_tiff_gray(bytes(raw))
 
 
+def test_render_mask_tiffs_roundtrip(spark, tmp_path):
+    """K3: sparse mask rows -> per-image boolean TIFF -> dense array."""
+    import pandas as pd
+
+    from xrddatapipeline_spark.sinks import render_mask_tiffs
+
+    h, w = 16, 20
+    rng = np.random.default_rng(11)
+    rows = []
+    masks = {}
+    for image_id in ("a-00001", "a-00002"):
+        dense = rng.uniform(0, 1, size=(h, w)) < 0.2
+        masks[image_id] = dense
+        ys, xs = np.nonzero(dense)
+        rows += [(image_id, int(y), int(x)) for y, x in zip(ys, xs)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "y", "x"])
+    )
+    out = (
+        render_mask_tiffs(df, (h, w), str(tmp_path), "_outliermask")
+        .toPandas().set_index("image_id")
+    )
+    for image_id, dense in masks.items():
+        got = read_tiff_gray(open(out.loc[image_id, "path"], "rb").read())
+        np.testing.assert_array_equal(got.astype(bool), dense)
+        assert out.loc[image_id, "n_px"] == dense.sum()
+
+
+def test_render_map_tiffs_roundtrip(spark, tmp_path):
+    """K4: the five calib maps render as float32 TIFFs matching numpy."""
+    from xrddatapipeline_spark.calib.geometry import (
+        ImageControls,
+        compute_maps_numpy,
+    )
+    from xrddatapipeline_spark.sinks import MAP_TIFF_COLUMNS, render_map_tiffs
+
+    c = ImageControls(size_x=24, size_y=18, center_x=1.8, center_y=1.4,
+                      tilt=4.0, rotation=25.0)
+    calib = build_calib_pixels(spark, c)
+    paths = render_map_tiffs(
+        calib, (c.size_y, c.size_x), str(tmp_path), "ctrl"
+    )
+    import os
+
+    assert [os.path.basename(p) for p in paths] == [
+        f"ctrl_{n}.tif" for n in MAP_TIFF_COLUMNS
+    ]
+    maps = compute_maps_numpy(c)
+    for path, col in zip(paths, MAP_TIFF_COLUMNS.values()):
+        got = read_tiff_gray(open(path, "rb").read())
+        np.testing.assert_array_equal(got, maps[col].astype(np.float32))
+
+
 def test_filename_parse():
     assert parse_image_filename("/a/b/MA2b-00004.tif") == ("MA2b", 4)
     assert parse_image_filename("x_12345.tiff") == ("x", 12345)

@@ -52,6 +52,31 @@ def stream_run(spark, tmp_path_factory):
     return pipe, batches_run1
 
 
+def test_render_masks_batch(spark, tmp_path):
+    """K3 wiring: process_batch with render_masks writes per-image
+    base/outliermask TIFFs that match the masked pixel counts."""
+    import os
+
+    from tests.fixtures_images import images_long_df, make_image
+    from xrddatapipeline_spark.sources.tiff import read_tiff_gray
+
+    out_dir = str(tmp_path / "out")
+    calib = build_calib_pixels(spark, CONTROLS)
+    pipe = StreamingImagePipeline(
+        spark, calib, CONTROLS, out_dir, render_masks=True
+    )
+    px = images_long_df(spark, [("synth", 0, make_image(CONTROLS, seq=0))])
+    pipe.process_batch(px, 0)
+    base_path = os.path.join(out_dir, "masks", "synth-00000_base.tif")
+    om_path = os.path.join(out_dir, "masks", "synth-00000_outliermask.tif")
+    base = read_tiff_gray(open(base_path, "rb").read())
+    om = read_tiff_gray(open(om_path, "rb").read())
+    assert base.shape == (CONTROLS.size_y, CONTROLS.size_x)
+    n_outliers = pipe.output("outliers").count()
+    assert om.sum() == n_outliers > 0
+    assert base.sum() > 0
+
+
 def test_backfill_processes_each_image_once(stream_run):
     pipe, batches_run1 = stream_run
     # maxFilesPerTrigger=1 -> one batch per image in run 1 (one in flight)

@@ -666,6 +666,147 @@ def w6_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T6 — batch anchors for the streaming operators (windows / joins). The
+# streaming layer (streaming/windows.py, joins.py) computes exactly these
+# shapes incrementally; the batch forms give them a driver-visible oracle.
+# ---------------------------------------------------------------------------
+
+_WIN_US = 10 * 60 * 1_000_000  # 10-minute tumbling window
+_SLIDE_US = 5 * 60 * 1_000_000  # 5-minute slide (15-minute sliding window)
+_SLIDE_WIN_US = 15 * 60 * 1_000_000
+_JOIN_BOUND_US = 30 * 60 * 1_000_000  # interval-join upper bound
+
+
+@_register(
+    "t6_tumbling_window_counts",
+    f"""
+    WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events)
+    SELECT ts_us - ts_us % {_WIN_US} AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_value_q
+    FROM e GROUP BY 1, 2
+    """,
+    doc="Batch anchor of streaming/windows.py::windowed_event_counts "
+        "(watermarked tumbling windows, SURVEY §2.10 T6): the same "
+        "window assignment in integer-microsecond arithmetic. value is "
+        "quantized (x1e6 floor) so the sum is order-independent exact.",
+    tags=("window", "streaming-anchor"),
+)
+def t6_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(_ts_us(ev).alias("ts_us"), "event_type", "value")
+    return (
+        e.groupBy(
+            (F.col("ts_us") - F.pmod("ts_us", F.lit(_WIN_US))).alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias(
+                "sum_value_q"
+            ),
+        )
+    )
+
+
+@_register(
+    "t6_sliding_window_stats",
+    f"""
+    WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type FROM events),
+    x AS (
+        SELECT (ts_us - ts_us % {_SLIDE_US}) - g.k * {_SLIDE_US}
+                   AS window_start,
+               event_type, ts_us
+        FROM e CROSS JOIN generate_series(0, 2) AS g(k)
+    )
+    SELECT window_start, event_type, count(*) AS n_events
+    FROM x
+    WHERE window_start >= 0 AND ts_us < window_start + {_SLIDE_WIN_US}
+    GROUP BY 1, 2
+    """,
+    doc="Sliding-window (15 min window / 5 min slide) batch anchor: each "
+        "event explodes to its 3 covering windows (the same assignment "
+        "F.window(slideDuration=...) makes), then per-window counts.",
+    tags=("window", "streaming-anchor"),
+)
+def t6_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(_ts_us(ev).alias("ts_us"), "event_type")
+    x = e.select(
+        "ts_us",
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k"),
+    ).withColumn(
+        "window_start",
+        (F.col("ts_us") - F.pmod("ts_us", F.lit(_SLIDE_US)))
+        - F.col("k") * _SLIDE_US,
+    )
+    return (
+        x.where(
+            (F.col("window_start") >= 0)
+            & (F.col("ts_us") < F.col("window_start") + _SLIDE_WIN_US)
+        )
+        .groupBy("window_start", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@_register(
+    "t6_interval_join_counts",
+    f"""
+    WITH e AS (
+        SELECT epoch_us(ts) AS ts_us, user_id, event_type, event_id
+        FROM events
+    ),
+    pairs AS (
+        SELECT c.user_id, c.event_id AS click_id
+        FROM e c JOIN e p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts_us >= c.ts_us
+         AND p.ts_us <= c.ts_us + {_JOIN_BOUND_US}
+    )
+    SELECT user_id,
+           count(*) AS n_pairs,
+           CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks_matched
+    FROM pairs GROUP BY user_id
+    """,
+    doc="Batch anchor of streaming/joins.py::interval_join_streams "
+        "(watermarked stream-stream interval join): clicks joined to "
+        "purchases by the same user within 30 min after, per-user pair "
+        "counts. One shuffle on user_id serves join and aggregate.",
+    tags=("join", "streaming-anchor"),
+)
+def t6_interval_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        _ts_us(ev).alias("ts_us"), "user_id", "event_type", "event_id"
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("p_ts")
+    )
+    pairs = c.join(
+        p,
+        on=[
+            c.user_id == p.user_id,
+            p.p_ts >= c.c_ts,
+            p.p_ts <= c.c_ts + _JOIN_BOUND_US,
+        ],
+    ).select(c.user_id, "click_id")
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("click_id").alias("n_clicks_matched"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # J5 — base vs masked difference via pivot self-alignment
 # ---------------------------------------------------------------------------
 

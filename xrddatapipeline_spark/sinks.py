@@ -99,6 +99,94 @@ def export_dataset_chis(
     return paths
 
 
+def render_mask_tiffs(
+    mask_rows: DataFrame,
+    shape: tuple[int, int],
+    out_dir: str,
+    suffix: str = "_outliermask",
+) -> DataFrame:
+    """K3 viz parity: sparse mask rows -> one dense boolean TIFF per image.
+
+    The reference saves `<name>-<number>_base.tif` / `_outliermask.tif`
+    next to its parquet-equivalent state (pipeline.py:152-159, 196-216).
+    Here the sparse (image_id, y, x) rows ARE the source of truth; this
+    sink re-materializes the dense raster for viewers. Executed as
+    `applyInPandas` per image — each file renders on the executor holding
+    that image's rows (out_dir must be a shared filesystem; at scale this
+    is the object store). Masks are written as uint8 0/1 (the reference's
+    PIL bool TIFFs are 1-bit; 8-bit is the lossless portable equivalent).
+
+    Returns (image_id, path, n_px) — one row per written file. The sink
+    runs when this frame is consumed (an action is required).
+    """
+    import numpy as np
+
+    from xrddatapipeline_spark.sources.tiff import write_tiff_gray
+
+    h, w = shape
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _render(pdf: pd.DataFrame) -> pd.DataFrame:
+        image_id = str(pdf["image_id"].iloc[0])
+        img = np.zeros((h, w), dtype=np.uint8)
+        img[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = 1
+        path = os.path.join(out_dir, f"{image_id}{suffix}.tif")
+        write_tiff_gray(path, img)
+        return pd.DataFrame(
+            {"image_id": [image_id], "path": [path], "n_px": [len(pdf)]}
+        )
+
+    return (
+        mask_rows.select("image_id", "y", "x")
+        .groupBy("image_id")
+        .applyInPandas(_render, "image_id string, path string, n_px long")
+    )
+
+
+#: map-name -> calib column, in the reference's file order
+#: (cache_creation.py:65-84)
+MAP_TIFF_COLUMNS = {
+    "2thetamap": "tth",
+    "azmmap": "azim",
+    "pixelsampledistmap": "dist_sq",
+    "polscalemap": "pol",
+    "qmap": "q",
+}
+
+
+def render_map_tiffs(
+    calib: DataFrame,
+    shape: tuple[int, int],
+    out_dir: str,
+    prefix: str,
+) -> list[str]:
+    """K4 viz parity: the five dense calibration maps as float32 TIFFs
+    (`<prefix>_2thetamap.tif`, `_azmmap.tif`, `_pixelsampledistmap.tif`,
+    `_polscalemap.tif`, `_qmap.tif`; cache_creation.py:65-84).
+
+    A one-time per-run export (the reference writes these once when the
+    cache is built): one driver-side collect of the calib table feeds all
+    five files. Returns the written paths.
+    """
+    import numpy as np
+
+    from xrddatapipeline_spark.sources.tiff import write_tiff_gray
+
+    h, w = shape
+    os.makedirs(out_dir, exist_ok=True)
+    pdf = calib.select("y", "x", *MAP_TIFF_COLUMNS.values()).toPandas()
+    ys = pdf["y"].to_numpy()
+    xs = pdf["x"].to_numpy()
+    paths = []
+    for name, col in MAP_TIFF_COLUMNS.items():
+        img = np.zeros((h, w), dtype=np.float32)
+        img[ys, xs] = pdf[col].to_numpy().astype(np.float32)
+        path = os.path.join(out_dir, f"{prefix}_{name}.tif")
+        write_tiff_gray(path, img)
+        paths.append(path)
+    return paths
+
+
 def table_format() -> str:
     """Preferred table format: 'delta' when delta-spark is importable (the
     production target — ACID append, MERGE upserts for the streaming sinks'

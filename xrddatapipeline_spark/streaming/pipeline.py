@@ -143,6 +143,11 @@ class StreamingImagePipeline:
     # failed batch wholesale, so the lost fault-tolerance of the
     # checkpointed RDDs is already covered one level up.
     barrier: str = "local_checkpoint"
+    # K3 viz parity: also materialize per-image `<id>_base.tif` /
+    # `<id>_outliermask.tif` boolean rasters under out_dir/masks
+    # (pipeline.py:152-159, 196-216) — off by default (parquet is the
+    # source of truth; the TIFFs are for legacy viewers)
+    render_masks: bool = False
     batches_seen: int = field(default=0, init=False)
 
     def _path(self, table: str) -> str:
@@ -179,6 +184,18 @@ class StreamingImagePipeline:
                 res.gradient.on_arc_labels.write.mode("append").parquet(
                     self._path("gradient_arcs")
                 )
+            if self.render_masks:
+                from xrddatapipeline_spark.sinks import render_mask_tiffs
+
+                shape = (self.controls.size_y, self.controls.size_x)
+                masks_dir = self._path("masks")
+                render_mask_tiffs(
+                    res.pixels.where(F.col("base_mask")), shape,
+                    masks_dir, "_base",
+                ).collect()
+                render_mask_tiffs(
+                    res.outliers, shape, masks_dir, "_outliermask"
+                ).collect()
             self._append_csim(batch_df)
             if self.observe_metrics and res.observations:
                 # A22 analog: the reference prints per-stage counters at
