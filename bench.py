@@ -16,8 +16,14 @@ import re
 import sys
 import time
 
-from xrddatapipeline_spark.session import get_spark
-from xrddatapipeline_spark.plans.driver_queries import REGISTRY
+#: the keep-up workload (8 x 2880^2 images in flight: ring order-stat
+#: arrays + gradient-stage arrow batches + the csim window) needs more than
+#: the 16g default heap; the bench host has 128 GiB. Must be set before the
+#: first get_spark — local-mode heap is fixed at JVM launch.
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+
+from xrddatapipeline_spark.session import get_spark  # noqa: E402
+from xrddatapipeline_spark.plans.driver_queries import REGISTRY  # noqa: E402
 
 HEADLINE = [
     "tpch_q1_pricing",
@@ -48,6 +54,40 @@ HEADLINE = [
 ]
 
 
+def _synthetic_pixels(spark, c, n_images: int = 1):
+    """N synthetic detector images generated entirely executor-side (pure
+    column expressions — no driver data): smooth rings + hash noise + sparse
+    hot spots, perturbed per-seq so images differ."""
+    from pyspark.sql import functions as F
+
+    size = c.size_x
+    r = F.sqrt(
+        (F.col("y") - size / 2.0) ** 2 + (F.col("x") - size / 2.0) ** 2
+    )
+    intensity = (
+        F.lit(50)
+        + F.lit(150.0) * F.pow(F.sin(r / 3.0), 2)
+        + F.pmod(F.xxhash64("y", "x", "seq"), F.lit(13))
+        + F.when(
+            F.pmod(F.xxhash64("x", "y", "seq", F.lit(7)), F.lit(911)) == 0, 4000
+        ).otherwise(0)
+    ).cast("int")
+    return (
+        spark.range(size * size * n_images)
+        .select(
+            F.lit(c.dataset).alias("dataset"),
+            (F.col("id") / (size * size)).cast("int").alias("seq"),
+            ((F.col("id") / size).cast("long") % size).cast("int").alias("y"),
+            (F.col("id") % size).cast("int").alias("x"),
+        )
+        .withColumn(
+            "image_id", F.format_string(f"{c.dataset}-%05d", "seq")
+        )
+        .withColumn("intensity", intensity)
+        .select("dataset", "seq", "image_id", "y", "x", "intensity")
+    )
+
+
 def _image_plan_seconds(spark) -> float:
     """End-to-end per-image XRD plan (the reference's core workload,
     BASELINE.md stage timers): corrections -> ring outlier mask -> closing/
@@ -55,8 +95,6 @@ def _image_plan_seconds(spark) -> float:
     spottiness, on one synthetic SIZExSIZE detector image generated
     executor-side (pure column expressions — no driver data). Calibration
     build is excluded (once-per-run cache, pipeline_queue.py:183)."""
-    from pyspark.sql import functions as F
-
     from xrddatapipeline_spark.calib.cache import build_calib_pixels
     from xrddatapipeline_spark.calib.geometry import ImageControls
     from xrddatapipeline_spark.plans.image_pipeline import run_image_plan
@@ -81,28 +119,7 @@ def _image_plan_seconds(spark) -> float:
     calib = build_calib_pixels(spark, c).persist()
     calib.count()
 
-    r = F.sqrt(
-        (F.col("y") - size / 2.0) ** 2 + (F.col("x") - size / 2.0) ** 2
-    )
-    intensity = (
-        F.lit(50)
-        + F.lit(150.0) * F.pow(F.sin(r / 3.0), 2)
-        + F.pmod(F.xxhash64("y", "x"), F.lit(13))
-        + F.when(F.pmod(F.xxhash64("x", "y", F.lit(7)), F.lit(911)) == 0, 4000)
-        .otherwise(0)
-    ).cast("int")
-    pixels = (
-        spark.range(size * size)
-        .select(
-            F.lit("bench").alias("dataset"),
-            F.lit(0).alias("seq"),
-            F.lit("bench-00000").alias("image_id"),
-            (F.col("id") / size).cast("int").alias("y"),
-            (F.col("id") % size).cast("int").alias("x"),
-        )
-        .withColumn("intensity", intensity)
-        .persist()
-    )
+    pixels = _synthetic_pixels(spark, c, n_images=1).persist()
     pixels.count()
 
     t0 = time.perf_counter()
@@ -114,6 +131,93 @@ def _image_plan_seconds(spark) -> float:
     pixels.unpersist()
     calib.unpersist()
     return round(elapsed, 4)
+
+
+def _keepup_2880(batch: int = 8) -> dict:
+    """The reference's keep-up criterion (BASELINE.md: end-to-end images/s
+    at 2880×2880 / 2500 bins / esdMul 3, queue must drain —
+    pipeline_queue.py:849-852): a batch of `batch` full-resolution images
+    through corrections-equivalent plan + ring outlier mask + closing/
+    labeling + classification + gradient stage + 4-way integrals + spot
+    stats + spottiness + csim series, every output materialized (noop sink),
+    checkpoint-barrier lineage truncation.
+
+    Runs in its OWN session: default codegen.hugeMethodLimit (65535) wins
+    at 8.3 Mpx partitions (see session.py docstring), opposite of the small
+    sf0.1 queries above. Returns sec/img, images/s, and the break-even
+    acquisition period (any beamline exposure period >= sec_per_image
+    keeps the queue drained with one batch in flight)."""
+    from xrddatapipeline_spark.calib.cache import build_calib_pixels
+    from xrddatapipeline_spark.calib.geometry import ImageControls
+    from xrddatapipeline_spark.plans.image_pipeline import (
+        cosine_similarity_series,
+        run_image_plan,
+    )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = get_spark(
+        app_name="xrdspark-keepup",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    size = 2880
+    c = ImageControls(
+        wavelength=0.24087,
+        distance=959.0,
+        center_x=size * 150.0 / 2000.0,
+        center_y=size * 150.0 / 2000.0,
+        pixel_size_x=150.0,
+        pixel_size_y=150.0,
+        size_x=size,
+        size_y=size,
+        iotth=(1.0, 12.7),
+        out_channels=2500,
+        num_chans_om=1000,
+        pola_val=0.99,
+        esd_mul=3.0,
+        dataset="keepup",
+    )
+    from pyspark import StorageLevel
+
+    calib = build_calib_pixels(spark, c).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER
+    )
+    calib.count()
+    # serialized storage: 8 x 8.3 Mpx of deserialized column batches
+    # pressure the heap for no benefit (each frame is scanned few times)
+    pixels = _synthetic_pixels(spark, c, n_images=batch).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pixels.count()
+
+    t0 = time.perf_counter()
+    res = run_image_plan(
+        pixels, calib, c, gradient_stage=True, barrier="local_checkpoint"
+    )
+    outs = [res.integrals, res.spot_stats, res.spottiness, res.outliers,
+            cosine_similarity_series(res.pixels)]
+    if res.gradient is not None:
+        outs.append(res.gradient.on_arc_labels)
+    for out in outs:
+        out.write.format("noop").mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+    res.unpersist_all()
+    pixels.unpersist()
+    calib.unpersist()
+    spark.stop()
+    sec_per_img = elapsed / batch
+    return {
+        "img_size": size,
+        "out_channels": 2500,
+        "esd_mul": 3.0,
+        "batch": batch,
+        "gradient_stage": True,
+        "batch_sec": round(elapsed, 2),
+        "sec_per_image": round(sec_per_img, 2),
+        "images_per_sec": round(batch / elapsed, 3),
+        "breakeven_acquisition_period_sec": round(sec_per_img, 2),
+    }
 
 
 def main() -> None:
@@ -163,18 +267,28 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
     spark.stop()
+
+    # Keep-up measurement at the reference's full-resolution config
+    # (BASELINE.md keep-up criterion). Reported as a SIBLING field, not in
+    # `queries`: it benchmarks a fixed-size synthetic workload independent
+    # of sf, so folding its seconds into the sf-scaled total would make
+    # round-over-round totals incomparable. Skippable for quick local runs
+    # with SPARK_GRAFT_KEEPUP=0.
+    keepup = None
+    if os.environ.get("SPARK_GRAFT_KEEPUP", "1") != "0":
+        keepup = _keepup_2880()
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if keepup is not None:
+        out["xrd_image_plan_2880"] = keepup
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -77,6 +77,40 @@ def test_render_masks_batch(spark, tmp_path):
     assert base.sum() > 0
 
 
+def test_pause_clear_queue_resume(spark, tmp_path):
+    """T4 clear-queue: pending landing files snapshotted into the skip
+    manifest are dropped at the source on resume; already-processed and
+    later-arriving files are unaffected (reference UI queue.clear())."""
+    input_dir, out_dir = str(tmp_path / "landing"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    calib = build_calib_pixels(spark, CONTROLS)
+    pipe = StreamingImagePipeline(spark, calib, CONTROLS, out_dir)
+
+    _land_image(spark, input_dir, 0)
+    q = pipe.start(input_dir, ckpt, available_now=True)
+    q.awaitTermination(120)
+    pipe.pause()
+
+    # two images land while paused; operator clears the queue
+    _land_image(spark, input_dir, 1)
+    _land_image(spark, input_dir, 2)
+    assert pipe.clear_queue(input_dir, "*.parquet") > 0
+
+    q = pipe.resume()
+    q.awaitTermination(120)
+    seen = {r.image_id for r in
+            pipe.output("integrals").select("image_id").distinct().collect()}
+    assert seen == {"synth-00000"}  # cleared files skipped
+
+    # a fresh image after the clear IS processed
+    _land_image(spark, input_dir, 3)
+    q = pipe.resume()
+    q.awaitTermination(120)
+    seen = {r.image_id for r in
+            pipe.output("integrals").select("image_id").distinct().collect()}
+    assert seen == {"synth-00000", "synth-00003"}
+
+
 def test_backfill_processes_each_image_once(stream_run):
     pipe, batches_run1 = stream_run
     # maxFilesPerTrigger=1 -> one batch per image in run 1 (one in flight)

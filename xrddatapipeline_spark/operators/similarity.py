@@ -355,3 +355,51 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 3,
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos")
     )
+
+
+def pq_codebooks(
+    df: DataFrame, num_codes: int = 8, num_sub: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> tuple[list[list[tuple[int, list[float]]]], int]:
+    """Product-quantization codebooks: split the embedding space into
+    ``num_sub`` contiguous subspaces; each subspace's codebook is the
+    corresponding SLICE of the same ``num_codes`` deterministic seed
+    vectors `ivf_centroids` picks (md5-sampled corpus vectors). Returns
+    (one codebook per subspace, subvector width). At production scale the
+    seeds would be Lloyd-refined per subspace offline; encoding below is
+    identical either way."""
+    seeds = ivf_centroids(df, num_codes, vec_col, id_col)
+    dim = len(seeds[0][1]) if seeds else 0
+    sub = dim // num_sub
+    books = [
+        [(code, vec[m * sub:(m + 1) * sub]) for code, vec in seeds]
+        for m in range(num_sub)
+    ]
+    return books, sub
+
+
+def pq_encode(
+    df: DataFrame, num_codes: int = 8, num_sub: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ encoding (the ANN-at-scale compression step: a dim-float vector
+    becomes num_sub small codes): per subspace, nearest sub-centroid by
+    exact integer quantized distance (same argmin construction as
+    `ivf_assign_expr`). Output: id, code_m per subspace, and the total
+    quantized reconstruction distance (exact int64 — a rank key).
+
+    Scale shape: the codebooks are driver-side literals (num_codes *
+    num_sub subvectors), so encoding is a single shuffle-free map-side
+    projection over the corpus — 100 TB costs one scan, and the output is
+    ~dim/num_sub x smaller than the input."""
+    books, sub = pq_codebooks(df, num_codes, num_sub, vec_col, id_col)
+    cols: list[Column] = [F.col(id_col)]
+    total: Column | None = None
+    for m, book in enumerate(books):
+        sv = F.slice(F.col(vec_col), m * sub + 1, sub)
+        best = ivf_assign_expr(sv, book)
+        cols.append(best["cell"].cast("int").alias(f"code_{m}"))
+        d = best["dist"]
+        total = d if total is None else total + d
+    cols.append(total.cast("long").alias("qdist"))
+    return df.select(*cols)

@@ -1367,15 +1367,33 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         (F.col("doc_id") / shard_size).cast("long").alias("shard"),
     )
-    # phase 1: per-shard totals -> cumulative offset per shard (the shard
-    # table is tiny: one row per 64 docs -> broadcast back)
+    # phase 1: per-shard totals -> cumulative offset per shard, computed
+    # as a TWO-LEVEL prefix sum so no single-partition window ever sees
+    # more than `sup_size` rows: per-super-shard running sum over shards
+    # (partitioned, <=4096 rows each) + a global running sum over the
+    # super-shard totals (1 row per 4096*64 docs — 38 k rows at 10 B
+    # docs, safely one task). The shard offset table stays broadcastable.
+    sup_size = 4096
     shard_tot = t.groupBy("shard").agg(F.sum("n_tokens").alias("tot"))
-    w_sh = Window.orderBy("shard").rowsBetween(
+    shard_tot = shard_tot.withColumn(
+        "sup", (F.col("shard") / sup_size).cast("long")
+    )
+    sup_tot = shard_tot.groupBy("sup").agg(F.sum("tot").alias("stot"))
+    w_sup = Window.orderBy("sup").rowsBetween(Window.unboundedPreceding, -1)
+    sup_off = sup_tot.withColumn(
+        "sup_off", F.coalesce(F.sum("stot").over(w_sup), F.lit(0))
+    ).select("sup", "sup_off")
+    w_sh = Window.partitionBy("sup").orderBy("shard").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    offsets = shard_tot.withColumn(
-        "offset", F.coalesce(F.sum("tot").over(w_sh), F.lit(0))
-    ).select("shard", "offset")
+    offsets = (
+        shard_tot.join(F.broadcast(sup_off), "sup")
+        .withColumn(
+            "offset",
+            F.col("sup_off") + F.coalesce(F.sum("tot").over(w_sh), F.lit(0)),
+        )
+        .select("shard", "offset")
+    )
     # phase 2: running sum WITHIN each shard (parallel across shards),
     # plus the broadcast shard offset = exact global prefix sum
     w_in = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
@@ -1992,3 +2010,149 @@ def orders_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@_register(
+    "text_contamination_check",
+    """
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS t
+               FROM documents),
+    sh AS (
+        SELECT doc_id, source,
+               md5(array_to_string(
+                   t[CAST(i AS INT) + 1 : CAST(i AS INT) + 8], ' ')) AS h
+        FROM w, UNNEST(range(0, len(t) - 7)) AS u(i)
+    ),
+    ev AS (SELECT DISTINCT h FROM sh WHERE source = 'src0')
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_shared
+    FROM sh JOIN ev USING (h)
+    WHERE source <> 'src0'
+    GROUP BY doc_id
+    """,
+    doc="Benchmark decontamination (the GPT-3/PaLM 13-gram protocol, here "
+        "8-token): flag training docs sharing any token shingle with the "
+        "held-out eval slice (source='src0'). Scale shape is the real "
+        "one: eval suites are tiny and static -> their distinct shingle "
+        "hashes BROADCAST to every executor; the 100 TB training side is "
+        "scanned once, shingled map-side, and hash-joined with no shuffle "
+        "of the corpus. Output is per-doc hit counts (the removal list).",
+    tags=("text", "corpus", "dedup"),
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("source") == "src0")
+    tr = docs.where(F.col("source") != "src0")
+    ev_h = (
+        tx.word_shingles(ev, n=8)
+        .select(F.md5("shingle").alias("h"))
+        .distinct()
+    )
+    tr_h = tx.word_shingles(tr, n=8).select(
+        "doc_id", F.md5("shingle").alias("h")
+    )
+    return (
+        tr_h.join(F.broadcast(ev_h), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.count_distinct("h").cast("long").alias("n_shared"),
+        )
+    )
+
+
+@_register(
+    "docs_chunk_tokens",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    c AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               t[CAST(i AS INT) * 48 + 1 : CAST(i AS INT) * 48 + 64] AS ck
+        FROM w, UNNEST(range(0, (len(t) - 1) // 48 + 1)) AS u(i)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(ck) AS BIGINT) AS n_tokens,
+           md5(array_to_string(ck, ' ')) AS chunk_hash
+    FROM c
+    """,
+    doc="Context chunking with overlap (RAG / long-doc training prep): "
+        "64-token windows at stride 48 (16-token overlap), one output row "
+        "per chunk with its token count and content hash. Pure per-row "
+        "array math (split once, slice per chunk behind a Generate "
+        "boundary) — zero shuffles, embarrassingly parallel at any scale; "
+        "the row expansion is bounded at ~len/48 chunks per doc.",
+    tags=("text", "corpus"),
+)
+def docs_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    chunk, stride = 64, 48
+    toks_df = docs.select("doc_id", F.split("text", " ").alias("_toks"))
+    n = F.size("_toks")
+    starts = F.sequence(
+        F.lit(0), F.floor((n - 1) / stride).cast("int") * stride,
+        F.lit(stride),
+    )
+    ex = toks_df.select(
+        "doc_id", "_toks", F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    sl = F.slice("_toks", F.col("start") + 1, chunk)
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(sl).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", sl)).alias("chunk_hash"),
+    )
+
+
+def _pq_slice(expr: str, m: str, nsub: int = 4) -> str:
+    w = f"(len({expr}) // {nsub})"
+    return f"{expr}[CAST({m} * {w} + 1 AS INT) : CAST(({m} + 1) * {w} AS INT)]"
+
+
+_PQ_VS = _pq_slice("v.embedding", "s.m")
+_PQ_CS = _pq_slice("c.embedding", "s.m")
+
+@_register(
+    "emb_pq_encode",
+    f"""
+    WITH cents AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                   AS cell,
+               embedding
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ),
+    subs AS (SELECT CAST(m AS INT) AS m FROM UNNEST(range(0, 4)) AS t(m)),
+    vd AS (
+        SELECT v.vec_id, s.m, c.cell,
+               {_sql_qdot(_PQ_VS, _PQ_VS)} - 2 * {_sql_qdot(_PQ_VS, _PQ_CS)}
+                   + {_sql_qdot(_PQ_CS, _PQ_CS)} AS dist
+        FROM embeddings v CROSS JOIN subs s CROSS JOIN cents c
+    ),
+    best AS (
+        SELECT vec_id, m, cell, dist FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY dist, cell) AS rn
+            FROM vd
+        ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           CAST(max(CASE WHEN m = 0 THEN cell END) AS INT) AS code_0,
+           CAST(max(CASE WHEN m = 1 THEN cell END) AS INT) AS code_1,
+           CAST(max(CASE WHEN m = 2 THEN cell END) AS INT) AS code_2,
+           CAST(max(CASE WHEN m = 3 THEN cell END) AS INT) AS code_3,
+           CAST(sum(dist) AS BIGINT) AS qdist
+    FROM best GROUP BY vec_id
+    """,
+    doc="Product-quantization encoding (the ANN compression step: 64 "
+        "floats -> 4 one-byte codes): 4 contiguous subspaces, 8-entry "
+        "codebooks sliced from the md5-deterministic IVF seeds, nearest "
+        "sub-centroid by exact integer quantized distance, plus the total "
+        "quantized reconstruction distance. Codebooks are driver-side "
+        "literals -> encoding is ONE shuffle-free map-side projection "
+        "over the corpus; output is ~dim/num_sub x smaller than input.",
+    tags=("similarity", "corpus", "embedding", "ivf"),
+)
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.pq_encode(_t(spark, sf_dir, "embeddings"), num_codes=8, num_sub=4)

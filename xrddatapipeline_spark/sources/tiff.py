@@ -29,6 +29,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: dataset/sequence parse from filenames like `MA2b-00004.tif`
 #: (pipeline_queue.py:41 regex semantics)
@@ -476,8 +477,13 @@ def read_tiff_images(
 def stream_tiff_images(
     spark: SparkSession, input_dir: str, glob: str = "*.tif*",
     max_files_per_trigger: int = 1,
+    skip_names: "set[str] | None" = None,
 ) -> DataFrame:
-    """Streaming TIFF source (T1): landing dir -> pixel-row stream."""
+    """Streaming TIFF source (T1): landing dir -> pixel-row stream.
+
+    ``skip_names`` (T4 clear-queue manifest) drops those file basenames
+    BEFORE the decode UDTF — a cleared file costs a filtered row, not a
+    decoded image."""
     binary = (
         spark.readStream.format("binaryFile")
         # streaming sources cannot infer schemas; binaryFile's is fixed
@@ -489,4 +495,8 @@ def stream_tiff_images(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .load(input_dir)
     )
+    if skip_names:
+        binary = binary.where(
+            ~F.element_at(F.split("path", "/"), -1).isin(sorted(skip_names))
+        )
     return decode_tiff_pixels(binary)

@@ -17,10 +17,16 @@ Reference semantics mapped to Spark:
   reference (which re-polls the file later) a filtered row's file has
   already been consumed by the source, so only use it with sources that
   also write atomically.
-- T4 (pause/resume/stop, process-existing-only): ``query.stop()`` /
-  restart-from-checkpoint; backfill = ``Trigger.AvailableNow`` (drain all
-  currently-visible files, then stop) — exactly "process existing images
-  only, auto-stop" (pipeline_queue.py:849-852).
+- T4 (pause/resume/clear-queue/stop, process-existing-only): ``pause()``
+  stops the query but keeps the checkpoint; ``resume()`` restarts from it
+  (no input is lost or reprocessed — the file-source log is the queue).
+  ``clear_queue()`` is the reference UI's "clear queue" button
+  (pipeline_queue.py queue.clear()): it snapshots the currently-visible
+  landing files into a persisted skip manifest; on resume those files are
+  dropped at the source (already-processed files are unaffected — the
+  checkpoint never replays them). Backfill = ``Trigger.AvailableNow``
+  (drain all currently-visible files, then stop) — exactly "process
+  existing images only, auto-stop" (pipeline_queue.py:849-852).
 - T5 (csim needs image n-1): reformulated as a join against the pixel
   STORE (partitioned by dataset/seq so the n-1 and first-image reads are
   partition-pruned scans), not a streaming state store. Out-of-order
@@ -149,9 +155,63 @@ class StreamingImagePipeline:
     # source of truth; the TIFFs are for legacy viewers)
     render_masks: bool = False
     batches_seen: int = field(default=0, init=False)
+    _query: StreamingQuery | None = field(default=None, init=False)
+    _start_kwargs: dict = field(default_factory=dict, init=False)
 
     def _path(self, table: str) -> str:
         return os.path.join(self.out_dir, table)
+
+    # ---- T4 control surface (the reference UI's Pause / Clear Queue) ----
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.out_dir, "control", "skip_manifest.json")
+
+    def _load_skip_names(self) -> set[str]:
+        import json
+
+        try:
+            with open(self._manifest_path) as f:
+                return set(json.load(f))
+        except (FileNotFoundError, ValueError):
+            return set()
+
+    def clear_queue(self, input_dir: str, glob: str = "*") -> int:
+        """Snapshot currently-visible landing files into the skip manifest
+        (the reference's queue.clear()). Files already processed are
+        unaffected (the checkpoint never replays them); pending files are
+        dropped at the source on the next (re)start. Returns the manifest
+        size. Call while paused — a running query applies the manifest it
+        loaded at start."""
+        import fnmatch
+        import json
+
+        names = self._load_skip_names()
+        try:
+            names.update(
+                n for n in os.listdir(input_dir) if fnmatch.fnmatch(n, glob)
+            )
+        except FileNotFoundError:
+            pass
+        os.makedirs(os.path.dirname(self._manifest_path), exist_ok=True)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(names), f)
+        os.replace(tmp, self._manifest_path)
+        return len(names)
+
+    def pause(self) -> None:
+        """Stop the running query, keeping the checkpoint (= the queue)."""
+        if self._query is not None:
+            self._query.stop()
+            self._query.awaitTermination()
+
+    def resume(self) -> StreamingQuery:
+        """Restart from the checkpoint with the last ``start`` arguments
+        (and the current skip manifest)."""
+        if not self._start_kwargs:
+            raise RuntimeError("resume() before start()")
+        return self.start(**self._start_kwargs)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         self.batches_seen += 1
@@ -262,6 +322,17 @@ class StreamingImagePipeline:
         ``source_format='tiff'`` watches a directory of detector TIFFs
         (the reference's actual input) and decodes them in-stream;
         'parquet' expects pre-decoded pixel files (PIXEL_SCHEMA)."""
+        self._start_kwargs = dict(
+            input_dir=input_dir,
+            checkpoint_dir=checkpoint_dir,
+            available_now=available_now,
+            processing_interval=processing_interval,
+            max_files_per_trigger=max_files_per_trigger,
+            path_glob=path_glob,
+            settle_seconds=settle_seconds,
+            source_format=source_format,
+        )
+        skip_names = self._load_skip_names()
         if source_format == "tiff":
             from xrddatapipeline_spark.sources.tiff import stream_tiff_images
 
@@ -270,6 +341,7 @@ class StreamingImagePipeline:
                 input_dir,
                 glob=path_glob or "*.tif*",
                 max_files_per_trigger=max_files_per_trigger,
+                skip_names=skip_names,
             )
         else:
             stream = read_pixel_stream(
@@ -279,6 +351,16 @@ class StreamingImagePipeline:
                 path_glob=path_glob,
                 settle_seconds=settle_seconds,
             )
+            if skip_names:
+                # cleared-queue files dropped at the source; basename match
+                # (the manifest stores names, sources expose file:/ URIs).
+                # The manifest is a small driver-side literal list — the
+                # filter is a pushed-down scan predicate, no join.
+                stream = stream.where(
+                    ~F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).isin(sorted(skip_names))
+                )
         writer = stream.writeStream.foreachBatch(self.process_batch).option(
             "checkpointLocation", checkpoint_dir
         )
@@ -286,7 +368,8 @@ class StreamingImagePipeline:
             writer = writer.trigger(availableNow=True)
         elif processing_interval:
             writer = writer.trigger(processingTime=processing_interval)
-        return writer.start()
+        self._query = writer.start()
+        return self._query
 
     def output(self, table: str) -> DataFrame:
         """Read-back view over an output table (§3.3 query surface)."""
