@@ -98,3 +98,36 @@ def test_plain_arcs_kept_whole(grad_result):
     sub = r["fl"][r["fl"].label.isin(arcs)]
     # at most a small fraction of an untouched arc flips
     assert (sub.new_spot.sum() / len(sub)) < 0.5
+
+
+def test_banded_second_gradients_exact(spark):
+    """Ghost-row band tiling is exact: tiny band_rows (many bands with
+    4-row halos) must reproduce the single-group kernel bit-for-bit."""
+    from xrddatapipeline_spark.calib.cache import build_calib_pixels
+    from xrddatapipeline_spark.plans.gradient_stage import second_gradients
+    from xrddatapipeline_spark.plans.image_pipeline import (
+        join_calib,
+        with_base_mask,
+    )
+
+    c = CONTROLS
+    pixels = images_long_df(spark, [("synth", 0, make_image(c, seq=0))])
+    calib = build_calib_pixels(spark, c).cache()
+    px = with_base_mask(join_calib(pixels, calib, controls=c))
+
+    whole = (
+        second_gradients(px, c, band_rows=c.size_y)
+        .toPandas().sort_values(["y", "x"]).reset_index(drop=True)
+    )
+    banded = (
+        second_gradients(px, c, band_rows=16)
+        .toPandas().sort_values(["y", "x"]).reset_index(drop=True)
+    )
+    assert len(whole) == len(banded) == c.size_y * c.size_x
+    assert (whole["y"] == banded["y"]).all() and (whole["x"] == banded["x"]).all()
+    assert np.array_equal(
+        whole["grad_r2"].to_numpy(), banded["grad_r2"].to_numpy()
+    )
+    assert np.array_equal(
+        whole["grad_a2"].to_numpy(), banded["grad_a2"].to_numpy()
+    )

@@ -403,3 +403,60 @@ def pq_encode(
         total = d if total is None else total + d
     cols.append(total.cast("long").alias("qdist"))
     return df.select(*cols)
+
+
+def pq_adc_topk(
+    df: DataFrame, queries: DataFrame, k: int = 3,
+    num_codes: int = 8, num_sub: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ search via asymmetric distance computation (the classic ADC
+    scan): each query precomputes a (num_sub x num_codes) lookup table of
+    exact integer quantized distances query-subvector <-> sub-centroid;
+    a corpus vector's approximate distance is then num_sub table lookups
+    on its codes — no float math per candidate.
+
+    Scale shape: the lookup tables are driver-side literals (queries are
+    few by contract, as in `topk_bruteforce`), so scoring every corpus
+    code row against every query is ONE map-side projection + explode;
+    the only shuffle is the per-query top-k rank (WindowGroupLimit prunes
+    per partition first). The corpus embeddings themselves are never
+    re-read — ADC runs entirely on the ~dim/num_sub x smaller code table.
+    """
+    books, sub = pq_codebooks(df, num_codes, num_sub, vec_col, id_col)
+    codes = pq_encode(df, num_codes, num_sub, vec_col, id_col)
+
+    def qdist(qs: np.ndarray, cs: list[float]) -> int:
+        b = np.asarray(cs, dtype=np.float64)
+        t_qq = int(np.floor(qs * qs * QSCALE).sum())
+        t_qc = int(np.floor(qs * b * QSCALE).sum())
+        t_cc = int(np.floor(b * b * QSCALE).sum())
+        return t_qq - 2 * t_qc + t_cc
+
+    structs = []
+    for r in queries.select(id_col, vec_col).collect():
+        qid, qv = int(r[0]), np.asarray(list(r[1]), dtype=np.float64)
+        total = None
+        for m, book in enumerate(books):
+            qs = qv[m * sub:(m + 1) * sub]
+            tbl = [qdist(qs, cvec) for _code, cvec in book]
+            term = F.element_at(F.lit(tbl), F.col(f"code_{m}") + 1)
+            total = term if total is None else total + term
+        structs.append(
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                total.cast("long").alias("adist"),
+            )
+        )
+    scored = (
+        codes.select(F.col(id_col).alias("neighbor_id"),
+                     F.explode(F.array(*structs)).alias("s"))
+        .select("neighbor_id", "s.query_id", "s.adist")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adist")
+    )

@@ -2156,3 +2156,63 @@ _PQ_CS = _pq_slice("c.embedding", "s.m")
 )
 def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_encode(_t(spark, sf_dir, "embeddings"), num_codes=8, num_sub=4)
+
+
+_ADC_QS = _pq_slice("q.embedding", "s.m")
+
+@_register(
+    "emb_pq_adc_topk",
+    f"""
+    WITH cents AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                   AS cell,
+               embedding
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ),
+    subs AS (SELECT CAST(m AS INT) AS m FROM UNNEST(range(0, 4)) AS t(m)),
+    vd AS (
+        SELECT v.vec_id, s.m, c.cell,
+               {_sql_qdot(_PQ_VS, _PQ_VS)} - 2 * {_sql_qdot(_PQ_VS, _PQ_CS)}
+                   + {_sql_qdot(_PQ_CS, _PQ_CS)} AS dist
+        FROM embeddings v CROSS JOIN subs s CROSS JOIN cents c
+    ),
+    best AS (
+        SELECT vec_id, m, cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY dist, cell) AS rn
+            FROM vd
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+    adist AS (
+        SELECT q.query_id, b.vec_id AS neighbor_id,
+               CAST(sum({_sql_qdot(_ADC_QS, _ADC_QS)}
+                   - 2 * {_sql_qdot(_ADC_QS, _PQ_CS)}
+                   + {_sql_qdot(_PQ_CS, _PQ_CS)}) AS BIGINT) AS adist
+        FROM best b
+        JOIN subs s ON s.m = b.m
+        JOIN cents c ON c.cell = b.cell
+        CROSS JOIN q
+        WHERE b.vec_id <> q.query_id
+        GROUP BY q.query_id, b.vec_id
+    )
+    SELECT query_id, rank, neighbor_id, adist FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+        FROM adist
+    ) WHERE rank <= 3
+    """,
+    doc="PQ search by asymmetric distance computation: per-query "
+        "(num_sub x num_codes) integer lookup tables as driver-side "
+        "literals, corpus scored by table lookups on its PQ codes alone "
+        "(the embeddings are never re-read at query time), per-query "
+        "top-k via WindowGroupLimit. Completes the PQ story: "
+        "emb_pq_encode compresses, this searches the compressed table.",
+    tags=("similarity", "corpus", "embedding", "ivf"),
+)
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.pq_adc_topk(
+        emb, emb.where(F.col("vec_id") < 8), k=3, num_codes=8, num_sub=4
+    )

@@ -44,43 +44,87 @@ THRESHOLD_PCT = 0.1  # percent, classification.py:849-860
 SWAP_RADIUS_QWIDTHS = 5.0
 
 
-def second_gradients(px: DataFrame, controls: ImageControls) -> DataFrame:
+#: ghost-row halo for exact band tiling: inpaint stencil radius 2, then two
+#: successive 3x3 gradient convolutions (radius 1 each) — a core row depends
+#: on at most 4 rows either side, so a 4-row halo reproduces the whole-image
+#: result bit-for-bit (zero padding only ever applies at true image edges).
+_GRAD_HALO = 4
+
+
+def second_gradients(
+    px: DataFrame, controls: ImageControls, band_rows: int = 512
+) -> DataFrame:
     """M8 + M7 x2 per image: (image_id, y, x, grad_r2, grad_a2).
 
     Inpaints base-masked pixels (normalized Gaussian convolution), then
     applies the r̂/φ̂-projected 3x3 gradient twice.
-    """
+
+    Images taller than ``band_rows`` are tiled into horizontal bands with
+    ``_GRAD_HALO`` ghost rows (halo pixels are duplicated into adjacent
+    bands by the explode below, ~2*4/band_rows row overhead): the kernel
+    is EXACT per band, and per-image parallelism becomes
+    n_images * n_bands instead of n_images — on a 32-core node an 8-image
+    2880^2 batch runs 48 kernel tasks, not 8; on a cluster the same
+    tiling bounds task memory at band_rows*width regardless of detector
+    size."""
     h, w = controls.size_y, controls.size_x
     cy = controls.center_y / (controls.pixel_size_y / 1000.0)
     cx = controls.center_x / (controls.pixel_size_x / 1000.0)
+    n_bands = max(1, -(-h // band_rows))
+    bh = band_rows
+    halo = _GRAD_HALO
 
-    def _grad(pdf: pd.DataFrame) -> pd.DataFrame:
-        img = np.zeros((h, w), dtype=np.float64)
-        bad = np.ones((h, w), dtype=bool)
+    def _grad_rows(pdf: pd.DataFrame, y0: int, y1: int,
+                   core0: int, core1: int) -> pd.DataFrame:
+        """Exact kernel over raster rows [y0, y1); emit rows [core0, core1)."""
+        img = np.zeros((y1 - y0, w), dtype=np.float64)
+        bad = np.ones((y1 - y0, w), dtype=bool)
         ys = pdf["y"].to_numpy()
         xs = pdf["x"].to_numpy()
-        img[ys, xs] = pdf["intensity"].to_numpy()
-        bad[ys, xs] = pdf["base_mask"].to_numpy()
+        img[ys - y0, xs] = pdf["intensity"].to_numpy()
+        bad[ys - y0, xs] = pdf["base_mask"].to_numpy()
         inp = kernels.inpaint_masked(img, bad)
-        r1, a1 = kernels.radial_azim_gradient(inp, cy, cx)
-        r2, _ = kernels.radial_azim_gradient(r1, cy, cx)
-        _, a2 = kernels.radial_azim_gradient(a1, cy, cx)
+        # shifting the raster down by y0 moves the beam center with it
+        r1, a1 = kernels.radial_azim_gradient(inp, cy - y0, cx)
+        r2, _ = kernels.radial_azim_gradient(r1, cy - y0, cx)
+        _, a2 = kernels.radial_azim_gradient(a1, cy - y0, cx)
+        keep = (ys >= core0) & (ys < core1)
+        ys, xs = ys[keep], xs[keep]
         return pd.DataFrame(
             {
                 "image_id": np.repeat(pdf["image_id"].iloc[0], ys.size),
                 "y": ys.astype(np.int32),
                 "x": xs.astype(np.int32),
-                "grad_r2": r2[ys, xs],
-                "grad_a2": a2[ys, xs],
+                "grad_r2": r2[ys - y0, xs],
+                "grad_a2": a2[ys - y0, xs],
             }
         )
 
-    return (
-        px.select("image_id", "y", "x", "intensity", "base_mask")
-        .groupBy("image_id")
-        .applyInPandas(
-            _grad, schema="image_id string, y int, x int, grad_r2 double, grad_a2 double"
+    schema = "image_id string, y int, x int, grad_r2 double, grad_a2 double"
+    src = px.select("image_id", "y", "x", "intensity", "base_mask")
+    if n_bands == 1:
+        return src.groupBy("image_id").applyInPandas(
+            lambda pdf: _grad_rows(pdf, 0, h, 0, h), schema
         )
+
+    yb = F.floor(F.col("y") / bh).cast("int")
+    cand = F.array(yb - 1, yb, yb + 1)
+    bands = F.filter(
+        cand,
+        lambda b: (b >= 0) & (b < n_bands)
+        & (F.col("y") >= b * bh - halo)
+        & (F.col("y") < (b + 1) * bh + halo),
+    )
+
+    def _grad_band(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        band = int(key[1])
+        y0, y1 = max(band * bh - halo, 0), min((band + 1) * bh + halo, h)
+        return _grad_rows(pdf, y0, y1, band * bh, min((band + 1) * bh, h))
+
+    return (
+        src.withColumn("band", F.explode(bands))
+        .groupBy("image_id", "band")
+        .applyInPandas(_grad_band, schema)
     )
 
 
@@ -99,19 +143,34 @@ def gradient_classify(
     lpx: DataFrame,
     label_table: DataFrame,
     controls: ImageControls,
+    barrier_fn=None,
+    sparse_hint=None,
 ) -> GradientStageResult:
     """The A10-A14 dataflow over labeled outlier pixels.
 
     ``px``: calib-joined pixels with base_mask; ``lpx``: labeled cluster
     pixels with (q, azim); ``label_table``: shape-classifier output with
     (area, diff_azim, diff_q, classifier).
+
+    ``barrier_fn`` (default ``persist``) materializes the dense gradient
+    frame; run_image_plan passes its eager-checkpoint barrier so the
+    kernel provably runs ONCE — a lazy persist lets two consumer branches
+    of the same job race the cache and compute the kernel twice (measured
+    at 8 x 2880^2: two full shuffle+kernel stage pairs).
+
+    ``sparse_hint`` (default identity) wraps the SPARSE side of
+    sparse⋈dense joins — run_image_plan passes ``F.broadcast`` under its
+    checkpoint barrier, where LogicalRDD stats are unknown and AQE would
+    otherwise sort-merge-join, shuffling the dense gradient side.
     """
     shape = (controls.size_y, controls.size_x)
+    if barrier_fn is None:
+        barrier_fn = lambda df: df.persist()  # noqa: E731
+    if sparse_hint is None:
+        sparse_hint = lambda df: df  # noqa: E731
     # the dense 2nd-gradient kernel output fans out to four consumers
-    # (thresholds, med_q, central-band p20, gradient mask); without a
-    # persist each one re-runs the applyInPandas kernel over the full
-    # raster — measured ~2x the whole stage cost at 1 Mpx
-    grads = second_gradients(px, controls).persist()
+    # (thresholds, med_q, central-band p20, gradient mask)
+    grads = barrier_fn(second_gradients(px, controls))
 
     # A12: per-image global thresholds of the gradient distributions
     thresholds = grads.groupBy("image_id").agg(
@@ -120,7 +179,7 @@ def gradient_classify(
         F.expr(f"percentile(grad_a2, {THRESHOLD_PCT / 100.0})").alias("a2_p_lo"),
     )
 
-    lg = lpx.join(grads, ["image_id", "y", "x"])
+    lg = sparse_hint(lpx).join(grads, ["image_id", "y", "x"])
 
     # A10 + J2: per-label median Q broadcast back
     med_q = lg.groupBy("image_id", "label").agg(F.median("q").alias("med_q"))
@@ -132,11 +191,11 @@ def gradient_classify(
     p20 = central.groupBy("image_id", "label").agg(
         F.expr("percentile(grad_r2, 0.2)").alias("p20_r2")
     )
-    on_arc = (
+    on_arc = barrier_fn(
         p20.join(F.broadcast(thresholds.select("image_id", "r2_p10")), "image_id")
         .withColumn("on_arc", F.col("p20_r2") < F.col("r2_p10"))
         .select("image_id", "label", "p20_r2", "on_arc")
-    ).persist()  # tiny (one row per label); feeds mask, swaps, flags, caller
+    )  # tiny (one row per label); feeds mask, swaps, flags, caller
 
     # gradient mask: extreme 2nd azim derivative inside on_arc clusters
     grad_mask_px = (

@@ -92,7 +92,8 @@ def closed_outlier_pixels(
 
 
 def classify_clusters(
-    px: DataFrame, om_pixels: DataFrame, shape: tuple[int, int]
+    px: DataFrame, om_pixels: DataFrame, shape: tuple[int, int],
+    sparse_hint=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shape classification (qwidth_area_classification_groupby,
     classification.py:373-444): label the closed outlier mask, aggregate
@@ -102,6 +103,8 @@ def classify_clusters(
     (image_id, label, area, diff_azim, diff_q, classifier) with
     classifier 1 = spot, 2 = arc (A9)."""
     labeled = label_pixels(om_pixels, shape=shape, connectivity=2)
+    if sparse_hint is not None:
+        labeled = sparse_hint(labeled)
     lpx = labeled.join(
         px.select("image_id", "y", "x", "q", "azim"), ["image_id", "y", "x"]
     )
@@ -133,6 +136,7 @@ def integrate_all(
     px: DataFrame,
     mask_flags: DataFrame,
     controls: ImageControls,
+    sparse_hint=None,
 ) -> DataFrame:
     """A1 x4: base / om / spotsmasked / arcsmasked integrals
     (pipeline.py:375-414). Returns (image_id, kind, tth_idx, tth, intensity).
@@ -160,6 +164,8 @@ def integrate_all(
         "spotsmasked": F.col("base_mask") | F.col("is_spot_px"),
         "arcsmasked": F.col("base_mask") | F.col("is_arc_px"),
     }
+    if sparse_hint is not None:
+        mask_flags = sparse_hint(mask_flags)
     flagged = (
         px.join(mask_flags, ["image_id", "y", "x"], "left")
         .fillna(
@@ -197,11 +203,14 @@ def integrate_all(
 
 
 def spot_stats(
-    lpx: DataFrame, label_table: DataFrame, px: DataFrame
+    lpx: DataFrame, label_table: DataFrame, px: DataFrame,
+    sparse_hint=None,
 ) -> DataFrame:
     """A17: per-spot-label stats table (spottiness.py:30-46):
     (image_id, spot_stat_label, area, medianQ, Qbin, intensity_sum,
     intensity_max, intensity_mean, on_arc)."""
+    if sparse_hint is not None:
+        lpx = sparse_hint(lpx)
     enriched = lpx.join(
         px.select("image_id", "y", "x", "intensity", "qbin"),
         ["image_id", "y", "x"],
@@ -220,11 +229,16 @@ def spot_stats(
     )
 
 
-def spottiness_per_qbin(px: DataFrame, om_pixels: DataFrame) -> DataFrame:
+def spottiness_per_qbin(
+    px: DataFrame, om_pixels: DataFrame, sparse_hint=None
+) -> DataFrame:
     """A15/A16: per-Qbin fraction masked + distinct labels
     (spottiness.py:16-27)."""
+    om_flagged = om_pixels.withColumn("is_om", F.lit(True))
+    if sparse_hint is not None:
+        om_flagged = sparse_hint(om_flagged)
     flagged = px.join(
-        om_pixels.withColumn("is_om", F.lit(True)),
+        om_flagged,
         ["image_id", "y", "x"],
         "left",
     ).fillna({"is_om": False})
@@ -387,6 +401,7 @@ def run_image_plan(
     observe: bool = False,
     barrier: str = "persist",
     corrections: dict | None = None,
+    sparse_broadcast_rows: int = 4_000_000,
 ) -> ImagePlanResult:
     """Full per-image plan (pipeline.py:78-504 equivalent).
 
@@ -479,7 +494,21 @@ def run_image_plan(
         "binary_closing",
         F.count(F.lit(1)).alias("n_om_px"),
     ))
-    lpx, label_table = classify_clusters(px, om, shape)
+    # Join-strategy hint for the sparse⋈dense joins downstream (mask sets
+    # against the pixel raster). Under the checkpoint barrier the sparse
+    # frames are LogicalRDDs with UNKNOWN stats, so AQE falls back to a
+    # sort-merge join that shuffles the DENSE pixel side (measured 1.2-2 GB
+    # shuffle writes per join at 8 x 2880^2); an explicit broadcast hint on
+    # the sparse side removes every one of those exchanges. Gated on the
+    # materialized om row count (a cheap cached scan — the barrier already
+    # ran it eagerly) so a pathologically dense mask falls back to SMJ
+    # instead of a driver-sized broadcast. Under "persist" the frames are
+    # InMemoryRelations whose stats AQE already sees — no hint needed.
+    if barrier == "local_checkpoint" and om.count() <= sparse_broadcast_rows:
+        sb = F.broadcast
+    else:
+        sb = None
+    lpx, label_table = classify_clusters(px, om, shape, sparse_hint=sb)
     lpx = _bar(lpx)
     label_table = _bar(_obs(
         label_table,
@@ -495,7 +524,9 @@ def run_image_plan(
     if gradient_stage:
         from xrddatapipeline_spark.plans.gradient_stage import gradient_classify
 
-        grad = gradient_classify(px, lpx, label_table, controls)
+        grad = gradient_classify(
+            px, lpx, label_table, controls, barrier_fn=_bar, sparse_hint=sb
+        )
         mask_flags = grad.pixel_flags.select(
             "image_id", "y", "x",
             F.lit(True).alias("is_om"),
@@ -513,12 +544,12 @@ def run_image_plan(
             (F.col("classifier") == 2).alias("is_arc_px"),
         )
     integrals = _obs(
-        integrate_all(px, mask_flags, controls),
+        integrate_all(px, mask_flags, controls, sparse_hint=sb),
         "integrations",
         F.count(F.lit(1)).alias("n_integral_rows"),
     )
-    stats = spot_stats(lpx, label_table, px)
-    spotty = spottiness_per_qbin(px, om)
+    stats = spot_stats(lpx, label_table, px, sparse_hint=sb)
+    spotty = spottiness_per_qbin(px, om, sparse_hint=sb)
     return ImagePlanResult(
         pixels=px,
         outliers=outliers,
