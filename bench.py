@@ -147,7 +147,6 @@ def _keepup_2880(batch: int = 8) -> dict:
     sf0.1 queries above. Returns sec/img, images/s, and the break-even
     acquisition period (any beamline exposure period >= sec_per_image
     keeps the queue drained with one batch in flight)."""
-    from xrddatapipeline_spark.calib.cache import build_calib_pixels
     from xrddatapipeline_spark.calib.geometry import ImageControls
     from xrddatapipeline_spark.plans.image_pipeline import (
         cosine_similarity_series,
@@ -180,10 +179,6 @@ def _keepup_2880(batch: int = 8) -> dict:
     )
     from pyspark import StorageLevel
 
-    calib = build_calib_pixels(spark, c).persist(
-        StorageLevel.MEMORY_AND_DISK_DESER
-    )
-    calib.count()
     # serialized storage: 8 x 8.3 Mpx of deserialized column batches
     # pressure the heap for no benefit (each frame is scanned few times)
     pixels = _synthetic_pixels(spark, c, n_images=batch).persist(
@@ -192,8 +187,11 @@ def _keepup_2880(batch: int = 8) -> dict:
     pixels.count()
 
     t0 = time.perf_counter()
+    # calib=None: closed-form calibration columns (codegen trig per row
+    # beats broadcasting + probing an 8.3 M-row map table — SCALE.md §1);
+    # hybrid barrier: columnar pixel cache + checkpointed sparse frames
     res = run_image_plan(
-        pixels, calib, c, gradient_stage=True, barrier="local_checkpoint"
+        pixels, None, c, gradient_stage=True, barrier="hybrid"
     )
     outs = [res.integrals, res.spot_stats, res.spottiness, res.outliers,
             cosine_similarity_series(res.pixels)]
@@ -204,7 +202,6 @@ def _keepup_2880(batch: int = 8) -> dict:
     elapsed = time.perf_counter() - t0
     res.unpersist_all()
     pixels.unpersist()
-    calib.unpersist()
     spark.stop()
     sec_per_img = elapsed / batch
     return {

@@ -61,7 +61,12 @@ def main() -> None:
     n_images = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     mode = sys.argv[6] if len(sys.argv) > 6 else ""
     gradient = "grad" in mode
-    barrier = "local_checkpoint" if "ckpt" in mode else "persist"
+    if "ckpt" in mode:
+        barrier = "local_checkpoint"
+    elif "hyb" in mode:
+        barrier = "hybrid"
+    else:
+        barrier = "persist"
 
     import os
 

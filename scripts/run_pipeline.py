@@ -69,7 +69,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="append per-batch stage counters to "
                          "<out>/stage_metrics (the reference's per-stage "
                          "printouts, pipeline_queue.py:1007-1014)")
+    ap.add_argument("--clear-queue", action="store_true",
+                    help="T4 queue.clear(): snapshot currently-pending "
+                         "landing files into <out>/control/skip_manifest "
+                         "so the next run skips them, then exit (run "
+                         "while the pipeline is stopped)")
     args = ap.parse_args(argv)
+
+    if args.clear_queue:
+        pipe = StreamingImagePipeline(None, None, None, args.out)
+        n = pipe.clear_queue(args.input, args.glob)
+        print(f"skip manifest now lists {n} files")
+        return 0
 
     controls = load_controls(args.controls)
     if args.mask:

@@ -421,7 +421,10 @@ def run_image_plan(
 
     ``barrier`` picks the reuse boundary for the five shared intermediates:
     "persist" keeps full lineage (fault-tolerant; any lost partition
-    recomputes); "local_checkpoint" ALSO truncates lineage. The plan is
+    recomputes); "local_checkpoint" ALSO truncates lineage; "hybrid"
+    (eager like local_checkpoint) keeps the two DENSE frames (pixel table,
+    gradient raster) as eager COLUMNAR caches — pruned compressed re-scans
+    for their 4-6 consumers — and checkpoints only the sparse frames. The plan is
     deep, and classic Spark re-analyzes the whole upstream plan on every
     transformation AND per output job, a driver-side cost independent of
     pixel count; checkpointed barriers make every downstream plan shallow.
@@ -432,8 +435,9 @@ def run_image_plan(
     local_checkpoint costs the whole image — the right trade under
     foreachBatch, which retries the batch anyway."""
     shape = (controls.size_y, controls.size_x)
-    if barrier not in ("persist", "local_checkpoint"):
+    if barrier not in ("persist", "local_checkpoint", "hybrid"):
         raise ValueError(f"unknown barrier {barrier!r}")
+    eager = barrier in ("local_checkpoint", "hybrid")
     if corrections:
         from xrddatapipeline_spark.operators.corrections import (
             apply_correction_images,
@@ -441,18 +445,33 @@ def run_image_plan(
 
         pixels = apply_correction_images(pixels, **corrections)
 
-    def _bar(df: DataFrame) -> DataFrame:
-        if barrier == "local_checkpoint":
-            from pyspark.storagelevel import StorageLevel
+    def _bar(df: DataFrame, dense: bool = False) -> DataFrame:
+        if not eager:
+            return df.persist()
+        from pyspark.storagelevel import StorageLevel
 
-            # serialized rows: the default deserialized level OOMs a 16 GB
-            # heap at 8 x 8.3 Mpx (object-graph overhead); serialized holds
-            # 8-image batches comfortably AND measures faster (12.7-14.5
-            # s/img vs 15.9 with persist at 8 x 2880^2)
-            return df.localCheckpoint(
-                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-            )
-        return df.persist()
+        if barrier == "hybrid" and dense:
+            # DENSE frames (the calib-joined pixel table, the gradient
+            # raster) are re-scanned by 4-6 consumers: a row-format
+            # checkpoint deserializes every 15-column row per scan
+            # (profiled ~30 s CPU/task at 8 x 2880^2 just to feed a
+            # 3-column agg). Columnar cache + eager count gives pruned,
+            # compressed re-scans AND accurate stats for AQE — the count
+            # also closes the lazy-persist race that double-ran the
+            # gradient kernel. The frame's own lineage is shallow (scan ⋈
+            # calib projections), so skipping the checkpoint costs little
+            # driver re-analysis.
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()
+            return df
+        # SPARSE frames: serialized-row checkpoint — truncates the deep
+        # lineage tail (ring stats, raster kernels) out of every
+        # downstream plan analysis. serialized rows: the default
+        # deserialized level OOMs a 16 GB heap at 8 x 8.3 Mpx
+        # (object-graph overhead).
+        return df.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
 
     obs: dict[str, Observation] = {}
 
@@ -479,7 +498,7 @@ def run_image_plan(
         "corrections",
         F.count(F.lit(1)).alias("n_px"),
         F.count_if(F.col("base_mask")).alias("n_base_masked"),
-    ))
+    ), dense=True)
     # The sparse intermediates (outlier/om/labeled pixel sets, label table)
     # feed several downstream outputs; persist them so the expensive
     # upstream (ring stats + raster kernels) runs once, not once per output.
@@ -504,7 +523,7 @@ def run_image_plan(
     # ran it eagerly) so a pathologically dense mask falls back to SMJ
     # instead of a driver-sized broadcast. Under "persist" the frames are
     # InMemoryRelations whose stats AQE already sees — no hint needed.
-    if barrier == "local_checkpoint" and om.count() <= sparse_broadcast_rows:
+    if eager and om.count() <= sparse_broadcast_rows:
         sb = F.broadcast
     else:
         sb = None
@@ -524,6 +543,10 @@ def run_image_plan(
     if gradient_stage:
         from xrddatapipeline_spark.plans.gradient_stage import gradient_classify
 
+        # plain (row-checkpoint) barrier even under "hybrid": the gradient
+        # raster has only 2 consumers (thresholds kernel, lpx join), so a
+        # columnar cache build never pays for itself there — measured
+        # 135 s/task vs ~44 s at 8 x 2880^2
         grad = gradient_classify(
             px, lpx, label_table, controls, barrier_fn=_bar, sparse_hint=sb
         )
