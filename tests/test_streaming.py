@@ -547,3 +547,52 @@ def test_stage_metrics_observability_sink(spark, tmp_path):
         "n_clusters", "n_spots", "n_arcs", "n_integral_rows",
     }
     calib.unpersist()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicate content arriving within the
+    watermark horizon is dropped (state persists across checkpointed
+    runs); distinct content always passes."""
+    import pandas as pd
+
+    from xrddatapipeline_spark.streaming.dedup import (
+        dedup_stream,
+        with_content_hash,
+    )
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+
+    def land(name, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s").astype("datetime64[us]")
+        pdf.to_parquet(landing / name)
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id long, ts timestamp, text string"
+        ).option("maxFilesPerTrigger", 1).parquet(str(landing))
+        q = (
+            dedup_stream(with_content_hash(stream), watermark="1 hour")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    t0 = 1_700_000_000
+    land("a.parquet", [(1, t0, "alpha"), (2, t0 + 60, "beta")])
+    land("b.parquet", [(3, t0 + 120, "alpha")])  # dup of doc 1, same batch run
+    run()
+
+    # later run, same checkpoint: dup within horizon still dropped,
+    # fresh content emitted
+    land("c.parquet", [(4, t0 + 600, "beta"), (5, t0 + 660, "gamma")])
+    run()
+
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert sorted(out["doc_id"]) == [1, 2, 5]  # 3 and 4 deduped
+    assert set(out["text"]) == {"alpha", "beta", "gamma"}

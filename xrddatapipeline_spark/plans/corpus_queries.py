@@ -2216,3 +2216,47 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_adc_topk(
         emb, emb.where(F.col("vec_id") < 8), k=3, num_codes=8, num_sub=4
     )
+
+
+@_register(
+    "events_anomaly_mad",
+    """
+    WITH v AS (SELECT event_type, value FROM events),
+    med AS (
+        SELECT event_type, median(value) AS med, count(*) AS n_events
+        FROM v GROUP BY event_type HAVING count(*) >= 10
+    ),
+    mad AS (
+        SELECT r.event_type, median(abs(r.value - m.med)) AS mad
+        FROM v r JOIN med m USING (event_type)
+        GROUP BY r.event_type
+    )
+    SELECT m.event_type, CAST(m.n_events AS BIGINT) AS n_events,
+           m.med, d.mad,
+           (SELECT CAST(count(*) AS BIGINT) FROM v r
+            WHERE r.event_type = m.event_type
+              AND abs(r.value - m.med) > d.mad * 4.4478) AS n_outliers
+    FROM med m JOIN mad d ON m.event_type = d.event_type
+    """,
+    doc="Robust anomaly detection on a metric stream (the ring sigma-clip "
+        "A2 machinery applied to relational telemetry): per event_type "
+        "exact median + MAD, outliers at |v-med| > 3*1.4826*MAD. One scan "
+        "+ one shuffle (bin-once sorted-array formulation, "
+        "operators/ring_stats.py); groups are bounded by type cardinality "
+        "per day at production scale (pre-bucket by date for 100 TB).",
+    tags=("agg", "quality", "events"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.operators.ring_stats import group_median_mad
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    out = group_median_mad(
+        ev, keys=["event_type"], value="value", min_count=10, esd_mul=3.0
+    )
+    return out.select(
+        "event_type",
+        F.col("n_px").cast("long").alias("n_events"),
+        "med",
+        "mad",
+        F.col("n_outliers").cast("long").alias("n_outliers"),
+    )
