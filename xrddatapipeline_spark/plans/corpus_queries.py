@@ -2260,3 +2260,107 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad",
         F.col("n_outliers").cast("long").alias("n_outliers"),
     )
+
+
+@_register(
+    "tpch_q7ish_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 analog: bilateral shipping volume between two nations "
+        "by year. Plan shape: the lineitem fact is probed through FOUR "
+        "broadcast dimension joins (orders is largest but still "
+        "broadcast-eligible at bench SF; at production SF it becomes the "
+        "one shuffled join, on the high-entropy orderkey), then a "
+        "3-column hash agg. Nation filters push below the joins.",
+    tags=("relational", "join", "agg"),
+)
+def tpch_q7ish_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_n1k"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_n2k"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("_n1k"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("_n2k"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+@_register(
+    "tpch_q10ish_returned_topk",
+    """
+    WITH rev AS (
+        SELECT c_custkey, c_name,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name
+    )
+    SELECT c_custkey, c_name, revenue, n_items FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY revenue DESC, c_custkey) AS rk
+        FROM rev
+    ) WHERE rk <= 20
+    """,
+    doc="TPC-H Q10 analog: top-20 customers by returned-item revenue. "
+        "Filter pushed to the lineitem scan, two-join star, hash agg on "
+        "custkey, then orderBy().limit(20) — Spark compiles that to "
+        "TakeOrderedAndProject (per-partition top-20 + driver merge of "
+        "20 x n_partitions rows; the global sort never materializes). "
+        "Tie-break on c_custkey keeps the cut deterministic cross-engine.",
+    tags=("relational", "join", "agg", "topk"),
+)
+def tpch_q10ish_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+    return (
+        rev.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_items")
+    )
