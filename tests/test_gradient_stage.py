@@ -131,3 +131,56 @@ def test_banded_second_gradients_exact(spark):
     assert np.array_equal(
         whole["grad_a2"].to_numpy(), banded["grad_a2"].to_numpy()
     )
+
+
+def test_fused_thresholds_bit_equal_dense_percentiles(spark):
+    """The per-band bottom-k candidate merge must reproduce np.percentile
+    over the dense gradient frame bit-for-bit (many small bands)."""
+    from xrddatapipeline_spark.calib.cache import build_calib_pixels
+    from xrddatapipeline_spark.plans.gradient_stage import (
+        THRESHOLD_PCT,
+        exact_percentiles_from_candidates,
+        fused_gradient_inputs,
+        second_gradients,
+    )
+    from xrddatapipeline_spark.plans.image_pipeline import (
+        classify_clusters,
+        closed_outlier_pixels,
+        join_calib,
+        outlier_pixels,
+        with_base_mask,
+    )
+
+    c = CONTROLS
+    pixels = images_long_df(spark, [("synth", 0, make_image(c, seq=0))])
+    calib = build_calib_pixels(spark, c).cache()
+    px = with_base_mask(join_calib(pixels, calib, controls=c)).cache()
+    om = closed_outlier_pixels(outlier_pixels(px, c.esd_mul), (c.size_y, c.size_x))
+    lpx, _ = classify_clusters(px, om, (c.size_y, c.size_x))
+
+    dense = second_gradients(px, c, band_rows=c.size_y).toPandas()
+    want = {
+        "r2_p_lo": np.percentile(dense["grad_r2"], THRESHOLD_PCT),
+        "r2_p10": np.percentile(dense["grad_r2"], 10.0),
+        "a2_p_lo": np.percentile(dense["grad_a2"], THRESHOLD_PCT),
+    }
+
+    fused = fused_gradient_inputs(px, lpx, c, band_rows=16).cache()
+    got = exact_percentiles_from_candidates(
+        fused.where("is_summary").select("image_id", "n_core", "r2_cand", "a2_cand")
+    ).toPandas().iloc[0]
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
+
+    # labeled-pixel gradients match the dense frame exactly too
+    lab = (
+        fused.where("not is_summary")
+        .select("y", "x", "grad_r2", "grad_a2")
+        .toPandas().sort_values(["y", "x"]).reset_index(drop=True)
+    )
+    dense_idx = dense.set_index(["y", "x"])
+    lp = lpx.select("y", "x").toPandas().sort_values(["y", "x"])
+    assert len(lab) == len(lp) > 0
+    sel = dense_idx.loc[list(zip(lab["y"], lab["x"]))]
+    assert np.array_equal(lab["grad_r2"].to_numpy(), sel["grad_r2"].to_numpy())
+    assert np.array_equal(lab["grad_a2"].to_numpy(), sel["grad_a2"].to_numpy())

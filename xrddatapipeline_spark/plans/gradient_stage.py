@@ -128,6 +128,163 @@ def second_gradients(
     )
 
 
+def fused_gradient_inputs(
+    px: DataFrame, lpx: DataFrame, controls: ImageControls,
+    band_rows: int = 512,
+) -> DataFrame:
+    """The banded gradient kernel WITHOUT materializing the dense raster.
+
+    The full gradient frame (8.3 M rows x 2 doubles per image) has exactly
+    two consumers: the per-image percentile thresholds and the join onto
+    the (sparse) labeled pixels. Arrow-encoding 66 M output rows and
+    checkpointing 2.5 GB just to serve those was the top cost of the
+    8 x 2880^2 profile — so the kernel now emits only what they need:
+
+    - one row per LABELED pixel with its (grad_r2, grad_a2) — the lpx
+      coordinates arrive in the same task via cogroup, and the raster is
+      indexed in-kernel;
+    - one SUMMARY row per band holding the band's bottom-k gradient
+      values as a float64 blob, where k = 10% of the image + slack for
+      r2 (covers both p0.1 and p10) and 0.1% + slack for a2. The union
+      of per-band bottom-(k+2) sets provably contains the image's
+      order statistics floor(h) and floor(h)+1 for h=(N-1)q (any value
+      among an image's k smallest ranks <= k within its own band), so
+      the downstream merge reproduces numpy's linearly-interpolated
+      percentile EXACTLY (test-asserted bit equality).
+
+    Output rows: n_labeled + n_bands per image (~0.5 M + 6 at 2880^2)
+    instead of 8.3 M — the dense gradient raster never leaves the kernel.
+    """
+    h, w = controls.size_y, controls.size_x
+    cy = controls.center_y / (controls.pixel_size_y / 1000.0)
+    cx = controls.center_x / (controls.pixel_size_x / 1000.0)
+    n_bands = max(1, -(-h // band_rows))
+    bh = band_rows
+    halo = _GRAD_HALO
+    keep_r2 = int(0.10 * h * w) + 4   # covers p10 (and p0.1) order stats
+    keep_a2 = int((THRESHOLD_PCT / 100.0) * h * w) + 4
+
+    schema = (
+        "image_id string, y int, x int, grad_r2 double, grad_a2 double, "
+        "n_core long, r2_cand binary, a2_cand binary, is_summary boolean"
+    )
+
+    def _band(key, px_pdf: pd.DataFrame, lpx_pdf: pd.DataFrame) -> pd.DataFrame:
+        image_id, band = key[0], int(key[1])
+        y0, y1 = max(band * bh - halo, 0), min((band + 1) * bh + halo, h)
+        core0, core1 = band * bh, min((band + 1) * bh, h)
+        img = np.zeros((y1 - y0, w), dtype=np.float64)
+        bad = np.ones((y1 - y0, w), dtype=bool)
+        ys = px_pdf["y"].to_numpy()
+        xs = px_pdf["x"].to_numpy()
+        img[ys - y0, xs] = px_pdf["intensity"].to_numpy()
+        bad[ys - y0, xs] = px_pdf["base_mask"].to_numpy()
+        inp = kernels.inpaint_masked(img, bad)
+        r1, a1 = kernels.radial_azim_gradient(inp, cy - y0, cx)
+        r2, _ = kernels.radial_azim_gradient(r1, cy - y0, cx)
+        _, a2 = kernels.radial_azim_gradient(a1, cy - y0, cx)
+
+        # core-row gradient values present as pixel rows (= the dense
+        # frame's multiset restricted to this band)
+        keep = (ys >= core0) & (ys < core1)
+        cys, cxs = ys[keep], xs[keep]
+        r2v = r2[cys - y0, cxs]
+        a2v = a2[cys - y0, cxs]
+
+        def bottom(vals: np.ndarray, k: int) -> bytes:
+            if len(vals) > k:
+                vals = np.partition(vals, k - 1)[:k]
+            return np.ascontiguousarray(vals, dtype=np.float64).tobytes()
+
+        out = {
+            "image_id": [image_id],
+            "y": [np.int32(-1)],
+            "x": [np.int32(-1)],
+            "grad_r2": [0.0],
+            "grad_a2": [0.0],
+            "n_core": [len(r2v)],
+            "r2_cand": [bottom(r2v, keep_r2)],
+            "a2_cand": [bottom(a2v, keep_a2)],
+            "is_summary": [True],
+        }
+        summary = pd.DataFrame(out)
+        if len(lpx_pdf):
+            lys = lpx_pdf["y"].to_numpy()
+            lxs = lpx_pdf["x"].to_numpy()
+            labeled = pd.DataFrame(
+                {
+                    "image_id": np.repeat(image_id, lys.size),
+                    "y": lys.astype(np.int32),
+                    "x": lxs.astype(np.int32),
+                    "grad_r2": r2[lys - y0, lxs],
+                    "grad_a2": a2[lys - y0, lxs],
+                    "n_core": np.zeros(lys.size, dtype=np.int64),
+                    "r2_cand": [None] * lys.size,
+                    "a2_cand": [None] * lys.size,
+                    "is_summary": np.zeros(lys.size, dtype=bool),
+                }
+            )
+            return pd.concat([labeled, summary], ignore_index=True)
+        return summary
+
+    yb = F.floor(F.col("y") / bh).cast("int")
+    cand = F.array(yb - 1, yb, yb + 1)
+    bands = F.filter(
+        cand,
+        lambda b: (b >= 0) & (b < n_bands)
+        & (F.col("y") >= b * bh - halo)
+        & (F.col("y") < (b + 1) * bh + halo),
+    )
+    src = (
+        px.select("image_id", "y", "x", "intensity", "base_mask")
+        .withColumn("band", F.explode(bands) if n_bands > 1 else yb)
+    )
+    lsrc = lpx.select("image_id", "y", "x").withColumn("band", yb)
+    return (
+        src.groupBy("image_id", "band")
+        .cogroup(lsrc.groupBy("image_id", "band"))
+        .applyInPandas(_band, schema)
+    )
+
+
+def exact_percentiles_from_candidates(fused_summaries: DataFrame) -> DataFrame:
+    """Merge the per-band bottom-k candidate blobs into the image-level
+    thresholds — bit-identical to np.percentile over the dense frame."""
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = int(pdf["n_core"].sum())
+        r2c = np.concatenate(
+            [np.frombuffer(b, dtype=np.float64) for b in pdf["r2_cand"]]
+        )
+        a2c = np.concatenate(
+            [np.frombuffer(b, dtype=np.float64) for b in pdf["a2_cand"]]
+        )
+
+        def pct(cands: np.ndarray, q_pct: float) -> float:
+            h_idx = (n - 1) * (q_pct / 100.0)
+            lo = int(np.floor(h_idx))
+            hi = min(lo + 1, n - 1)
+            frac = h_idx - lo
+            kth = [min(lo, len(cands) - 1), min(hi, len(cands) - 1)]
+            part = np.partition(cands, kth)
+            a_lo, a_hi = part[kth[0]], part[kth[1]]
+            return float(a_lo + frac * (a_hi - a_lo))
+
+        return pd.DataFrame(
+            {
+                "image_id": [pdf["image_id"].iloc[0]],
+                "r2_p_lo": [pct(r2c, THRESHOLD_PCT)],
+                "r2_p10": [pct(r2c, 10.0)],
+                "a2_p_lo": [pct(a2c, THRESHOLD_PCT)],
+            }
+        )
+
+    return fused_summaries.groupBy("image_id").applyInPandas(
+        _merge,
+        "image_id string, r2_p_lo double, r2_p10 double, a2_p_lo double",
+    )
+
+
 @dataclass
 class GradientStageResult:
     pixel_flags: DataFrame   # (image_id, y, x, label, new_spot, new_arc)
@@ -152,55 +309,42 @@ def gradient_classify(
     pixels with (q, azim); ``label_table``: shape-classifier output with
     (area, diff_azim, diff_q, classifier).
 
-    ``barrier_fn`` (default ``persist``) materializes the dense gradient
-    frame; run_image_plan passes its eager-checkpoint barrier so the
+    ``barrier_fn`` (default ``persist``) materializes the fused kernel
+    output; run_image_plan passes its eager-checkpoint barrier so the
     kernel provably runs ONCE — a lazy persist lets two consumer branches
     of the same job race the cache and compute the kernel twice (measured
     at 8 x 2880^2: two full shuffle+kernel stage pairs).
 
-    ``sparse_hint`` (default identity) wraps the SPARSE side of
-    sparse⋈dense joins — run_image_plan passes ``F.broadcast`` under its
-    checkpoint barrier, where LogicalRDD stats are unknown and AQE would
-    otherwise sort-merge-join, shuffling the dense gradient side.
+    ``sparse_hint`` (default identity) wraps the SPARSE side of joins —
+    run_image_plan passes ``F.broadcast`` under its checkpoint barrier,
+    where LogicalRDD stats are unknown to AQE.
     """
     shape = (controls.size_y, controls.size_x)
     if barrier_fn is None:
         barrier_fn = lambda df: df.persist()  # noqa: E731
     if sparse_hint is None:
         sparse_hint = lambda df: df  # noqa: E731
-    # the dense 2nd-gradient kernel output fans out to four consumers
-    # (thresholds, med_q, central-band p20, gradient mask)
-    grads = barrier_fn(second_gradients(px, controls))
-
-    # A12: per-image global thresholds of the gradient distributions.
-    # Exact percentiles over the dense raster go through ONE reducer per
-    # image whatever the formulation; Spark's `percentile` agg merges an
-    # 8.3 M-entry value-count hash map there (~45 s/image profiled), while
-    # numpy's sort-based percentile on the same Arrow batch is sub-second
-    # — same linear-interpolation semantics, same exchange. The 8-row
-    # result is barriered because BOTH consumers (on_arc, gradient mask)
-    # would otherwise recompute the full-raster aggregation.
-    def _pct(pdf: pd.DataFrame) -> pd.DataFrame:
-        r2 = pdf["grad_r2"].to_numpy()
-        return pd.DataFrame(
-            {
-                "image_id": [pdf["image_id"].iloc[0]],
-                "r2_p_lo": [np.percentile(r2, THRESHOLD_PCT)],
-                "r2_p10": [np.percentile(r2, 10.0)],
-                "a2_p_lo": [np.percentile(pdf["grad_a2"].to_numpy(), THRESHOLD_PCT)],
-            }
-        )
-
+    # ONE banded kernel pass emits only the labeled-pixel gradients plus
+    # per-band percentile candidates (see fused_gradient_inputs) — the
+    # dense gradient raster is never stored or Arrow-shipped. The fused
+    # frame (~n_labeled + bands rows) is barriered so both consumers read
+    # one materialization.
+    fused = barrier_fn(fused_gradient_inputs(px, lpx, controls))
+    labeled_grads = fused.where(~F.col("is_summary")).select(
+        "image_id", "y", "x", "grad_r2", "grad_a2"
+    )
+    # A12: per-image global thresholds — exact-percentile merge of the
+    # per-band bottom-k candidates (bit-identical to np.percentile over
+    # the dense frame; test-asserted).
     thresholds = barrier_fn(
-        grads.select("image_id", "grad_r2", "grad_a2")
-        .groupBy("image_id")
-        .applyInPandas(
-            _pct,
-            "image_id string, r2_p_lo double, r2_p10 double, a2_p_lo double",
+        exact_percentiles_from_candidates(
+            fused.where(F.col("is_summary")).select(
+                "image_id", "n_core", "r2_cand", "a2_cand"
+            )
         )
     )
 
-    lg = sparse_hint(lpx).join(grads, ["image_id", "y", "x"])
+    lg = sparse_hint(lpx).join(labeled_grads, ["image_id", "y", "x"])
 
     # A10 + J2: per-label median Q broadcast back
     med_q = lg.groupBy("image_id", "label").agg(F.median("q").alias("med_q"))
@@ -313,5 +457,5 @@ def gradient_classify(
         pixel_flags=flagged,
         on_arc_labels=on_arc,
         grad_clusters=clusters,
-        cached=(grads, on_arc, thresholds),
+        cached=(fused, on_arc, thresholds),
     )
