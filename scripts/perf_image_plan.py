@@ -51,7 +51,7 @@ def controls_for(size: int, out_ch: int, om_ch: int, dist: float) -> ImageContro
 def rest_stages(spark) -> list[dict]:
     app_id = spark.sparkContext.applicationId
     url = f"http://localhost:4040/api/v1/applications/{app_id}/stages?status=complete"
-    with urllib.request.urlopen(url, timeout=10) as r:
+    with urllib.request.urlopen(url, timeout=120) as r:
         return json.load(r)
 
 

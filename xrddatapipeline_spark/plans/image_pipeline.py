@@ -489,12 +489,16 @@ def run_image_plan(
     # persist every output re-executes the pixels ⋈ calib join. ~8.3 M rows
     # x ~15 columns per image — a deliberate per-batch cache, dropped by the
     # caller (streaming does this per foreachBatch).
+    # columns no plan stage reads after base-mask folding are dropped
+    # BEFORE the barrier: tth is recomputed closed-form from tth_idx at
+    # output time, azim_mask is folded into base_mask, azim_band is a
+    # registry-query column — ~15% less cache-build and re-scan work.
     px = _bar(_obs(
         with_base_mask(
             join_calib(
                 pixels, calib, broadcast=broadcast_calib, controls=controls
             )
-        ),
+        ).drop("tth", "azim_band", "azim_mask"),
         "corrections",
         F.count(F.lit(1)).alias("n_px"),
         F.count_if(F.col("base_mask")).alias("n_base_masked"),
