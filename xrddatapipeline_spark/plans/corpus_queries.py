@@ -2364,3 +2364,43 @@ def tpch_q10ish_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_items")
     )
+
+
+@_register(
+    "events_cohort_retention",
+    """
+    WITH f AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+        FROM events
+    ),
+    c AS (SELECT user_id, min(day) AS cohort_day FROM f GROUP BY user_id)
+    SELECT c.cohort_day, f.day - c.cohort_day AS age_days,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_active
+    FROM f JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix (the standard product-analytics view a "
+        "training-data/telemetry warehouse serves): cohort = each user's "
+        "first active day, cell (cohort, age) = distinct users still "
+        "active age days later. Plan: one scan -> per-user min-day agg "
+        "(map-side combined, user-cardinality output) broadcast back to "
+        "the event stream -> (cohort, age) distinct-count agg. The event "
+        "table is scanned twice but shuffled only as user-key partials; "
+        "day arithmetic is integer microseconds (vintage-robust, exact).",
+    tags=("events", "agg", "relational"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # integer floor-div (not float /) — exact at any epoch magnitude
+    f = ev.select(
+        "user_id",
+        (_ts_us(ev).cast("long") - F.pmod(_ts_us(ev).cast("long"), F.lit(86400000000)))
+        .cast("long").alias("_us0"),
+    ).select("user_id", (F.col("_us0") / 86400000000).cast("long").alias("day"))
+    c = f.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        f.join(F.broadcast(c), "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("age_days"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+    )

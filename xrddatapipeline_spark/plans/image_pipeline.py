@@ -80,6 +80,10 @@ def outlier_pixels(px: DataFrame, esd_mul: float = 3.0) -> DataFrame:
         value="intensity",
         esd_mul=esd_mul,
         min_count=10,
+        # detector counts are ints: the (ring, intensity) histogram is
+        # map-side combined, so the ring-stat shuffle carries distinct
+        # values per ring instead of one row per pixel
+        histogram=True,
     )
     return flagged.where(F.col("is_outlier")).select("image_id", "y", "x")
 
