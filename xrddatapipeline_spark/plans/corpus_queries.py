@@ -625,6 +625,26 @@ def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_clusters_star",
+    "WITH RECURSIVE " + SQL_CLUSTERS + "SELECT doc_id, cluster_id FROM clusters",
+    doc="Same clustering contract as dedup_near_dup_clusters but via the "
+        "alternating large-star/small-star algorithm (operators.graph."
+        "connected_components_star, Kiveris et al. SOCC'14): O(log n) "
+        "rounds regardless of component diameter — the scale route for "
+        "chain-shaped near-dup graphs where hash-min needs O(diameter) "
+        "shuffles. Same DuckDB recursive-CTE oracle; both routes are also "
+        "lockstep-tested against a union-find oracle (test_graph_star).",
+    tags=("dedup", "corpus", "graph", "iterative"),
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.operators.graph import connected_components_star
+
+    pairs = _near_dup_pairs(spark, sf_dir)
+    cc = connected_components_star(pairs, src="doc_a", dst="doc_b")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@_register(
     "dedup_keep_list",
     "WITH RECURSIVE " + SQL_CLUSTERS + """
     SELECT d.doc_id FROM documents d

@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+from xrddatapipeline_spark.barrier import release as _release
 from xrddatapipeline_spark.calib.geometry import ImageControls
 from xrddatapipeline_spark.functions.binning import tth_bin_center
 from xrddatapipeline_spark.operators.ring_stats import flag_outliers
@@ -337,32 +338,6 @@ def cosine_similarity_series(pixels: DataFrame) -> DataFrame:
             / F.sqrt(dot("v", "v") * dot("v_prev", "v_prev"))
         ).alias("csim_prev"),
     )
-
-
-def _release(df: DataFrame) -> None:
-    """Free a barrier frame: unpersist a cached plan, or drop the
-    checkpointed RDD behind a LogicalRDD (localCheckpoint) — the latter is
-    NOT freed by Dataset.unpersist, only by the GC-driven ContextCleaner,
-    which a long-lived stream must not wait for."""
-    try:
-        lp = df._jdf.queryExecution().analyzed()
-        if lp.getClass().getName().endswith("LogicalRDD"):
-            lp.rdd().unpersist(False)
-            return
-    except Exception as e:
-        # JVM internals moved (PySpark upgrade): Dataset.unpersist below
-        # does NOT free localCheckpoint RDDs, so a silent fallback would
-        # reintroduce the slow storage leak in long-lived streams — warn.
-        import warnings
-
-        warnings.warn(
-            f"_release: LogicalRDD unpersist path failed ({e!r}); "
-            "falling back to Dataset.unpersist, which leaks "
-            "localCheckpoint storage until GC",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-    df.unpersist()
 
 
 @dataclass
