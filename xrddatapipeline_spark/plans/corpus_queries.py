@@ -2424,3 +2424,274 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("age_days"))
         .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Data mixing: per-domain token budgets (C4/Dolma-style mixture sampling)
+# ---------------------------------------------------------------------------
+
+_MIX_H = "md5('mix_' || CAST(doc_id AS VARCHAR))"
+
+
+@_register(
+    "docs_mixture_token_budget",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               {hexval_sql(_MIX_H, 0, 12)} % 1000000 AS h
+        FROM documents
+    ),
+    src AS (
+        SELECT source, CAST(sum(n_tok) AS BIGINT) AS toks_s,
+               CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w
+        FROM tk GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(toks_s) AS BIGINT) AS tot,
+               CAST(sum(w) AS BIGINT) AS wsum
+        FROM src
+    ),
+    rate AS (
+        SELECT s.source,
+               least(1000000,
+                     ((s.w * t.tot) // (2 * t.wsum)) * 1000000 // s.toks_s)
+                   AS rate_ppm
+        FROM src s CROSS JOIN tot t
+    )
+    SELECT k.doc_id, k.source, k.n_tok
+    FROM tk k JOIN rate r ON k.source = r.source
+    WHERE k.h < r.rate_ppm
+    """,
+    doc="Training-mixture construction: sample each domain down to its "
+        "token budget. Mixture weight per source (deterministic demo "
+        "weights 1-4), budget_s = (w_s/W) x half the corpus tokens, "
+        "per-source keep-rate = min(1, budget_s/tokens_s), membership by "
+        "salted md5 of doc_id — reproducible, engine-independent, and "
+        "EVERY rate computed in pure int64 arithmetic (floor divisions): "
+        "no float rounding can flip a membership decision. Plan shape: "
+        "one map-side-combined per-source agg (|sources| rows), scalar "
+        "totals broadcast back, then a pure filter over the corpus — the "
+        "big side is scanned, never shuffled. (At >9e12 total tokens the "
+        "ppm scaling needs decimal(38) to dodge int64 overflow.)",
+    tags=("corpus", "sampling", "mixing"),
+)
+def docs_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        (
+            tx.md5_prefix_long(
+                F.concat(F.lit("mix_"), F.col("doc_id").cast("string")), 12
+            )
+            % 1000000
+        ).alias("h"),
+    )
+    src = (
+        tk.groupBy("source")
+        .agg(F.sum("n_tok").alias("toks_s"))
+        .withColumn(
+            "w",
+            (F.substring("source", 4, 10).cast("int") % 4 + 1).cast("long"),
+        )
+    )
+    tot = src.agg(F.sum("toks_s").alias("tot"), F.sum("w").alias("wsum"))
+    rate = (
+        src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.expr("((w * tot) div (2 * wsum)) * 1000000 div toks_s"),
+            ).alias("rate_ppm"),
+        )
+    )
+    return (
+        tk.join(F.broadcast(rate), "source")
+        .where(F.col("h") < F.col("rate_ppm"))
+        .select("doc_id", "source", "n_tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H analogs: q18 (HAVING-sum semi pattern), q16 (grouped distinct count
+# + NOT IN), q22 (scalar subquery + anti join + grouping)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "tpch_q18ish_big_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+    doc="TPC-H Q18 analog (large-volume orders): fact-side HAVING-sum "
+        "aggregate (map-side combined, ~line-count/7 keys) whose SMALL "
+        "filtered result drives the orders/customer joins — broadcast "
+        "after AQE sees the post-HAVING size — then global top-100 via "
+        "TakeOrderedAndProject (per-partition partial top-k, no full "
+        "sort). l_quantity is integral, so sum_qty is order-independent "
+        "exact.",
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q18ish_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 180)
+    )
+    return (
+        F.broadcast(big)
+        .join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "tpch_q16ish_supplier_cnt",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 analog (supplier diversity per part group): NOT IN "
+        "compiled as a broadcast left-anti join (s_suppkey is non-null, "
+        "so anti-join == NOT IN), part dimension broadcast, then "
+        "count(DISTINCT) — Spark expands to a two-level hash aggregate "
+        "(partial distinct map-side), no row ever shuffled twice.",
+    tags=("join", "agg", "tpch", "subquery"),
+)
+def tpch_q16ish_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    ).where(F.col("p_brand") != "Brand#1")
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "tpch_q22ish_idle_balance",
+    """
+    WITH cents AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer
+    ),
+    thresh AS (
+        SELECT CAST(sum(bal_c) AS BIGINT) // CAST(count(*) AS BIGINT)
+                   AS avg_c
+        FROM cents WHERE bal_c > 0
+    )
+    SELECT c.c_nationkey % 5 AS cgroup,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(c.bal_c) AS BIGINT) AS total_bal_cents
+    FROM cents c CROSS JOIN thresh t
+    WHERE c.bal_c > t.avg_c
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+    doc="TPC-H Q22 analog (wealthy customers with no URGENT order): scalar "
+        "subquery (global positive-balance average) broadcast as a 1-row "
+        "literal, NOT EXISTS decorrelated to a left-anti join on the "
+        "orders key set, 5-group rollup. Balances quantized to integer "
+        "cents FIRST (round(x*100)), so the average, the comparison, and "
+        "the sums are all exact int64 arithmetic — a float average "
+        "threshold could flip memberships between engines.",
+    tags=("join", "agg", "tpch", "subquery"),
+)
+def tpch_q22ish_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    thresh = (
+        cust.where(F.col("bal_c") > 0)
+        .agg(
+            F.expr("sum(bal_c) div count(*)").cast("long").alias("avg_c")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .where(F.col("bal_c") > F.col("avg_c"))
+        .join(
+            orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .groupBy((F.col("c_nationkey") % 5).alias("cgroup"))
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum("bal_c").cast("long").alias("total_bal_cents"),
+        )
+    )
+
+
+@_register(
+    "docs_redact_terms",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\b(spark|hash)\b')) AS BIGINT)
+               AS n_hits,
+           md5(regexp_replace(text, '\b(spark|hash)\b', '<REDACTED>', 'g'))
+               AS scrub_hash
+    FROM documents
+    WHERE len(regexp_extract_all(text, '\b(spark|hash)\b')) > 0
+    """,
+    doc="Policy/PII-style redaction pass (the testdata corpus carries no "
+        "real PII, so policy terms stand in): global regexp_replace "
+        "rewrites every occurrence, regexp_extract_all counts them, and "
+        "the SCRUBBED text is verified by md5 — the oracle checks the "
+        "actual rewritten bytes, not just the counts. Pure per-row "
+        "projection: embarrassingly parallel, zero shuffles, regex "
+        "evaluated once per row via a single codegen'd stage. The word-"
+        "boundary pattern is RE2/Java-regex common ground.",
+    tags=("text", "corpus", "cleaning"),
+)
+def docs_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pat = r"\b(spark|hash)\b"
+    n_hits = F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+    return (
+        docs.select(
+            "doc_id",
+            n_hits.cast("long").alias("n_hits"),
+            F.md5(
+                F.regexp_replace("text", pat, "<REDACTED>")
+            ).alias("scrub_hash"),
+        )
+        .where(F.col("n_hits") > 0)
+    )

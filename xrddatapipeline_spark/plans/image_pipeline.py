@@ -32,6 +32,17 @@ from xrddatapipeline_spark.functions.binning import tth_bin_center
 from xrddatapipeline_spark.operators.ring_stats import flag_outliers
 from xrddatapipeline_spark.operators.raster import close_mask_pixels, label_pixels
 
+#: ring outlier stage: histogram (per distinct intensity) vs array (per
+#: pixel) order-stat route. Measured A/B at 8 x 2880^2 / local[32]: the
+#: histogram shuffle carries 65x fewer rows (98.5k distinct
+#: (ring,intensity) vs 6.48M candidate pixels) yet wall-clock is ~10%
+#: SLOWER (46.2 vs 41.7 s/img) — single-box shuffles are memory copies,
+#: so the extra 66M-row pre-aggregation pass costs more than it saves.
+#: Default False (array) for local throughput; flip True on a real
+#: cluster where the ring-stat shuffle crosses the network and 65x fewer
+#: bytes wins. Lockstep-tested exactly equal either way.
+OUTLIER_HISTOGRAM = False
+
 # classification thresholds — classification.py:849-860 / SURVEY §2.9
 Q_MAX = 0.1
 AZIM_MIN = 3.5
@@ -81,10 +92,9 @@ def outlier_pixels(px: DataFrame, esd_mul: float = 3.0) -> DataFrame:
         value="intensity",
         esd_mul=esd_mul,
         min_count=10,
-        # detector counts are ints: the (ring, intensity) histogram is
-        # map-side combined, so the ring-stat shuffle carries distinct
-        # values per ring instead of one row per pixel
-        histogram=True,
+        # see OUTLIER_HISTOGRAM: array route locally, histogram route
+        # when the ring-stat shuffle crosses a network
+        histogram=OUTLIER_HISTOGRAM,
     )
     return flagged.where(F.col("is_outlier")).select("image_id", "y", "x")
 
