@@ -2489,6 +2489,9 @@ def docs_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 1000000
         ).alias("h"),
     )
+    # |sources| rows — checkpoint so `tot` and `rate` both reuse it and
+    # the corpus parquet is scanned exactly twice (agg pass + filter
+    # pass), not re-derived per consumer (cf. docs_length_deciles)
     src = (
         tk.groupBy("source")
         .agg(F.sum("n_tok").alias("toks_s"))
@@ -2496,6 +2499,7 @@ def docs_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w",
             (F.substring("source", 4, 10).cast("int") % 4 + 1).cast("long"),
         )
+        .localCheckpoint()
     )
     tot = src.agg(F.sum("toks_s").alias("tot"), F.sum("w").alias("wsum"))
     rate = (
