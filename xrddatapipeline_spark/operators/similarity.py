@@ -460,3 +460,129 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adist")
     )
+
+
+def ivf_cells_expr(
+    vec: Column, centroids: list[tuple[int, list[float]]], nprobe: int = 1
+) -> Column:
+    """The `nprobe` nearest cells as an array<int> (recall knob: probing
+    more cells trades read volume for recall). Same candidate structs as
+    `ivf_assign_expr`, sorted by (dist, cell) and sliced — still one
+    shuffle-free map-side expression."""
+    def qconst(v: list[float]) -> int:
+        a = np.asarray(v, dtype=np.float64)
+        return int(np.floor(a * a * QSCALE).sum())
+
+    qx = quantized_dot(vec, vec)
+    cands = F.array(*[
+        F.struct(
+            (qx - 2 * quantized_dot(vec, F.lit(cvec)) + F.lit(qconst(cvec)))
+            .alias("dist"),
+            F.lit(cell).alias("cell"),
+        )
+        for cell, cvec in centroids
+    ])
+    return F.transform(
+        F.slice(F.array_sort(cands), 1, nprobe), lambda s: s["cell"]
+    )
+
+
+def save_ivf_index(
+    df: DataFrame,
+    path: str,
+    num_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index: the corpus written under ``path/index``
+    PARTITIONED BY its coarse-quantizer cell (plus the precomputed
+    quantized self-dot), centroids under ``path/centroids``. Probing then
+    reads ONLY the probed cells' directories — Hive-style partition
+    pruning means a 1-cell probe of a 4096-cell index touches 1/4096 of
+    the files, decided at planning time from the file index, no data
+    read. One scan to build; assignment is the usual map-side literal-
+    matrix expression (zero shuffles before the partitioned write)."""
+    cents = ivf_centroids(df, num_cells, vec_col, id_col)
+    (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            quantized_dot(F.col(vec_col), F.col(vec_col)).alias("qnorm"),
+            ivf_cell_expr(F.col(vec_col), cents).alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/index")
+    )
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c, v) for c, v in cents], "cell: int, centroid: array<double>"
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cents
+
+
+def load_ivf_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
+    rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    )
+    return [(int(r["cell"]), list(r["centroid"])) for r in rows]
+
+
+def ivf_index_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a `save_ivf_index` index: assign each query its `nprobe`
+    nearest cells, read ONLY those partitions (the cell IN (...) filter
+    lands in PartitionFilters — directory-level pruning, verified by
+    test_ivf_index), exact-rerank inside with the precomputed corpus
+    norms, per-query top-k via the WindowGroupLimit-pruned rank window.
+    Each corpus vector lives in exactly one cell, so multi-probe never
+    duplicates a (query, neighbor) pair."""
+    cents = load_ivf_centroids(spark, path)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("va"),
+        quantized_dot(F.col(vec_col), F.col(vec_col)).alias("qa"),
+        ivf_cells_expr(F.col(vec_col), cents, nprobe).alias("cells"),
+    ).select("query_id", "va", "qa", F.explode("cells").alias("cell"))
+    # the probed-cell set is bounded by |queries| x nprobe <= num_cells —
+    # a driver-side literal list is what unlocks planning-time pruning
+    probe_cells = sorted(
+        {r["cell"] for r in q.select("cell").distinct().collect()}
+    )
+    idx = spark.read.parquet(f"{path}/index").where(
+        F.col("cell").isin(probe_cells)
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            idx.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("vb"),
+                F.col("qnorm").alias("qb"),
+                "cell",
+            ),
+            "cell",
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            quantized_dot(F.col("va"), F.col("vb"))
+            / F.sqrt(F.col("qa").cast("double") * F.col("qb").cast("double")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )

@@ -667,7 +667,9 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = cc.where(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
     )
-    return docs.join(F.broadcast(dropped), "doc_id", "left_anti").select("doc_id")
+    # dropped is corpus-cardinality (every non-canonical near-dup): never
+    # force a broadcast — AQE sees its post-CC size and picks the strategy
+    return docs.join(dropped, "doc_id", "left_anti").select("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -840,7 +842,9 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias("t1")
     )
     s2 = (
-        e.join(F.broadcast(s1), "user_id")
+        # s1/s2 are user-cardinality — strategy left to AQE (a forced
+        # broadcast of per-user rows dies at 1e8+ users)
+        e.join(s1, "user_id")
         .groupBy("user_id", "t1")
         .agg(
             F.min(
@@ -854,7 +858,7 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     s3 = (
-        e.join(F.broadcast(s2.select("user_id", "t2")), "user_id")
+        e.join(s2.select("user_id", "t2"), "user_id")
         .groupBy("user_id", "t2")
         .agg(
             F.min(
@@ -1123,7 +1127,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
     total = counts.agg(F.sum("c").alias("n"))
     return (
-        toks.join(F.broadcast(counts), "tok")
+        # counts is vocabulary-cardinality (unbounded on web text) —
+        # join strategy left to AQE
+        toks.join(counts, "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -1160,7 +1166,9 @@ def emb_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "lang"
     )
-    el = emb.join(F.broadcast(docs), "vec_id").select(
+    # (vec_id, lang) is corpus-cardinality — no broadcast hint; both
+    # sides hash-join on vec_id under AQE
+    el = emb.join(docs, "vec_id").select(
         "lang", F.posexplode("embedding").alias("dim", "x")
     )
     qs = float(2 ** 40)
@@ -1606,7 +1614,8 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     n = docs.agg(F.count("*").cast("long").alias("n"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        # dfreq is vocabulary-cardinality — strategy left to AQE
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .withColumn("score", F.expr("tf * ((1000000 * n) div df)"))
     )
@@ -1989,8 +1998,10 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
+        # keys is customer-cardinality (distinct o_custkey) — anti-join
+        # strategy left to AQE rather than a forced broadcast
         cust.join(
-            F.broadcast(keys), cust.c_custkey == keys.o_custkey, "left_anti"
+            keys, cust.c_custkey == keys.o_custkey, "left_anti"
         )
         .groupBy("c_mktsegment")
         .agg(
@@ -2404,8 +2415,10 @@ def tpch_q10ish_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "training-data/telemetry warehouse serves): cohort = each user's "
         "first active day, cell (cohort, age) = distinct users still "
         "active age days later. Plan: one scan -> per-user min-day agg "
-        "(map-side combined, user-cardinality output) broadcast back to "
-        "the event stream -> (cohort, age) distinct-count agg. The event "
+        "(map-side combined) joined back to the event stream on user_id "
+        "(strategy left to AQE — the cohort table is user-cardinality, "
+        "so a forced broadcast would not survive 1e8 users) -> (cohort, "
+        "age) distinct-count agg. The event "
         "table is scanned twice but shuffled only as user-key partials; "
         "day arithmetic is integer microseconds (vintage-robust, exact).",
     tags=("events", "agg", "relational"),
@@ -2420,7 +2433,9 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", (F.col("_us0") / 86400000000).cast("long").alias("day"))
     c = f.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        f.join(F.broadcast(c), "user_id")
+        # c is user-cardinality — both sides already shuffle on user_id;
+        # AQE may still broadcast it when small
+        f.join(c, "user_id")
         .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("age_days"))
         .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
     )
@@ -2557,7 +2572,9 @@ def tpch_q18ish_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sum_qty") > 180)
     )
     return (
-        F.broadcast(big)
+        # big's post-HAVING size is data-dependent: let AQE convert to
+        # broadcast at runtime instead of forcing it
+        big
         .join(orders, big.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select(
