@@ -19,8 +19,20 @@ import time
 #: the keep-up workload (8 x 2880^2 images in flight: ring order-stat
 #: arrays + gradient-stage arrow batches + the csim window) needs more than
 #: the 16g default heap; the bench host has 128 GiB. Must be set before the
-#: first get_spark — local-mode heap is fixed at JVM launch.
-os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+#: first get_spark — local-mode heap is fixed at JVM launch. Scaled to the
+#: host: ~40% of physical RAM, capped at 48g, floored at 8g, so the JVM
+#: starts (and doesn't swap) on smaller hosts; the env var still overrides.
+def _default_heap_gb() -> int:
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES")
+        page = os.sysconf("SC_PAGE_SIZE")
+        total_gb = pages * page / (1 << 30)
+        return max(8, min(48, int(total_gb * 0.4)))
+    except (ValueError, OSError, AttributeError):
+        return 16
+
+
+os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{_default_heap_gb()}g")
 
 from xrddatapipeline_spark.session import get_spark  # noqa: E402
 from xrddatapipeline_spark.plans.driver_queries import REGISTRY  # noqa: E402
@@ -274,7 +286,13 @@ def main() -> None:
     # with SPARK_GRAFT_KEEPUP=0.
     keepup = None
     if os.environ.get("SPARK_GRAFT_KEEPUP", "1") != "0":
-        keepup = _keepup_2880()
+        # keepup is minutes of work in a fresh session AFTER the headline
+        # timings are already measured — a failure here must not lose them:
+        # emit the JSON with keepup omitted instead of crashing.
+        try:
+            keepup = _keepup_2880()
+        except Exception as e:  # noqa: BLE001 — report, don't lose headline
+            print(f"keepup failed: {e!r}", file=sys.stderr)
 
     out = {
         "metric": "headline_queries_total",

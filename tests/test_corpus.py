@@ -215,6 +215,20 @@ def test_ivf_topk_candidates_share_cell(spark):
         assert row.neighbor_id != row.query_id
 
 
+def test_pq_adc_topk_empty_queries(spark):
+    """An empty query frame must return an empty result with the contract
+    schema, not fail analysis on a zero-element F.array() (round-2 ADVICE:
+    topk_bruteforce's few-queries contract is easy to violate)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(v) for v in rng.normal(size=8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.pq_adc_topk(df, df.where("vec_id < 0"), k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "rank", "neighbor_id", "adist"]
+
+
 def test_asof_join_known_values(spark):
     from xrddatapipeline_spark.operators.temporal import asof_join
 

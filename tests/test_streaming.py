@@ -94,10 +94,16 @@ def test_pause_clear_queue_resume(spark, tmp_path):
     # two images land while paused; operator clears the queue
     _land_image(spark, input_dir, 1)
     _land_image(spark, input_dir, 2)
-    assert pipe.clear_queue(input_dir, "*.parquet") > 0
+    n_manifest = pipe.clear_queue(input_dir, "*.parquet")
+    # snapshot includes seq 0's already-processed file (visible in landing)
+    assert n_manifest == 3
 
     q = pipe.resume()
     q.awaitTermination(120)
+    # resume pruned the already-committed seq-0 file from the manifest
+    # (redundant — the checkpoint never replays it); the two genuinely
+    # pending skips remain
+    assert len(pipe._load_skip_names()) == 2
     seen = {r.image_id for r in
             pipe.output("integrals").select("image_id").distinct().collect()}
     assert seen == {"synth-00000"}  # cleared files skipped

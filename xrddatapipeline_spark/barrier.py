@@ -18,11 +18,24 @@ from pyspark.sql import DataFrame
 
 def release(df: DataFrame) -> None:
     """Free a barrier frame: unpersist a cached plan, or drop the
-    checkpointed RDD behind a LogicalRDD (localCheckpoint)."""
+    checkpointed RDD(s) behind any LogicalRDD leaf (localCheckpoint).
+
+    Searches the analyzed plan's LEAVES, not just the root: callers often
+    hold a projection over the checkpointed frame (e.g.
+    ``ckpt.select(...)``) — a root-only check would silently fall through
+    to Dataset.unpersist, which does NOT free localCheckpoint storage,
+    reintroducing the leak this helper exists to prevent.
+    """
     try:
         lp = df._jdf.queryExecution().analyzed()
-        if lp.getClass().getName().endswith("LogicalRDD"):
-            lp.rdd().unpersist(False)
+        leaves = lp.collectLeaves()
+        freed = False
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getName().endswith("LogicalRDD"):
+                leaf.rdd().unpersist(False)
+                freed = True
+        if freed:
             return
     except Exception as e:
         # JVM internals moved (PySpark upgrade): Dataset.unpersist below

@@ -434,7 +434,15 @@ def pq_adc_topk(
         return t_qq - 2 * t_qc + t_cc
 
     structs = []
-    for r in queries.select(id_col, vec_col).collect():
+    query_rows = queries.select(id_col, vec_col).collect()
+    if not query_rows:
+        # F.array() of zero structs has no element type and fails analysis;
+        # an empty query set is a legal (if trivial) input — return the
+        # empty result with the contract schema.
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, adist long"
+        )
+    for r in query_rows:
         qid, qv = int(r[0]), np.asarray(list(r[1]), dtype=np.float64)
         total = None
         for m, book in enumerate(books):

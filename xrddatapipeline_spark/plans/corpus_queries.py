@@ -736,6 +736,53 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ann_ivf_index_probe",
+    "WITH " + SQL_IVF + """,
+    qcells AS (
+        SELECT vec_id, embedding, qnorm, cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cell) AS rn
+            FROM dists WHERE vec_id < 8
+        ) WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               """ + _sql_qdot('q.embedding', 'c.embedding') + """
+               / sqrt(q.qnorm * 1.0 * c.qnorm) AS cos
+        FROM qcells q JOIN asg c ON q.cell = c.cell
+        WHERE q.vec_id <> c.vec_id
+    )
+    SELECT query_id, rank, neighbor_id, cos FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc="Materialized IVF index round-trip: save_ivf_index writes the "
+        "corpus PARTITIONED BY coarse-quantizer cell (+ precomputed "
+        "quantized norms and a centroid table), ivf_index_probe reads back "
+        "ONLY the probed cells' directories (Hive partition pruning, "
+        "plan-asserted in tests/test_ivf_index.py) with the nprobe=2 "
+        "recall knob and exact in-cell rerank. The oracle reproduces the "
+        "2-nearest-cells assignment + rerank relationally — proving the "
+        "parquet round-trip (float64 arrays, partition values, norms) is "
+        "lossless.",
+    tags=("similarity", "corpus", "embedding", "ivf", "index"),
+)
+def ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"xrdspark_ivf_index_{sf_tag}")
+    sim.save_ivf_index(emb, path, num_cells=_IVF_CELLS)
+    return sim.ivf_index_probe(
+        spark, path, emb.where(F.col("vec_id") < 8), k=3, nprobe=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation: stratified sampling, token stats, cleaning composition
 # ---------------------------------------------------------------------------

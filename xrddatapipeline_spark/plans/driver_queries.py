@@ -1191,6 +1191,167 @@ def m1_label_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "a13_gradient_swap",
+    """
+    WITH base AS (
+        SELECT CAST(l_orderkey % 3 AS INT) AS image_id,
+               CAST(l_linenumber AS INT) AS y,
+               CAST(l_suppkey AS INT) AS x,
+               CAST(l_partkey % 8 AS INT) AS label,
+               l_orderkey AS okey, l_suppkey AS skey,
+               CASE WHEN (l_partkey % 8) % 3 = 0
+                    THEN ((l_partkey * 7 + l_suppkey * 11) % 600 + 3300) % 3600
+                    ELSE (l_partkey * 37 + l_suppkey * 11) % 3600
+               END AS azim_tenths
+        FROM lineitem WHERE l_orderkey % 7 < 3
+    ),
+    lpx AS (
+        SELECT image_id, y, x, label, okey, skey,
+               azim_tenths / 10.0 AS azim,
+               ((azim_tenths + 1800) % 3600) / 10.0 AS azim_flip
+        FROM base
+    ),
+    gc AS (
+        SELECT image_id, label AS newlabel, label, azim, azim_flip
+        FROM lpx WHERE (okey + skey) % 5 < 2
+    ),
+    onarc AS (
+        SELECT DISTINCT image_id, label, (label % 2 = 0) AS on_arc FROM lpx
+    ),
+    ltab AS (
+        SELECT DISTINCT image_id, label, (label + 1) / 40.0 AS diff_q FROM lpx
+    ),
+    clusters0 AS (
+        SELECT image_id, newlabel,
+               median(azim) AS med, median(azim_flip) AS med_flip,
+               CAST(count(*) AS BIGINT) AS n_cluster_px
+        FROM gc GROUP BY image_id, newlabel
+    ),
+    clusters AS (
+        SELECT image_id, newlabel,
+               CASE WHEN abs((med_flip - 180.0 + 360.0) % 360.0 - med) > 90.0
+                    THEN (med_flip - 180.0 + 360.0) % 360.0 ELSE med
+               END AS med_azim,
+               n_cluster_px
+        FROM clusters0
+    ),
+    swaps AS (
+        SELECT c.image_id, c.newlabel AS label, c.med_azim,
+               t.diff_q * 5.0 AS swap_radius
+        FROM clusters c
+        JOIN (SELECT o.image_id, o.label, l.diff_q
+              FROM onarc o
+              JOIN ltab l ON o.image_id = l.image_id AND o.label = l.label
+              WHERE o.on_arc) t
+          ON c.image_id = t.image_id AND c.newlabel = t.label
+    ),
+    flag0 AS (
+        SELECT p.image_id, p.y, p.x, p.label,
+               coalesce(o.on_arc, FALSE) AS on_arc,
+               coalesce(
+                   (CASE WHEN (p.azim - s.med_azim) % 360.0 < 0
+                         THEN (p.azim - s.med_azim) % 360.0 + 360.0
+                         ELSE (p.azim - s.med_azim) % 360.0 END
+                    < s.swap_radius)
+                   OR
+                   (CASE WHEN (p.azim - s.med_azim) % 360.0 < 0
+                         THEN (p.azim - s.med_azim) % 360.0 + 360.0
+                         ELSE (p.azim - s.med_azim) % 360.0 END
+                    > 360.0 - s.swap_radius),
+                   FALSE) AS near_cut
+        FROM lpx p
+        LEFT JOIN onarc o ON p.image_id = o.image_id AND p.label = o.label
+        LEFT JOIN swaps s ON p.image_id = s.image_id AND p.label = s.label
+    ),
+    flag1 AS (
+        SELECT image_id, y, x, label, on_arc,
+               max(CASE WHEN near_cut THEN 1 ELSE 0 END) AS near_cut
+        FROM flag0 GROUP BY image_id, y, x, label, on_arc
+    ),
+    flag2 AS (
+        SELECT image_id, y, x, label,
+               (NOT on_arc) OR near_cut = 1 AS new_spot,
+               on_arc AND near_cut = 0 AS new_arc
+        FROM flag1
+    ),
+    agg AS (
+        SELECT image_id, label,
+               CAST(count(*) AS BIGINT) AS n_px,
+               CAST(sum(CASE WHEN new_spot THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_new_spot,
+               CAST(sum(CASE WHEN new_arc THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_new_arc
+        FROM flag2 GROUP BY image_id, label
+    )
+    SELECT a.image_id, a.label, a.n_px, a.n_new_spot, a.n_new_arc,
+           c.med_azim, c.n_cluster_px
+    FROM agg a
+    LEFT JOIN clusters c
+      ON a.image_id = c.image_id AND a.label = c.newlabel
+    """,
+    doc="A13/A14 gradient-stage swap logic (classification.py:566-606) on "
+    "deterministic synthetic clusters derived from lineitem: circular-median "
+    "azimuth per gradient cluster (plain + flipped axis, seam rewrap), "
+    "swap radius 5 x Qwidth, per-pixel new_spot/new_arc decision — runs the "
+    "REAL azimuth_swap_classify dataflow, aggregated per (image, label).",
+    tags=("xrd", "gradient"),
+)
+def a13_gradient_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.plans.gradient_stage import azimuth_swap_classify
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 7 < 3)
+    base = li.select(
+        (F.col("l_orderkey") % 3).cast("int").alias("image_id"),
+        F.col("l_linenumber").cast("int").alias("y"),
+        F.col("l_suppkey").cast("int").alias("x"),
+        (F.col("l_partkey") % 8).cast("int").alias("label"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_suppkey").alias("skey"),
+        F.when(
+            (F.col("l_partkey") % 8) % 3 == 0,
+            ((F.col("l_partkey") * 7 + F.col("l_suppkey") * 11) % 600 + 3300)
+            % 3600,
+        )
+        .otherwise((F.col("l_partkey") * 37 + F.col("l_suppkey") * 11) % 3600)
+        .alias("azim_tenths"),
+    )
+    lpx_full = base.select(
+        "image_id", "y", "x", "label", "okey", "skey",
+        (F.col("azim_tenths") / 10.0).alias("azim"),
+        (((F.col("azim_tenths") + 1800) % 3600) / 10.0).alias("azim_flip"),
+    )
+    gc = lpx_full.where(((F.col("okey") + F.col("skey")) % 5) < 2).select(
+        "image_id", F.col("label").alias("newlabel"), "label", "azim",
+        "azim_flip",
+    )
+    keys = lpx_full.select("image_id", "label").distinct()
+    on_arc = keys.withColumn("on_arc", (F.col("label") % 2) == 0)
+    label_table = keys.withColumn(
+        "diff_q", (F.col("label") + 1) / F.lit(40.0)
+    )
+    lpx = lpx_full.select("image_id", "y", "x", "label", "azim")
+    clusters, flagged = azimuth_swap_classify(gc, lpx, on_arc, label_table)
+    agg = flagged.groupBy("image_id", "label").agg(
+        F.count("*").alias("n_px"),
+        F.sum(F.col("new_spot").cast("long")).alias("n_new_spot"),
+        F.sum(F.col("new_arc").cast("long")).alias("n_new_arc"),
+    )
+    return agg.join(
+        clusters.select(
+            "image_id",
+            F.col("newlabel").alias("label"),
+            "med_azim",
+            F.col("n_px").alias("n_cluster_px"),
+        ),
+        ["image_id", "label"],
+        "left",
+    ).select(
+        "image_id", "label", "n_px", "n_new_spot", "n_new_arc",
+        "med_azim", "n_cluster_px",
+    )
+
+
 # Corpus-scale registry entries (dedup / similarity / text / multimodal)
 # register themselves on import; kept in a sibling module for size.
 from xrddatapipeline_spark.plans import corpus_queries  # noqa: E402,F401

@@ -384,6 +384,31 @@ def gradient_classify(
         lpx.select("image_id", "y", "x", "label", "azim", "azim_flip"),
         ["image_id", "y", "x"],
     )
+    clusters, flagged = azimuth_swap_classify(gc, lpx, on_arc, label_table)
+    return GradientStageResult(
+        pixel_flags=flagged,
+        on_arc_labels=on_arc,
+        grad_clusters=clusters,
+        cached=(fused, on_arc, thresholds),
+    )
+
+
+def azimuth_swap_classify(
+    gc: DataFrame,
+    lpx: DataFrame,
+    on_arc: DataFrame,
+    label_table: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """A13 circular-median azimuth per gradient cluster + A14 swap decision
+    (classification.py:566-606) as a standalone relational dataflow, so the
+    driver's DuckDB oracle can exercise it on deterministic synthetic
+    clusters (`a13_gradient_swap`) independent of the gradient kernel.
+
+    Inputs: ``gc`` gradient-cluster member pixels (image_id, newlabel,
+    label, azim, azim_flip); ``lpx`` labeled pixels (image_id, y, x, label,
+    azim); ``on_arc`` (image_id, label, on_arc); ``label_table``
+    (image_id, label, diff_q). Returns (clusters, pixel_flags).
+    """
     clusters = gc.groupBy("image_id", "newlabel").agg(
         F.first("label").alias("parent_label"),
         F.median("azim").alias("med_azim"),
@@ -453,9 +478,4 @@ def gradient_classify(
         )
         .select("image_id", "y", "x", "label", "new_spot", "new_arc")
     )
-    return GradientStageResult(
-        pixel_flags=flagged,
-        on_arc_labels=on_arc,
-        grad_clusters=clusters,
-        cached=(fused, on_arc, thresholds),
-    )
+    return clusters, flagged

@@ -275,9 +275,9 @@ def h_maxima_per_qbin(
     p99.9 is aggregated first and joined in as a constant column), then a
     hash aggregation on (image_id, qbin).
 
-    Note: kernels.h_maxima is an iterative reconstruction — fine at test
-    raster sizes; a production deployment would swap in skimage's
-    queue-based reconstruction inside the same kernel harness."""
+    kernels.h_maxima runs the Vincent'93 hybrid reconstruction (raster +
+    anti-raster sweeps + vectorized worklist) — a few seconds per 2880^2
+    frame, so this stage is viable at the full-resolution config."""
     import numpy as np
     import pandas as pd
     from xrddatapipeline_spark.operators import kernels

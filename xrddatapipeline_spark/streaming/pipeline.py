@@ -200,6 +200,46 @@ class StreamingImagePipeline:
         os.replace(tmp, self._manifest_path)
         return len(names)
 
+    def _prune_skip_manifest(self, checkpoint_dir: str) -> None:
+        """The manifest only ever grows (clear_queue unions into it), and
+        clear_queue snapshots ALL visible landing files — including ones the
+        checkpoint already committed, which the file source never replays
+        anyway. Prune those on (re)start so a long-lived deployment's
+        source-side ``isin`` literal stays bounded by genuinely-pending
+        skips instead of the full processing history."""
+        import glob as _glob
+        import json
+
+        names = self._load_skip_names()
+        if not names:
+            return
+        processed: set[str] = set()
+        for log in _glob.glob(os.path.join(checkpoint_dir, "sources", "*", "*")):
+            if not os.path.isfile(log):
+                continue
+            try:
+                with open(log) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line.startswith("{"):
+                            continue  # version header / offsets
+                        try:
+                            entry = json.loads(line)
+                        except ValueError:
+                            continue
+                        path = entry.get("path")
+                        if path:
+                            processed.add(os.path.basename(path))
+            except OSError:
+                continue
+        kept = names - processed
+        if kept != names:
+            os.makedirs(os.path.dirname(self._manifest_path), exist_ok=True)
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(sorted(kept), f)
+            os.replace(tmp, self._manifest_path)
+
     def pause(self) -> None:
         """Stop the running query, keeping the checkpoint (= the queue)."""
         if self._query is not None:
@@ -332,6 +372,7 @@ class StreamingImagePipeline:
             settle_seconds=settle_seconds,
             source_format=source_format,
         )
+        self._prune_skip_manifest(checkpoint_dir)
         skip_names = self._load_skip_names()
         if source_format == "tiff":
             from xrddatapipeline_spark.sources.tiff import stream_tiff_images
