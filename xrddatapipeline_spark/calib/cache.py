@@ -173,6 +173,12 @@ def save_bucketed_pixel_table(
     side is never shuffled, for any number of joined tables or repeated
     per-image joins. `num_buckets` should match (or divide) the cluster's
     parallelism target; all co-joined tables must share the same count.
+
+    Deliberately parquet regardless of ``tables.resolve_table_format``:
+    Spark's ``bucketBy`` (the exchange-free join mechanism this table
+    exists for) is a Hive-catalog/parquet feature Delta doesn't support —
+    on a Delta deployment the equivalent co-location story is liquid
+    clustering / Z-ORDER, which changes the read plan, not this writer.
     """
     writer = (
         df.write.mode("overwrite")

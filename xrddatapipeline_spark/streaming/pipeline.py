@@ -154,6 +154,11 @@ class StreamingImagePipeline:
     # (pipeline.py:152-159, 196-216) — off by default (parquet is the
     # source of truth; the TIFFs are for legacy viewers)
     render_masks: bool = False
+    # output-table format: None resolves via tables.resolve_table_format
+    # (conf spark.xrdspark.tableFormat / env XRDSPARK_TABLE_FORMAT /
+    # parquet). "delta" gives ACID appends where delta-spark is installed
+    # and falls back to parquet (with a warning) where it isn't.
+    table_format: str | None = None
     batches_seen: int = field(default=0, init=False)
     _query: StreamingQuery | None = field(default=None, init=False)
     _start_kwargs: dict = field(default_factory=dict, init=False)
@@ -260,10 +265,13 @@ class StreamingImagePipeline:
         batch_df = batch_df.select(
             "dataset", "seq", "image_id", "y", "x", "intensity"
         )
+        from xrddatapipeline_spark.tables import write_table
+
         # pixel store first: partitioned by (dataset, seq) so the csim
         # lookback and any reprocessing read only the partitions they need.
-        batch_df.write.mode("append").partitionBy("dataset", "seq").parquet(
-            self._path("pixels")
+        write_table(
+            batch_df, self._path("pixels"),
+            partition_by=("dataset", "seq"), fmt=self.table_format,
         )
 
         res = run_image_plan(
@@ -276,14 +284,18 @@ class StreamingImagePipeline:
             barrier=self.barrier,
         )
         try:
-            res.integrals.write.mode("append").parquet(self._path("integrals"))
-            res.spot_stats.write.mode("append").parquet(self._path("spot_stats"))
-            res.spottiness.write.mode("append").parquet(self._path("spottiness"))
-            res.outliers.write.mode("append").parquet(self._path("outliers"))
+            write_table(res.integrals, self._path("integrals"),
+                        fmt=self.table_format)
+            write_table(res.spot_stats, self._path("spot_stats"),
+                        fmt=self.table_format)
+            write_table(res.spottiness, self._path("spottiness"),
+                        fmt=self.table_format)
+            write_table(res.outliers, self._path("outliers"),
+                        fmt=self.table_format)
             if self.gradient_stage and res.gradient is not None:
-                res.gradient.on_arc_labels.write.mode("append").parquet(
-                    self._path("gradient_arcs")
-                )
+                write_table(res.gradient.on_arc_labels,
+                            self._path("gradient_arcs"),
+                            fmt=self.table_format)
             if self.render_masks:
                 from xrddatapipeline_spark.sinks import render_mask_tiffs
 
@@ -335,14 +347,20 @@ class StreamingImagePipeline:
         cond = F.lit(False)
         for ds, seq in sorted(needed):
             cond = cond | ((F.col("dataset") == ds) & (F.col("seq") == seq))
-        store = self.spark.read.schema(PIXEL_SCHEMA).parquet(self._path("pixels"))
+        from xrddatapipeline_spark.tables import read_table, write_table
+
+        store = read_table(
+            self.spark, self._path("pixels"),
+            fmt=self.table_format, schema=PIXEL_SCHEMA,
+        )
         series = cosine_similarity_series(store.where(cond))
         batch_keys = F.lit(False)
         for ds, seq in touched:
             batch_keys = batch_keys | (
                 (F.col("dataset") == ds) & (F.col("seq") == seq)
             )
-        series.where(batch_keys).write.mode("append").parquet(self._path("csim"))
+        write_table(series.where(batch_keys), self._path("csim"),
+                    fmt=self.table_format)
 
     def start(
         self,
@@ -414,4 +432,8 @@ class StreamingImagePipeline:
 
     def output(self, table: str) -> DataFrame:
         """Read-back view over an output table (§3.3 query surface)."""
-        return self.spark.read.parquet(self._path(table))
+        from xrddatapipeline_spark.tables import read_table
+
+        if table == "stage_metrics":  # JSON sidecar, not a columnar table
+            return self.spark.read.json(self._path(table))
+        return read_table(self.spark, self._path(table), fmt=self.table_format)
