@@ -201,9 +201,14 @@ def _keepup_2880(batch: int = 8) -> dict:
     t0 = time.perf_counter()
     # calib=None: closed-form calibration columns (codegen trig per row
     # beats broadcasting + probing an 8.3 M-row map table — SCALE.md §1);
-    # hybrid barrier: columnar pixel cache + checkpointed sparse frames
+    # hybrid barrier: columnar pixel cache + checkpointed sparse frames.
+    # A/B'd round 3 vs "hybrid-nopx" (no dense cache, consumers recompute
+    # the column-pruned closed-form trig): hybrid 41.2 vs nopx 44.1 s/img
+    # same-session — the one-time cache build beats 6 pruned trig
+    # recomputes. Env override kept for future comparisons.
+    barrier = os.environ.get("SPARK_GRAFT_KEEPUP_BARRIER", "hybrid")
     res = run_image_plan(
-        pixels, None, c, gradient_stage=True, barrier="hybrid"
+        pixels, None, c, gradient_stage=True, barrier=barrier
     )
     outs = [res.integrals, res.spot_stats, res.spottiness, res.outliers,
             cosine_similarity_series(res.pixels)]

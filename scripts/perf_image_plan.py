@@ -61,12 +61,15 @@ def main() -> None:
     n_images = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     mode = sys.argv[6] if len(sys.argv) > 6 else ""
     gradient = "grad" in mode
-    if "ckpt" in mode:
+    if "nopx" in mode:
+        barrier = "hybrid-nopx"
+    elif "ckpt" in mode:
         barrier = "local_checkpoint"
     elif "hyb" in mode:
         barrier = "hybrid"
     else:
         barrier = "persist"
+    closed_form = "cf" in mode  # calib=None: closed-form calib columns
 
     import os
 
@@ -83,9 +86,12 @@ def main() -> None:
 
     c = controls_for(size, out_ch, om_ch, dist)
     t0 = time.time()
-    calib = build_calib_pixels(spark, c).persist()
-    calib.count()
-    t_calib = time.time() - t0
+    if closed_form:
+        calib, t_calib = None, 0.0
+    else:
+        calib = build_calib_pixels(spark, c).persist()
+        calib.count()
+        t_calib = time.time() - t0
 
     # upload ONE generated image, replicate to n images executor-side
     # (deterministic per-seq intensity perturbation) — driver-side pandas
@@ -134,6 +140,11 @@ def main() -> None:
     mark("integrals", lambda: res.integrals.count())
     mark("spot_stats", lambda: res.spot_stats.count())
     mark("spottiness", lambda: res.spottiness.count())
+    if "csim" in mode:
+        from xrddatapipeline_spark.plans.image_pipeline import (
+            cosine_similarity_series,
+        )
+        mark("csim", lambda: cosine_similarity_series(res.pixels).count())
     if gradient:
         mark("gradient", lambda: res.gradient.on_arc_labels.count())
     total = time.time() - t0

@@ -185,17 +185,15 @@ def _shift2d_f(a: np.ndarray, dy: int, dx: int, fill: float = 0.0) -> np.ndarray
     return out
 
 
-def radial_azim_gradient(
-    img: np.ndarray, center_y_px: float, center_x_px: float
-) -> tuple[np.ndarray, np.ndarray]:
-    """First derivative along the radial (r_hat) and tangential (phi_hat)
-    directions from the beam center — the reference precomputes r_hat/phi_hat
-    unit-vector maps (cache_creation.py:94-105) and projects Sobel-style
-    gradients onto them (classification.py:46-63). Apply twice for second
-    derivatives."""
-    gy = conv3x3(img, SOBEL_Y)
-    gx = conv3x3(img, SOBEL_X)
-    ys, xs = np.mgrid[0 : img.shape[0], 0 : img.shape[1]]
+def radial_unit_maps(
+    shape: tuple[int, int], center_y_px: float, center_x_px: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(r_y, r_x, p_y, p_x) unit-vector maps from the beam center — the
+    reference precomputes these once per geometry (cache_creation.py:94-105).
+    Hoisted out of `radial_azim_gradient` so kernels applying the gradient
+    several times per raster (the 2nd-derivative chain) pay for the
+    mgrid/hypot once."""
+    ys, xs = np.mgrid[0 : shape[0], 0 : shape[1]]
     dy = ys + 0.5 - center_y_px
     dx = xs + 0.5 - center_x_px
     norm = np.hypot(dy, dx)
@@ -203,6 +201,26 @@ def radial_azim_gradient(
     r_y, r_x = dy / norm, dx / norm
     # phi_hat is r_hat rotated 90 degrees
     p_y, p_x = dx / norm, -dy / norm
+    return r_y, r_x, p_y, p_x
+
+
+def radial_azim_gradient(
+    img: np.ndarray,
+    center_y_px: float,
+    center_x_px: float,
+    maps: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """First derivative along the radial (r_hat) and tangential (phi_hat)
+    directions from the beam center — the reference precomputes r_hat/phi_hat
+    unit-vector maps (cache_creation.py:94-105) and projects Sobel-style
+    gradients onto them (classification.py:46-63). Apply twice for second
+    derivatives; pass ``maps`` (from `radial_unit_maps`) to amortize the
+    unit-vector construction across calls."""
+    gy = conv3x3(img, SOBEL_Y)
+    gx = conv3x3(img, SOBEL_X)
+    if maps is None:
+        maps = radial_unit_maps(img.shape, center_y_px, center_x_px)
+    r_y, r_x, p_y, p_x = maps
     return gy * r_y + gx * r_x, gy * p_y + gx * p_x
 
 

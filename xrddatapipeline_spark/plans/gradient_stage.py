@@ -51,6 +51,26 @@ SWAP_RADIUS_QWIDTHS = 5.0
 _GRAD_HALO = 4
 
 
+def _band_membership(bh: int, halo: int, n_bands: int):
+    """(own-band expr, band-membership array expr) for halo tiling.
+
+    A pixel belongs to its own band always, to the previous band iff
+    y % bh < halo, to the next iff y % bh >= bh - halo (requires
+    bh > 2*halo, asserted). Expressed as CASE + CreateArray — NOT
+    F.filter: higher-order array functions are CodegenFallback
+    (interpreted per row), which profiled as a top-stage CPU cost on the
+    67 M-row kernel-feed exchange at 8 x 2880^2."""
+    assert bh > 2 * halo, "band_rows must exceed twice the halo"
+    yb = F.floor(F.col("y") / bh).cast("int")
+    ym = F.col("y") - yb * bh
+    bands = (
+        F.when((ym < halo) & (yb > 0), F.array(yb, yb - 1))
+        .when((ym >= bh - halo) & (yb < n_bands - 1), F.array(yb, yb + 1))
+        .otherwise(F.array(yb))
+    )
+    return yb, bands
+
+
 def second_gradients(
     px: DataFrame, controls: ImageControls, band_rows: int = 512
 ) -> DataFrame:
@@ -85,9 +105,10 @@ def second_gradients(
         bad[ys - y0, xs] = pdf["base_mask"].to_numpy()
         inp = kernels.inpaint_masked(img, bad)
         # shifting the raster down by y0 moves the beam center with it
-        r1, a1 = kernels.radial_azim_gradient(inp, cy - y0, cx)
-        r2, _ = kernels.radial_azim_gradient(r1, cy - y0, cx)
-        _, a2 = kernels.radial_azim_gradient(a1, cy - y0, cx)
+        umaps = kernels.radial_unit_maps(img.shape, cy - y0, cx)
+        r1, a1 = kernels.radial_azim_gradient(inp, cy - y0, cx, maps=umaps)
+        r2, _ = kernels.radial_azim_gradient(r1, cy - y0, cx, maps=umaps)
+        _, a2 = kernels.radial_azim_gradient(a1, cy - y0, cx, maps=umaps)
         keep = (ys >= core0) & (ys < core1)
         ys, xs = ys[keep], xs[keep]
         return pd.DataFrame(
@@ -107,14 +128,7 @@ def second_gradients(
             lambda pdf: _grad_rows(pdf, 0, h, 0, h), schema
         )
 
-    yb = F.floor(F.col("y") / bh).cast("int")
-    cand = F.array(yb - 1, yb, yb + 1)
-    bands = F.filter(
-        cand,
-        lambda b: (b >= 0) & (b < n_bands)
-        & (F.col("y") >= b * bh - halo)
-        & (F.col("y") < (b + 1) * bh + halo),
-    )
+    yb, bands = _band_membership(bh, halo, n_bands)
 
     def _grad_band(key, pdf: pd.DataFrame) -> pd.DataFrame:
         band = int(key[1])
@@ -154,6 +168,24 @@ def fused_gradient_inputs(
 
     Output rows: n_labeled + n_bands per image (~0.5 M + 6 at 2880^2)
     instead of 8.3 M — the dense gradient raster never leaves the kernel.
+
+    Shuffle-byte economics (round-3 profile: the kernel-feed exchange was
+    the single largest stage, ~1 GB write / 27% of batch core-time):
+
+    - base-masked pixels are NOT shipped at all. The pixel table is dense
+      (one row per detector position — the S1/S9 sources emit every
+      pixel), so "absent in the kernel input" ⇔ "base-masked", which is
+      exactly the ``bad`` raster the inpaint step needs; the masked
+      pixels' intensities are never read (normalized convolution zeroes
+      them). The percentile-candidate multiset is likewise recovered from
+      the dense core raster itself (every band position is a pixel row),
+      not from the shipped rows.
+    - the surviving rows ship as ONE packed int64 — (y*8192 + x) << 32 |
+      (intensity + 2^31) — instead of (y int, x int, intensity int,
+      base_mask boolean): 2 row fields instead of 5 cuts the UnsafeRow
+      shuffle width ~40% and the post-shuffle Arrow conversion to 3
+      columns. Detectors wider than 8191 px fall back to the unpacked
+      layout.
     """
     h, w = controls.size_y, controls.size_x
     cy = controls.center_y / (controls.pixel_size_y / 1000.0)
@@ -163,6 +195,7 @@ def fused_gradient_inputs(
     halo = _GRAD_HALO
     keep_r2 = int(0.10 * h * w) + 4   # covers p10 (and p0.1) order stats
     keep_a2 = int((THRESHOLD_PCT / 100.0) * h * w) + 4
+    packed = h <= 8192 and w <= 8192
 
     schema = (
         "image_id string, y int, x int, grad_r2 double, grad_a2 double, "
@@ -175,21 +208,29 @@ def fused_gradient_inputs(
         core0, core1 = band * bh, min((band + 1) * bh, h)
         img = np.zeros((y1 - y0, w), dtype=np.float64)
         bad = np.ones((y1 - y0, w), dtype=bool)
-        ys = px_pdf["y"].to_numpy()
-        xs = px_pdf["x"].to_numpy()
-        img[ys - y0, xs] = px_pdf["intensity"].to_numpy()
-        bad[ys - y0, xs] = px_pdf["base_mask"].to_numpy()
+        if packed:
+            v = px_pdf["p"].to_numpy()
+            inten = (v & 0xFFFFFFFF) - 2**31
+            yx = v >> 32
+            ys = yx // 8192
+            xs = yx - ys * 8192
+        else:
+            ys = px_pdf["y"].to_numpy()
+            xs = px_pdf["x"].to_numpy()
+            inten = px_pdf["intensity"].to_numpy()
+        img[ys - y0, xs] = inten
+        bad[ys - y0, xs] = False  # shipped rows are exactly the unmasked
         inp = kernels.inpaint_masked(img, bad)
-        r1, a1 = kernels.radial_azim_gradient(inp, cy - y0, cx)
-        r2, _ = kernels.radial_azim_gradient(r1, cy - y0, cx)
-        _, a2 = kernels.radial_azim_gradient(a1, cy - y0, cx)
+        umaps = kernels.radial_unit_maps(img.shape, cy - y0, cx)
+        r1, a1 = kernels.radial_azim_gradient(inp, cy - y0, cx, maps=umaps)
+        r2, _ = kernels.radial_azim_gradient(r1, cy - y0, cx, maps=umaps)
+        _, a2 = kernels.radial_azim_gradient(a1, cy - y0, cx, maps=umaps)
 
-        # core-row gradient values present as pixel rows (= the dense
-        # frame's multiset restricted to this band)
-        keep = (ys >= core0) & (ys < core1)
-        cys, cxs = ys[keep], xs[keep]
-        r2v = r2[cys - y0, cxs]
-        a2v = a2[cys - y0, cxs]
+        # candidate multiset = the dense frame's values over this band's
+        # CORE rows — every raster position is a pixel row, so slice the
+        # raster directly instead of indexing by shipped coordinates
+        r2v = r2[core0 - y0 : core1 - y0].ravel()
+        a2v = a2[core0 - y0 : core1 - y0].ravel()
 
         def bottom(vals: np.ndarray, k: int) -> bytes:
             if len(vals) > k:
@@ -227,18 +268,24 @@ def fused_gradient_inputs(
             return pd.concat([labeled, summary], ignore_index=True)
         return summary
 
-    yb = F.floor(F.col("y") / bh).cast("int")
-    cand = F.array(yb - 1, yb, yb + 1)
-    bands = F.filter(
-        cand,
-        lambda b: (b >= 0) & (b < n_bands)
-        & (F.col("y") >= b * bh - halo)
-        & (F.col("y") < (b + 1) * bh + halo),
+    yb, bands = _band_membership(bh, halo, n_bands)
+    src = px.select("image_id", "y", "x", "intensity", "base_mask").where(
+        ~F.col("base_mask")
     )
-    src = (
-        px.select("image_id", "y", "x", "intensity", "base_mask")
-        .withColumn("band", F.explode(bands) if n_bands > 1 else yb)
-    )
+    if packed:
+        src = src.select(
+            "image_id",
+            "y",
+            (
+                F.shiftleft(
+                    F.col("y").cast("long") * 8192 + F.col("x"), 32
+                )
+                + (F.col("intensity").cast("long") + F.lit(2**31))
+            ).alias("p"),
+        )
+    src = src.withColumn("band", F.explode(bands) if n_bands > 1 else yb)
+    if packed:
+        src = src.drop("y")
     lsrc = lpx.select("image_id", "y", "x").withColumn("band", yb)
     return (
         src.groupBy("image_id", "band")

@@ -424,9 +424,9 @@ def run_image_plan(
     local_checkpoint costs the whole image — the right trade under
     foreachBatch, which retries the batch anyway."""
     shape = (controls.size_y, controls.size_x)
-    if barrier not in ("persist", "local_checkpoint", "hybrid"):
+    if barrier not in ("persist", "local_checkpoint", "hybrid", "hybrid-nopx"):
         raise ValueError(f"unknown barrier {barrier!r}")
-    eager = barrier in ("local_checkpoint", "hybrid")
+    eager = barrier in ("local_checkpoint", "hybrid", "hybrid-nopx")
     if corrections:
         from xrddatapipeline_spark.operators.corrections import (
             apply_correction_images,
@@ -439,6 +439,16 @@ def run_image_plan(
             return df.persist()
         from pyspark.storagelevel import StorageLevel
 
+        if barrier == "hybrid-nopx" and dense:
+            # no dense barrier at all: every consumer re-derives the
+            # (column-pruned) closed-form calibration projection from the
+            # caller's raw pixel cache. Worth it when the calib columns are
+            # computed (calib=None) rather than joined: Catalyst prunes the
+            # trig to just the columns each consumer reads, so none of the
+            # 14-column cache build/serialize/re-scan cost is paid. With a
+            # calib JOIN the join would re-execute per consumer — keep
+            # "hybrid" there.
+            return df
         if barrier == "hybrid" and dense:
             # DENSE frames (the calib-joined pixel table, the gradient
             # raster) are re-scanned by 4-6 consumers: a row-format
