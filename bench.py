@@ -214,8 +214,22 @@ def _keepup_2880(batch: int = 8) -> dict:
             cosine_similarity_series(res.pixels)]
     if res.gradient is not None:
         outs.append(res.gradient.on_arc_labels)
-    for out in outs:
-        out.write.format("noop").mode("overwrite").save()
+    # the outputs are independent jobs over the already-materialized
+    # barriers: submit them concurrently so one job's stage tails overlap
+    # the next job's ramp-up instead of leaving cores idle between the
+    # six sequential actions (same overlap a multi-sink streaming batch
+    # gets on a real cluster)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(outs)) as pool:
+        futs = [
+            pool.submit(
+                lambda o: o.write.format("noop").mode("overwrite").save(), out
+            )
+            for out in outs
+        ]
+        for f in futs:
+            f.result()
     elapsed = time.perf_counter() - t0
     res.unpersist_all()
     pixels.unpersist()

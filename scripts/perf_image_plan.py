@@ -156,17 +156,33 @@ def main() -> None:
         "total_plan": round(total, 2), "stages": stage_t,
     }))
 
+    import datetime as _dt
+
+    def _ts(s, key):
+        v = s.get(key)
+        if not v:
+            return None
+        return _dt.datetime.strptime(
+            v.replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f"
+        ).timestamp()
+
     stages = rest_stages(spark)
     stages.sort(key=lambda s: s.get("executorRunTime", 0), reverse=True)
-    print("top stages by executorRunTime (ms):")
+    print("top stages by executorRunTime (ms); t=wall window rel. plan start:")
     for s in stages[:14]:
+        sub, done = _ts(s, "firstTaskLaunchedTime"), _ts(s, "completionTime")
+        win = (
+            f"t={sub - t0:>6.1f}..{done - t0:>6.1f}"
+            if sub is not None and done is not None
+            else "t=?"
+        )
         print(
             f"  id={s['stageId']:>3} run={s['executorRunTime']:>7} "
             f"cpu={s.get('executorCpuTime', 0)//1_000_000:>7} "
             f"tasks={s['numCompleteTasks']:>3} "
             f"shufW={s.get('shuffleWriteBytes', 0):>10} "
-            f"shufR={s.get('shuffleReadBytes', 0):>10} "
-            f"| {s['name'].splitlines()[0][:70]}"
+            f"shufR={s.get('shuffleReadBytes', 0):>10} {win} "
+            f"| {s['name'].splitlines()[0][:60]}"
         )
     spark.stop()
 

@@ -66,32 +66,45 @@ def _png_unfilter(raw, width: int, height: int, nch: int):
     rows = np.frombuffer(raw, dtype=np.uint8)[: height * (stride + 1)]
     rows = rows.reshape(height, stride + 1)
     out = np.zeros((height, stride), dtype=np.int32)
+    zero = np.zeros(stride, dtype=np.int32)
     for r in range(height):
         ftype = int(rows[r, 0])
         cur = rows[r, 1:].astype(np.int32)
-        prev = out[r - 1] if r else np.zeros(stride, dtype=np.int32)
+        prev = out[r - 1] if r else zero
         if ftype == 0:
             out[r] = cur
         elif ftype == 2:  # Up
             out[r] = (cur + prev) & 0xFF
-        else:  # Sub/Average/Paeth need the in-row left neighbor
-            row = out[r]
+        elif ftype == 1:
+            # Sub: recon[i] = (raw[i] + recon[i-nch]) mod 256, i.e. a
+            # running sum mod 256 within each channel lane — one cumsum
+            # per row instead of a per-pixel loop
+            lanes = cur.reshape(width, nch)
+            out[r] = (
+                np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF
+            ).reshape(stride)
+        elif ftype in (3, 4):
+            # Average/Paeth: the left neighbor feeds a nonlinear
+            # predictor, so the row is inherently sequential; plain-int
+            # list arithmetic beats numpy scalar indexing ~10x here
+            curl = cur.tolist()
+            prevl = prev.tolist() if r else [0] * stride
+            row = [0] * stride
             for i in range(stride):
                 a = row[i - nch] if i >= nch else 0
-                b = prev[i]
-                if ftype == 1:
-                    v = cur[i] + a
-                elif ftype == 3:
-                    v = cur[i] + (a + b) // 2
-                elif ftype == 4:
-                    c = prev[i - nch] if i >= nch else 0
+                b = prevl[i]
+                if ftype == 3:
+                    v = curl[i] + (a + b) // 2
+                else:
+                    c = prevl[i - nch] if i >= nch else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    v = cur[i] + pr
-                else:
-                    raise ValueError(f"bad PNG filter {ftype}")
+                    v = curl[i] + pr
                 row[i] = v & 0xFF
+            out[r] = row
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
     return out.astype(np.uint8)
 
 

@@ -105,7 +105,7 @@ def second_gradients(
         bad[ys - y0, xs] = pdf["base_mask"].to_numpy()
         inp = kernels.inpaint_masked(img, bad)
         # shifting the raster down by y0 moves the beam center with it
-        umaps = kernels.radial_unit_maps(img.shape, cy - y0, cx)
+        umaps = kernels.radial_unit_duo(img.shape, cy - y0, cx)
         r1, a1 = kernels.radial_azim_gradient(inp, cy - y0, cx, maps=umaps)
         r2, _ = kernels.radial_azim_gradient(r1, cy - y0, cx, maps=umaps)
         _, a2 = kernels.radial_azim_gradient(a1, cy - y0, cx, maps=umaps)
@@ -203,11 +203,24 @@ def fused_gradient_inputs(
     )
 
     def _band(key, px_pdf: pd.DataFrame, lpx_pdf: pd.DataFrame) -> pd.DataFrame:
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        _timing = bool(_os.environ.get("XRDSPARK_KERNEL_TIMING"))
+        _t0 = _time.perf_counter()
         image_id, band = key[0], int(key[1])
         y0, y1 = max(band * bh - halo, 0), min((band + 1) * bh + halo, h)
         core0, core1 = band * bh, min((band + 1) * bh, h)
-        img = np.zeros((y1 - y0, w), dtype=np.float64)
-        bad = np.ones((y1 - y0, w), dtype=bool)
+        # every raster lives in the per-process scratch pool: repeated
+        # groups in a reused worker touch already-faulted pages instead of
+        # paying first-touch page faults for ~200 MB of band rasters per
+        # call (the dominant kernel-stage cost under 25-way concurrency)
+        shape = (y1 - y0, w)
+        img = kernels.scratch(shape, "band_img")
+        img[:] = 0.0
+        bad = kernels.scratch(shape, "band_bad", dtype=bool)
+        bad[:] = True
         if packed:
             v = px_pdf["p"].to_numpy()
             inten = (v & 0xFFFFFFFF) - 2**31
@@ -220,15 +233,31 @@ def fused_gradient_inputs(
             inten = px_pdf["intensity"].to_numpy()
         img[ys - y0, xs] = inten
         bad[ys - y0, xs] = False  # shipped rows are exactly the unmasked
-        inp = kernels.inpaint_masked(img, bad)
-        umaps = kernels.radial_unit_maps(img.shape, cy - y0, cx)
-        r1, a1 = kernels.radial_azim_gradient(inp, cy - y0, cx, maps=umaps)
-        r2, _ = kernels.radial_azim_gradient(r1, cy - y0, cx, maps=umaps)
-        _, a2 = kernels.radial_azim_gradient(a1, cy - y0, cx, maps=umaps)
+        _t1 = _time.perf_counter()
+        inp = kernels.inpaint_masked(
+            img, bad, out=kernels.scratch(shape, "band_inp")
+        )
+        umaps = kernels.radial_unit_duo(shape, cy - y0, cx)
+        r1, a1 = kernels.radial_azim_gradient(
+            inp, cy - y0, cx, maps=umaps,
+            out=(kernels.scratch(shape, "band_r1"),
+                 kernels.scratch(shape, "band_a1")),
+        )
+        r2, _ = kernels.radial_azim_gradient(
+            r1, cy - y0, cx, maps=umaps,
+            out=(kernels.scratch(shape, "band_r2"),
+                 kernels.scratch(shape, "band_junk")),
+        )
+        _, a2 = kernels.radial_azim_gradient(
+            a1, cy - y0, cx, maps=umaps,
+            out=(kernels.scratch(shape, "band_junk"),
+                 kernels.scratch(shape, "band_a2")),
+        )
 
         # candidate multiset = the dense frame's values over this band's
         # CORE rows — every raster position is a pixel row, so slice the
         # raster directly instead of indexing by shipped coordinates
+        _t2 = _time.perf_counter()
         r2v = r2[core0 - y0 : core1 - y0].ravel()
         a2v = a2[core0 - y0 : core1 - y0].ravel()
 
@@ -265,7 +294,15 @@ def fused_gradient_inputs(
                     "is_summary": np.zeros(lys.size, dtype=bool),
                 }
             )
-            return pd.concat([labeled, summary], ignore_index=True)
+            summary = pd.concat([labeled, summary], ignore_index=True)
+        if _timing:
+            print(
+                f"KT band={image_id}/{band} rows={len(px_pdf)} "
+                f"unpack={_t1 - _t0:.2f} conv={_t2 - _t1:.2f} "
+                f"emit={_time.perf_counter() - _t2:.2f}",
+                file=_sys.stderr,
+                flush=True,
+            )
         return summary
 
     yb, bands = _band_membership(bh, halo, n_bands)

@@ -49,9 +49,33 @@ def get_spark(
             f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
         )
 
+    # Pin glibc's mmap threshold for the Python workers: the numpy raster
+    # kernels allocate ~100 MB of large temporaries per call, and glibc's
+    # DYNAMIC mmap threshold serves those from fresh mmap'd pages until its
+    # ramp-up learns better — every cold call pays page-fault + zeroing for
+    # the full temp set, which measured 9.5 s vs 0.9 s per band kernel under
+    # 24-way concurrency (32-core host, 8 x 2880^2 batch). A fixed 64 MB
+    # threshold serves the temps from the reused heap from the first call.
+    # Workers inherit the driver env in local mode; executorEnv covers a
+    # real cluster.
+    # Opt-out via XRDSPARK_MALLOC_TUNE=0 (pinning the mmap threshold also
+    # pins the trim threshold — measured both ways at the 8 x 2880^2
+    # config before keeping this default).
+    if os.environ.get("XRDSPARK_MALLOC_TUNE", "1") != "0":
+        os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "67108864")
+        os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "536870912")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config(
+            "spark.executorEnv.MALLOC_MMAP_THRESHOLD_",
+            os.environ.get("MALLOC_MMAP_THRESHOLD_", "67108864"),
+        )
+        .config(
+            "spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
+            os.environ.get("MALLOC_TRIM_THRESHOLD_", "536870912"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -284,18 +284,30 @@ class StreamingImagePipeline:
             barrier=self.barrier,
         )
         try:
-            write_table(res.integrals, self._path("integrals"),
-                        fmt=self.table_format)
-            write_table(res.spot_stats, self._path("spot_stats"),
-                        fmt=self.table_format)
-            write_table(res.spottiness, self._path("spottiness"),
-                        fmt=self.table_format)
-            write_table(res.outliers, self._path("outliers"),
-                        fmt=self.table_format)
+            # independent sinks over the already-materialized barriers:
+            # submit concurrently so stage tails of one output job overlap
+            # the ramp-up of the next (measured idle-core gaps between the
+            # sequential actions at 8 x 2880^2)
+            from concurrent.futures import ThreadPoolExecutor
+
+            sinks = [
+                (res.integrals, "integrals"),
+                (res.spot_stats, "spot_stats"),
+                (res.spottiness, "spottiness"),
+                (res.outliers, "outliers"),
+            ]
             if self.gradient_stage and res.gradient is not None:
-                write_table(res.gradient.on_arc_labels,
-                            self._path("gradient_arcs"),
-                            fmt=self.table_format)
+                sinks.append((res.gradient.on_arc_labels, "gradient_arcs"))
+            with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+                futs = [
+                    pool.submit(
+                        write_table, df, self._path(name),
+                        fmt=self.table_format,
+                    )
+                    for df, name in sinks
+                ]
+                for f in futs:
+                    f.result()
             if self.render_masks:
                 from xrddatapipeline_spark.sinks import render_mask_tiffs
 
