@@ -208,7 +208,8 @@ def _keepup_2880(batch: int = 8) -> dict:
     # recomputes. Env override kept for future comparisons.
     barrier = os.environ.get("SPARK_GRAFT_KEEPUP_BARRIER", "hybrid")
     res = run_image_plan(
-        pixels, None, c, gradient_stage=True, barrier=barrier
+        pixels, None, c, gradient_stage=True, barrier=barrier,
+        n_images=batch,
     )
     outs = [res.integrals, res.spot_stats, res.spottiness, res.outliers,
             cosine_similarity_series(res.pixels)]

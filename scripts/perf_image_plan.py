@@ -123,7 +123,7 @@ def main() -> None:
 
     t0 = time.time()
     res = run_image_plan(pixels, calib, c, gradient_stage=gradient,
-                         barrier=barrier)
+                         barrier=barrier, n_images=n_images)
     stage_t: dict[str, float] = {}
 
     def mark(name, action):
@@ -167,6 +167,22 @@ def main() -> None:
         ).timestamp()
 
     stages = rest_stages(spark)
+    by_start = sorted(
+        (s for s in stages if _ts(s, "firstTaskLaunchedTime")),
+        key=lambda s: _ts(s, "firstTaskLaunchedTime"),
+    )
+    print("timeline (all stages with tasks, by start):")
+    prev_end = None
+    for s in by_start:
+        sub, done = _ts(s, "firstTaskLaunchedTime"), _ts(s, "completionTime")
+        if sub - t0 < -60:
+            continue
+        gap = f" GAP={sub - prev_end:5.1f}s" if prev_end is not None and sub - prev_end > 2 else ""
+        prev_end = max(prev_end or done, done)
+        print(
+            f"  t={sub - t0:>6.1f}..{done - t0:>6.1f} id={s['stageId']:>3} "
+            f"tasks={s['numCompleteTasks']:>3}{gap} | {s['name'].splitlines()[0][:50]}"
+        )
     stages.sort(key=lambda s: s.get("executorRunTime", 0), reverse=True)
     print("top stages by executorRunTime (ms); t=wall window rel. plan start:")
     for s in stages[:14]:

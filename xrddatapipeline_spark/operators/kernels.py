@@ -196,6 +196,35 @@ def scratch(shape: tuple[int, int], role: str, dtype=np.float64) -> np.ndarray:
     return _scratch(shape, role, dtype)
 
 
+#: every scratch role the fused band-gradient kernel touches — the warmup
+#: stage pre-faults exactly this set (plans/gradient_stage.py aliasing
+#: scheme: img->r1, inp->r2, plus the chain's internal temporaries)
+BAND_SCRATCH_ROLES = (
+    "band_img", "band_inp", "band_a1", "band_a2",
+    "grad_gy", "grad_gx", "grad_proj", "conv_tmp",
+    "umap_ry", "umap_rx",
+)
+
+
+def warmup_band_scratch(shape: tuple[int, int]) -> int:
+    """Pre-fault the fused band kernel's scratch set in this worker.
+
+    First-touch page faults on the ~120 MB scratch set are the cold-call
+    cost of the band kernel (10-20x the numpy time under full-node
+    concurrency); run_image_plan submits a tiny warmup job concurrently
+    with the (JVM-heavy, python-idle) pixel-cache build so the worker pool
+    is pre-faulted by the time the kernel stage runs. Returns bytes
+    touched."""
+    n = 0
+    for role in BAND_SCRATCH_ROLES:
+        buf = _scratch(shape, role)
+        buf[:] = 0.0
+        n += buf.nbytes
+    b = _scratch(shape, "band_bad", dtype=bool)
+    b[:] = False
+    return n + b.nbytes
+
+
 def conv3x3(img: np.ndarray, kernel: np.ndarray, out: np.ndarray | None = None) -> np.ndarray:
     """Direct 3x3 correlation with zero padding (no scipy).
 
@@ -274,42 +303,49 @@ def radial_azim_gradient(
     center_x_px: float,
     maps: tuple[np.ndarray, ...] | None = None,
     out: tuple[np.ndarray, np.ndarray] | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
+    components: str = "ra",
+) -> tuple[np.ndarray | None, np.ndarray | None]:
     """First derivative along the radial (r_hat) and tangential (phi_hat)
     directions from the beam center — the reference precomputes r_hat/phi_hat
     unit-vector maps (cache_creation.py:94-105) and projects Sobel-style
     gradients onto them (classification.py:46-63). Apply twice for second
     derivatives; pass ``maps`` (a (r_y, r_x) duo from `radial_unit_duo`, or
     the legacy 4-tuple) to amortize the unit-vector construction across
-    calls, and ``out`` (must not alias ``img``) to reuse result buffers."""
+    calls, and ``out`` (must not alias ``img``) to reuse result buffers.
+    ``components`` ("r", "a", or "ra") skips the unneeded projection in
+    the 2nd-derivative chain (each is computed independently, so dropping
+    one is bit-neutral for the other)."""
     shape = img.shape
     gy = conv3x3(img, SOBEL_Y, out=_scratch(shape, "grad_gy"))
     gx = conv3x3(img, SOBEL_X, out=_scratch(shape, "grad_gx"))
     if maps is None:
         maps = radial_unit_duo(shape, center_y_px, center_x_px)
+    want_r, want_a = "r" in components, "a" in components
     if out is None:
-        gr, ga = np.empty(shape), np.empty(shape)
+        gr = np.empty(shape) if want_r else None
+        ga = np.empty(shape) if want_a else None
     else:
         gr, ga = out
     tmp = _scratch(shape, "grad_proj")
     if len(maps) == 2:
         r_y, r_x = maps
-        # ga = gy*p_y + gx*p_x with (p_y, p_x) = (r_x, -r_y):
-        # gy*r_x - gx*r_y, bit-identical (x - y == x + (-y) in IEEE)
-        np.multiply(gy, r_y, out=gr)
-        np.multiply(gx, r_x, out=tmp)
-        np.add(gr, tmp, out=gr)
-        np.multiply(gy, r_x, out=ga)
-        np.multiply(gx, r_y, out=tmp)
-        np.subtract(ga, tmp, out=ga)
+        p_y, p_x, neg = r_x, r_y, True
     else:
         r_y, r_x, p_y, p_x = maps
+        neg = False
+    if want_r:
         np.multiply(gy, r_y, out=gr)
         np.multiply(gx, r_x, out=tmp)
         np.add(gr, tmp, out=gr)
+    if want_a:
+        # duo path: ga = gy*p_y + gx*p_x with (p_y, p_x) = (r_x, -r_y) =
+        # gy*r_x - gx*r_y, bit-identical (x - y == x + (-y) in IEEE)
         np.multiply(gy, p_y, out=ga)
         np.multiply(gx, p_x, out=tmp)
-        np.add(ga, tmp, out=ga)
+        if neg:
+            np.subtract(ga, tmp, out=ga)
+        else:
+            np.add(ga, tmp, out=ga)
     return gr, ga
 
 
@@ -368,6 +404,48 @@ def inpaint_masked(
         np.copyto(out, img, casting="unsafe")
     sel = bad & (den > 0)
     out[sel] = num[sel] / den[sel]
+    return out
+
+
+def inpaint_masked_sparse(
+    img: np.ndarray,
+    bad: np.ndarray,
+    sigma: float = 1.0,
+    radius: int = 2,
+    out: np.ndarray | None = None,
+) -> np.ndarray:
+    """`inpaint_masked` evaluated ONLY at the bad pixels: num/den are read
+    nowhere else (sel = bad & den>0), so the dense 2x25-tap normalized
+    convolution collapses to 25 gathers over the bad-pixel index vectors —
+    no full-raster num/den/vals/wgts buffers at all. Tap order matches the
+    dense loop exactly, skipped taps are exact +0.0 contributions, so the
+    result is bit-identical (equality-tested). Preferred when bad pixels
+    are sparse (outlier/base masks: ~1-10%); the dense route stays for
+    pathological masks."""
+    k = gaussian_kernel2d(sigma, radius)
+    h, w = img.shape
+    if out is None:
+        out = img.astype(np.float64, copy=True)
+    else:
+        np.copyto(out, img, casting="unsafe")
+    by, bx = np.nonzero(bad)
+    if by.size == 0:
+        return out
+    num = np.zeros(by.size)
+    den = np.zeros(by.size)
+    for ky in range(k.shape[0]):
+        for kx in range(k.shape[1]):
+            wgt = k[ky, kx]
+            # dense loop adds neighbor (y + ky - radius, x + kx - radius)
+            yy = by + (ky - radius)
+            xx = bx + (kx - radius)
+            ok = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+            yyc, xxc = yy[ok], xx[ok]
+            good = ~bad[yyc, xxc]
+            num[ok] += wgt * np.where(good, img[yyc, xxc], 0.0)
+            den[ok] += wgt * good
+    sel = den > 0
+    out[by[sel], bx[sel]] = num[sel] / den[sel]
     return out
 
 

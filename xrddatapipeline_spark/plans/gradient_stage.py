@@ -145,6 +145,7 @@ def second_gradients(
 def fused_gradient_inputs(
     px: DataFrame, lpx: DataFrame, controls: ImageControls,
     band_rows: int = 512,
+    n_images: int | None = None,
 ) -> DataFrame:
     """The banded gradient kernel WITHOUT materializing the dense raster.
 
@@ -234,24 +235,26 @@ def fused_gradient_inputs(
         img[ys - y0, xs] = inten
         bad[ys - y0, xs] = False  # shipped rows are exactly the unmasked
         _t1 = _time.perf_counter()
-        inp = kernels.inpaint_masked(
+        # sparse normalized convolution: num/den only at bad pixels — no
+        # full-raster inpaint buffers (bit-identical to the dense route)
+        inp = kernels.inpaint_masked_sparse(
             img, bad, out=kernels.scratch(shape, "band_inp")
         )
         umaps = kernels.radial_unit_duo(shape, cy - y0, cx)
+        # buffer aliasing: img is dead after inpaint -> reuse as r1;
+        # inp is dead after the first gradient call -> reuse as r2.
+        # calls 2/3 compute only the component they feed (the other
+        # projection of a 2nd derivative is never read).
         r1, a1 = kernels.radial_azim_gradient(
             inp, cy - y0, cx, maps=umaps,
-            out=(kernels.scratch(shape, "band_r1"),
-                 kernels.scratch(shape, "band_a1")),
+            out=(img, kernels.scratch(shape, "band_a1")),
         )
         r2, _ = kernels.radial_azim_gradient(
-            r1, cy - y0, cx, maps=umaps,
-            out=(kernels.scratch(shape, "band_r2"),
-                 kernels.scratch(shape, "band_junk")),
+            r1, cy - y0, cx, maps=umaps, out=(inp, None), components="r",
         )
         _, a2 = kernels.radial_azim_gradient(
             a1, cy - y0, cx, maps=umaps,
-            out=(kernels.scratch(shape, "band_junk"),
-                 kernels.scratch(shape, "band_a2")),
+            out=(None, kernels.scratch(shape, "band_a2")), components="a",
         )
 
         # candidate multiset = the dense frame's values over this band's
@@ -299,7 +302,7 @@ def fused_gradient_inputs(
             print(
                 f"KT band={image_id}/{band} rows={len(px_pdf)} "
                 f"unpack={_t1 - _t0:.2f} conv={_t2 - _t1:.2f} "
-                f"emit={_time.perf_counter() - _t2:.2f}",
+                f"emit={_time.perf_counter() - _t2:.2f} pid={_os.getpid()}",
                 file=_sys.stderr,
                 flush=True,
             )
@@ -324,10 +327,35 @@ def fused_gradient_inputs(
     if packed:
         src = src.drop("y")
     lsrc = lpx.select("image_id", "y", "x").withColumn("band", yb)
+    if n_images is not None:
+        src, lsrc = _balanced_group_partitions(
+            src, lsrc, n_groups=n_images * n_bands
+        )
     return (
         src.groupBy("image_id", "band")
         .cogroup(lsrc.groupBy("image_id", "band"))
         .applyInPandas(_band, schema)
+    )
+
+
+def _balanced_group_partitions(
+    src: DataFrame, lsrc: DataFrame, n_groups: int
+) -> tuple[DataFrame, DataFrame]:
+    """Pre-partition both cogroup sides on the group key with an EXPLICIT
+    partition count of 4 x n_groups (capped): the cogroup exchange then
+    reuses the partitioning (HashPartitioning on the same keys satisfies
+    the ClusteredDistribution requirement) and AQE does not coalesce a
+    user-specified repartition. Default behavior hashed ~48 band-kernel
+    groups into 25 AQE-coalesced partitions — the stage wall became the
+    unlucky task running 3 kernels back-to-back. 4x over-provisioning
+    keeps the expected max load at <= 2 groups per task; empty partitions
+    cost nothing."""
+    n_part = 4 * n_groups
+    if n_part > 4096:
+        return src, lsrc  # enough groups to balance statistically
+    return (
+        src.repartition(n_part, "image_id", "band"),
+        lsrc.repartition(n_part, "image_id", "band"),
     )
 
 
@@ -386,6 +414,7 @@ def gradient_classify(
     controls: ImageControls,
     barrier_fn=None,
     sparse_hint=None,
+    n_images: int | None = None,
 ) -> GradientStageResult:
     """The A10-A14 dataflow over labeled outlier pixels.
 
@@ -413,7 +442,9 @@ def gradient_classify(
     # dense gradient raster is never stored or Arrow-shipped. The fused
     # frame (~n_labeled + bands rows) is barriered so both consumers read
     # one materialization.
-    fused = barrier_fn(fused_gradient_inputs(px, lpx, controls))
+    fused = barrier_fn(
+        fused_gradient_inputs(px, lpx, controls, n_images=n_images)
+    )
     labeled_grads = fused.where(~F.col("is_summary")).select(
         "image_id", "y", "x", "grad_r2", "grad_a2"
     )

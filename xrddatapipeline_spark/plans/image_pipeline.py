@@ -41,7 +41,10 @@ from xrddatapipeline_spark.operators.raster import close_mask_pixels, label_pixe
 #: Default False (array) for local throughput; flip True on a real
 #: cluster where the ring-stat shuffle crosses the network and 65x fewer
 #: bytes wins. Lockstep-tested exactly equal either way.
-OUTLIER_HISTOGRAM = False
+#: Env override XRDSPARK_OUTLIER_HISTOGRAM=1/0 for A/B runs.
+import os as _os
+
+OUTLIER_HISTOGRAM = _os.environ.get("XRDSPARK_OUTLIER_HISTOGRAM", "0") == "1"
 
 # classification thresholds — classification.py:849-860 / SURVEY §2.9
 Q_MAX = 0.1
@@ -391,6 +394,7 @@ def run_image_plan(
     barrier: str = "persist",
     corrections: dict | None = None,
     sparse_broadcast_rows: int = 4_000_000,
+    n_images: int | None = None,
 ) -> ImagePlanResult:
     """Full per-image plan (pipeline.py:78-504 equivalent).
 
@@ -434,7 +438,69 @@ def run_image_plan(
 
         pixels = apply_correction_images(pixels, **corrections)
 
-    def _bar(df: DataFrame, dense: bool = False) -> DataFrame:
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    if eager and gradient_stage and controls.size_y * controls.size_x >= 4_000_000:
+        # pre-fault the band kernel's ~120 MB scratch set across the python
+        # worker pool CONCURRENTLY with the px cache build (JVM-heavy,
+        # pythons idle): first-touch page faults were the cold-call cost of
+        # the kernel stage (10-20x the numpy time under full concurrency).
+        # Fire-and-forget — a failed warmup only loses the overlap.
+        import threading
+
+        from xrddatapipeline_spark.plans.gradient_stage import _GRAD_HALO
+
+        _spark = pixels.sparkSession
+        _wshape = (
+            min(controls.size_y, 512 + 2 * _GRAD_HALO), controls.size_x
+        )
+
+        def _warm() -> None:
+            try:
+                import pandas as _pd
+
+                n = _spark.sparkContext.defaultParallelism * 3
+
+                def _wf(it):
+                    from xrddatapipeline_spark.operators import kernels as _K
+
+                    touched = _K.warmup_band_scratch(_wshape)
+                    for _ in it:
+                        pass
+                    yield _pd.DataFrame({"n": [touched]})
+
+                _spark.range(n).repartition(n).mapInPandas(
+                    _wf, "n long"
+                ).collect()
+            except Exception:  # noqa: BLE001 — warmup is best-effort
+                pass
+
+        threading.Thread(target=_warm, daemon=True, name="kernel-warmup").start()
+
+    _bt = bool(_os.environ.get("XRDSPARK_BARRIER_TIMING"))
+    _bt_last = [_time.perf_counter()]
+
+    def _bar(df: DataFrame, dense: bool = False, label: str = "") -> DataFrame:
+        if _bt:
+            _t0 = _time.perf_counter()
+            print(
+                f"BT {label or '?'} plan-build {_t0 - _bt_last[0]:.2f}s",
+                file=_sys.stderr, flush=True,
+            )
+            try:
+                return _bar_inner(df, dense)
+            finally:
+                _bt_last[0] = _time.perf_counter()
+                print(
+                    f"BT {label or '?'} dense={dense} "
+                    f"materialize {_bt_last[0] - _t0:.2f}s",
+                    file=_sys.stderr, flush=True,
+                )
+        return _bar_inner(df, dense)
+
+    def _bar_inner(df: DataFrame, dense: bool = False) -> DataFrame:
         if not eager:
             return df.persist()
         from pyspark.storagelevel import StorageLevel
@@ -501,7 +567,7 @@ def run_image_plan(
         "corrections",
         F.count(F.lit(1)).alias("n_px"),
         F.count_if(F.col("base_mask")).alias("n_base_masked"),
-    ), dense=True)
+    ), dense=True, label="px")
     # The sparse intermediates (outlier/om/labeled pixel sets, label table)
     # feed several downstream outputs; persist them so the expensive
     # upstream (ring stats + raster kernels) runs once, not once per output.
@@ -510,12 +576,12 @@ def run_image_plan(
         outlier_pixels(px, esd_mul=controls.esd_mul),
         "outlier_mask",
         F.count(F.lit(1)).alias("n_outlier_px"),
-    ))
+    ), label="outliers")
     om = _bar(_obs(
         closed_outlier_pixels(outliers, shape),
         "binary_closing",
         F.count(F.lit(1)).alias("n_om_px"),
-    ))
+    ), label="om")
     # Join-strategy hint for the sparse⋈dense joins downstream (mask sets
     # against the pixel raster). Under the checkpoint barrier the sparse
     # frames are LogicalRDDs with UNKNOWN stats, so AQE falls back to a
@@ -531,14 +597,14 @@ def run_image_plan(
     else:
         sb = None
     lpx, label_table = classify_clusters(px, om, shape, sparse_hint=sb)
-    lpx = _bar(lpx)
+    lpx = _bar(lpx, label="lpx")
     label_table = _bar(_obs(
         label_table,
         "shape_classification",
         F.count(F.lit(1)).alias("n_clusters"),
         F.count_if(F.col("classifier") == 1).alias("n_spots"),
         F.count_if(F.col("classifier") == 2).alias("n_arcs"),
-    ))
+    ), label="label_table")
     # one sparse flag table covers all three mask variants: the om set IS
     # the labeled pixel set, and spot/arc membership is the classifier (or
     # the gradient stage's refined new_spot/new_arc flags)
@@ -551,7 +617,8 @@ def run_image_plan(
         # columnar cache build never pays for itself there — measured
         # 135 s/task vs ~44 s at 8 x 2880^2
         grad = gradient_classify(
-            px, lpx, label_table, controls, barrier_fn=_bar, sparse_hint=sb
+            px, lpx, label_table, controls, barrier_fn=_bar, sparse_hint=sb,
+            n_images=n_images,
         )
         mask_flags = grad.pixel_flags.select(
             "image_id", "y", "x",
