@@ -198,7 +198,6 @@ def _keepup_2880(batch: int = 8) -> dict:
     )
     pixels.count()
 
-    t0 = time.perf_counter()
     # calib=None: closed-form calibration columns (codegen trig per row
     # beats broadcasting + probing an 8.3 M-row map table — SCALE.md §1);
     # hybrid barrier: columnar pixel cache + checkpointed sparse frames.
@@ -207,44 +206,61 @@ def _keepup_2880(batch: int = 8) -> dict:
     # same-session — the one-time cache build beats 6 pruned trig
     # recomputes. Env override kept for future comparisons.
     barrier = os.environ.get("SPARK_GRAFT_KEEPUP_BARRIER", "hybrid")
-    res = run_image_plan(
-        pixels, None, c, gradient_stage=True, barrier=barrier,
-        n_images=batch,
-    )
-    outs = [res.integrals, res.spot_stats, res.spottiness, res.outliers,
-            cosine_similarity_series(res.pixels)]
-    if res.gradient is not None:
-        outs.append(res.gradient.on_arc_labels)
-    # the outputs are independent jobs over the already-materialized
-    # barriers: submit them concurrently so one job's stage tails overlap
-    # the next job's ramp-up instead of leaving cores idle between the
-    # six sequential actions (same overlap a multi-sink streaming batch
-    # gets on a real cluster)
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=len(outs)) as pool:
-        futs = [
-            pool.submit(
-                lambda o: o.write.format("noop").mode("overwrite").save(), out
-            )
-            for out in outs
-        ]
-        for f in futs:
-            f.result()
-    elapsed = time.perf_counter() - t0
-    res.unpersist_all()
+    def one_batch() -> float:
+        t0 = time.perf_counter()
+        res = run_image_plan(
+            pixels, None, c, gradient_stage=True, barrier=barrier,
+            n_images=batch,
+        )
+        outs = [res.integrals, res.spot_stats, res.spottiness, res.outliers,
+                cosine_similarity_series(res.pixels)]
+        if res.gradient is not None:
+            outs.append(res.gradient.on_arc_labels)
+        # the outputs are independent jobs over the already-materialized
+        # barriers: submit them concurrently so one job's stage tails
+        # overlap the next job's ramp-up instead of leaving cores idle
+        # between the six sequential actions (same overlap a multi-sink
+        # streaming batch gets on a real cluster)
+        with ThreadPoolExecutor(max_workers=len(outs)) as pool:
+            futs = [
+                pool.submit(
+                    lambda o: o.write.format("noop").mode("overwrite").save(),
+                    out,
+                )
+                for out in outs
+            ]
+            for f in futs:
+                f.result()
+        elapsed = time.perf_counter() - t0
+        res.unpersist_all()
+        return elapsed
+
+    # The keep-up criterion is STEADY-STATE queue drain (the reference's
+    # pipeline runs continuously; pipeline_queue.py:849-852): batch 1 pays
+    # one-time costs no drained queue ever sees again — whole-stage-codegen
+    # JIT compilation of the wide fused projections (measured 4-10x
+    # stage-level swings when a big generated method runs interpreted
+    # because C2 hasn't caught up) and python-worker page-fault warmup.
+    # So: run two identical batches in one session; sec_per_image is the
+    # WARM batch (what a drained queue sustains), cold_batch_sec reports
+    # the first-batch cost honestly.
+    cold = one_batch()
+    warm = one_batch()
     pixels.unpersist()
     spark.stop()
-    sec_per_img = elapsed / batch
+    sec_per_img = warm / batch
     return {
         "img_size": size,
         "out_channels": 2500,
         "esd_mul": 3.0,
         "batch": batch,
         "gradient_stage": True,
-        "batch_sec": round(elapsed, 2),
+        "batch_sec": round(warm, 2),
+        "cold_batch_sec": round(cold, 2),
         "sec_per_image": round(sec_per_img, 2),
-        "images_per_sec": round(batch / elapsed, 3),
+        "images_per_sec": round(batch / warm, 3),
         "breakeven_acquisition_period_sec": round(sec_per_img, 2),
     }
 
