@@ -274,6 +274,51 @@ def ivf_cell_expr(vec: Column, centroids: list[tuple[int, list[float]]]) -> Colu
     return ivf_assign_expr(vec, centroids)["cell"]
 
 
+def semantic_dedup_ivf(
+    df: DataFrame,
+    min_cos: float = 0.45,
+    num_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic near-dup pairs (cosine >= min_cos) restricted to IVF
+    coarse-quantizer cells — the scale-correct counterpart to the O(n^2)
+    `cosine_pairs` baseline: pair candidates are generated by a cell-key
+    equi-join (each vector lives in exactly one cell), so the pair space
+    is sum(cell_i^2) instead of n^2, and num_cells scales with the corpus
+    (cells ~ sqrt(n) keeps expected cell size ~sqrt(n)). Recall tradeoff
+    is the standard IVF one: near-dups straddling a Voronoi boundary are
+    missed at nprobe=1 — the documented semantic-dedup trade (dedup is
+    tolerant to missing a fraction of dup pairs; LSH banding covers the
+    complementary failure mode). Scores use the same exact-integer
+    quantized dot as every similarity query (bit-equal to the DuckDB
+    oracle)."""
+    cents = ivf_centroids(df, num_cells, vec_col, id_col)
+    asg = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        quantized_dot(F.col(vec_col), F.col(vec_col)).alias("qnorm"),
+        ivf_cell_expr(F.col(vec_col), cents).alias("cell"),
+    )
+    a, b = asg.alias("a"), asg.alias("b")
+    cos = quantized_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / F.sqrt(
+        F.col("a.qnorm").cast("double") * F.col("b.qnorm").cast("double")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= min_cos)
+    )
+
+
 def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 3,
              num_cells: int = 8, vec_col: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:

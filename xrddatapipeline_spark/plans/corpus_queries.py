@@ -737,6 +737,32 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_semantic_ivf",
+    "WITH " + SQL_IVF + f""",
+    prs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_sql_qdot('a.embedding', 'b.embedding')}
+               / sqrt(a.qnorm * 1.0 * b.qnorm) AS cos
+        FROM asg a JOIN asg b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos FROM prs WHERE cos >= 0.45
+    """,
+    doc="Semantic near-dup pairs (cosine >= 0.45) restricted to IVF "
+        "coarse-quantizer cells — the scale path for embedding dedup "
+        "(dedup_embedding_cosine is the O(n^2)-guarded baseline): pair "
+        "candidates come from a cell-key equi-join, sum(cell_i^2) not "
+        "n^2; num_cells scales with the corpus. Standard IVF recall "
+        "trade (boundary-straddling dups missed at nprobe=1) — LSH "
+        "banding covers the complementary failure mode.",
+    tags=("dedup", "corpus", "embedding", "ivf"),
+)
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup_ivf(emb, 0.45, num_cells=_IVF_CELLS)
+
+
+@_register(
     "ann_ivf_index_probe",
     "WITH " + SQL_IVF + """,
     qcells AS (

@@ -612,6 +612,12 @@ def run_image_plan(
     if gradient_stage:
         from xrddatapipeline_spark.plans.gradient_stage import gradient_classify
 
+        if n_images is None and eager:
+            # cheap column-pruned count on the already-materialized px
+            # barrier — lets the band-kernel feed pin a balanced explicit
+            # partition count (streaming callers don't know the batch's
+            # image count up front)
+            n_images = px.select("image_id").distinct().count()
         # plain (row-checkpoint) barrier even under "hybrid": the gradient
         # raster has only 2 consumers (thresholds kernel, lpx join), so a
         # columnar cache build never pays for itself there — measured
