@@ -123,8 +123,15 @@ def classify_clusters(
     labeled = label_pixels(om_pixels, shape=shape, connectivity=2)
     if sparse_hint is not None:
         labeled = sparse_hint(labeled)
+    # q/azim feed the shape classifier; intensity/qbin ride along so
+    # downstream per-label stats (spot_stats) never probe the dense pixel
+    # table again — the labeled set is ~1% of pixels, so two extra int
+    # columns in the sparse barrier are free compared to a second 66M-row
+    # hash-probe of a multi-column key (measured 24 s/task of pure CPU in
+    # the warm 8 x 2880^2 profile)
     lpx = labeled.join(
-        px.select("image_id", "y", "x", "q", "azim"), ["image_id", "y", "x"]
+        px.select("image_id", "y", "x", "q", "azim", "intensity", "qbin"),
+        ["image_id", "y", "x"],
     )
     # flipped azimuth mirrors the axis so wrapped arcs read contiguous (A7)
     lpx = lpx.withColumn("azim_flip", F.pmod(F.col("azim") + 180.0, F.lit(360.0)))
@@ -229,10 +236,14 @@ def spot_stats(
     intensity_max, intensity_mean, on_arc)."""
     if sparse_hint is not None:
         lpx = sparse_hint(lpx)
-    enriched = lpx.join(
-        px.select("image_id", "y", "x", "intensity", "qbin"),
-        ["image_id", "y", "x"],
-    ).join(
+    if "intensity" in lpx.columns and "qbin" in lpx.columns:
+        enriched = lpx  # classify_clusters carries intensity/qbin already
+    else:
+        enriched = lpx.join(
+            px.select("image_id", "y", "x", "intensity", "qbin"),
+            ["image_id", "y", "x"],
+        )
+    enriched = enriched.join(
         F.broadcast(label_table.select("image_id", "label", "classifier")),
         ["image_id", "label"],
     )
