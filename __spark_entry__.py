@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from xrddatapipeline_spark.plans.driver_queries import REGISTRY
+from xrddatapipeline_spark.plans.driver_queries import REGISTRY, ordered_registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -21,8 +21,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.spark for name, q in REGISTRY.items()}
+    # ordered_registry() fronts the queries that still lack a driver
+    # CORRECTNESS row (the driver hash-checks the first 50 per round).
+    return {name: q.spark for name, q in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: q.oracle
+        for name, q in ordered_registry().items()
+        if q.oracle is not None
+    }

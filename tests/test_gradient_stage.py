@@ -184,3 +184,57 @@ def test_fused_thresholds_bit_equal_dense_percentiles(spark):
     sel = dense_idx.loc[list(zip(lab["y"], lab["x"]))]
     assert np.array_equal(lab["grad_r2"].to_numpy(), sel["grad_r2"].to_numpy())
     assert np.array_equal(lab["grad_a2"].to_numpy(), sel["grad_a2"].to_numpy())
+
+
+def test_fused_thresholds_survive_fully_masked_band(spark):
+    """A dead detector module that base-masks an entire halo'd band must not
+    drop that band's summary row (the .where(~base_mask) feed would lose the
+    cogroup group entirely without the per-band sentinel): n_core must still
+    sum to h*w and the thresholds must stay bit-identical to np.percentile
+    over the dense route, whose unpaintable interior is 0.0 by spec."""
+    from xrddatapipeline_spark.calib.cache import build_calib_pixels
+    from xrddatapipeline_spark.plans.gradient_stage import (
+        THRESHOLD_PCT,
+        exact_percentiles_from_candidates,
+        fused_gradient_inputs,
+        second_gradients,
+    )
+    from xrddatapipeline_spark.plans.image_pipeline import (
+        classify_clusters,
+        closed_outlier_pixels,
+        join_calib,
+        outlier_pixels,
+        with_base_mask,
+    )
+    from pyspark.sql import functions as F
+
+    c = CONTROLS
+    pixels = images_long_df(spark, [("synth", 0, make_image(c, seq=0))])
+    calib = build_calib_pixels(spark, c).cache()
+    # band_rows=32 -> 8 bands; mask band 5 (y 160-191) PLUS its 4-row halo
+    # on both sides, so the halo'd slices of band 5 contain zero good pixels
+    px = with_base_mask(join_calib(pixels, calib, controls=c))
+    px = px.withColumn(
+        "base_mask",
+        F.col("base_mask") | F.col("y").between(160 - 4, 191 + 4),
+    ).cache()
+    om = closed_outlier_pixels(outlier_pixels(px, c.esd_mul), (c.size_y, c.size_x))
+    lpx, _ = classify_clusters(px, om, (c.size_y, c.size_x))
+
+    dense = second_gradients(px, c, band_rows=c.size_y).toPandas()
+    assert len(dense) == c.size_y * c.size_x
+    want = {
+        "r2_p_lo": np.percentile(dense["grad_r2"], THRESHOLD_PCT),
+        "r2_p10": np.percentile(dense["grad_r2"], 10.0),
+        "a2_p_lo": np.percentile(dense["grad_a2"], THRESHOLD_PCT),
+    }
+
+    fused = fused_gradient_inputs(px, lpx, c, band_rows=32).cache()
+    summaries = fused.where("is_summary").toPandas()
+    assert len(summaries) == 8  # one per band, incl. the fully-masked one
+    assert summaries["n_core"].sum() == c.size_y * c.size_x
+    got = exact_percentiles_from_candidates(
+        fused.where("is_summary").select("image_id", "n_core", "r2_cand", "a2_cand")
+    ).toPandas().iloc[0]
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)

@@ -119,10 +119,13 @@ def test_inpaint_preserves_good_pixels(img, bad):
     out = inpaint_masked(img, bad)
     good = ~bad
     np.testing.assert_array_equal(out[good], img[good])
-    # a bad pixel with NO good pixel inside the kernel window keeps its
-    # original value (normalized convolution has zero weight there)
+    # a bad pixel with NO good pixel inside the kernel window becomes 0.0
+    # (its raw intensity is invalid — that is why it is masked — and the
+    # sparse/fused route never ships it; zero keeps the routes bit-equal)
     reachable = binary_dilation(good, radius=2) & bad
-    np.testing.assert_array_equal(out[bad & ~reachable], img[bad & ~reachable])
+    np.testing.assert_array_equal(
+        out[bad & ~reachable], np.zeros(int((bad & ~reachable).sum()))
+    )
     # reachable bad pixels are convex combinations of good values
     if reachable.any():
         filled = out[reachable]

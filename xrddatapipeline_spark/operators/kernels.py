@@ -370,7 +370,13 @@ def inpaint_masked(
     """Replace ``bad`` pixels by the Gaussian-weighted average of their good
     neighbors (normalized convolution — the standard formulation of
     astropy's interpolate_replace_nans, classification.py:88-92).
-    ``out`` (must not alias ``img``) reuses a result buffer."""
+    ``out`` (must not alias ``img``) reuses a result buffer.
+
+    A bad pixel with NO good pixel in its kernel window (deep inside a
+    thick mask blob, e.g. a dead detector module) becomes 0.0: its raw
+    intensity is physically invalid (that is why it is masked), and zero
+    is also what the sparse/fused route produces for unshipped pixels —
+    the two routes stay bit-identical for arbitrary masks."""
     k = gaussian_kernel2d(sigma, radius)
     h, w_ = img.shape
     vals = _scratch((h, w_), "inp_vals")
@@ -404,6 +410,7 @@ def inpaint_masked(
         np.copyto(out, img, casting="unsafe")
     sel = bad & (den > 0)
     out[sel] = num[sel] / den[sel]
+    out[bad & ~sel] = 0.0  # unpaintable: no good neighbor in window
     return out
 
 
@@ -446,6 +453,7 @@ def inpaint_masked_sparse(
             den[ok] += wgt * good
     sel = den > 0
     out[by[sel], bx[sel]] = num[sel] / den[sel]
+    out[by[~sel], bx[~sel]] = 0.0  # unpaintable: matches the dense route
     return out
 
 

@@ -1355,3 +1355,88 @@ def a13_gradient_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Corpus-scale registry entries (dedup / similarity / text / multimodal)
 # register themselves on import; kept in a sibling module for size.
 from xrddatapipeline_spark.plans import corpus_queries  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# Driver-window ordering
+# ---------------------------------------------------------------------------
+# The external driver hash-checks the FIRST 50 entries of ``queries()`` per
+# round; everything past the window only gets the in-repo pytest parity run.
+# Registration order is module layout, which is organizational, not priority —
+# so ``ordered_registry()`` re-orders the dict to put queries that have not
+# yet received a driver CORRECTNESS row at the front (rounds 1-3 covered the
+# 50 earliest-registered; these 41+new had only in-repo coverage). Once every
+# query has a driver row this list can rotate again to re-confirm old anchors.
+_DRIVER_WINDOW_FIRST: tuple[str, ...] = (
+    # New this round (no prior row anywhere)
+    "grad_percentile_candidates",
+    # Rotated out of the r03 window by mid-list insertions (green in r01/r02)
+    "events_funnel_steps",
+    "corpus_clean_filter",
+    "j8_asof_signup_join",
+    # Never driver-checked in any round — benched / scale-claimed first
+    "tpch_q14_promo_share",
+    "emb_kmeans_update",
+    "emb_kmeans_inertia",
+    "text_tfidf_top_terms",
+    "pack_context_windows",
+    "j9_range_join_error_burst",
+    "text_contamination_check",
+    "emb_pq_encode",
+    "emb_pq_adc_topk",
+    "docs_length_deciles",
+    "docs_chunk_tokens",
+    "docs_mixture_token_budget",
+    "docs_percent_rank",
+    "docs_set_ops",
+    "docs_redact_terms",
+    "emb_lang_centroids",
+    "events_daily_rollup",
+    "events_trailing_hour_stats",
+    "events_rollup_grouping",
+    "events_pivot_daily",
+    "events_anomaly_mad",
+    "events_cohort_retention",
+    "orders_rank_ties",
+    "orders_above_global_avg",
+    "customers_without_orders",
+    "tpch_q3ish_order_volume_topk",
+    "tpch_q4ish_exists_semijoin",
+    "tpch_q6ish_forecast_revenue",
+    "tpch_q7ish_nation_volume",
+    "tpch_q10ish_returned_topk",
+    "tpch_q16ish_supplier_cnt",
+    "tpch_q18ish_big_orders",
+    "tpch_q22ish_idle_balance",
+    "mm_resize_geometry",
+    "mm_frame_sample",
+    "text_repetition_score",
+    "dedup_span_hash",
+    "text_unigram_logprob",
+    # Fill the remaining window slots with flagship §2 anchors so the round
+    # still re-confirms the headline operators alongside the new coverage.
+    "tpch_q1_pricing",
+    "a1_integrate_binned_mean",
+    "a2_ring_median_mad",
+    "a13_gradient_swap",
+    "dedup_minhash_pairs",
+    "dedup_semantic_ivf",
+    "ann_ivf_index_probe",
+    "t6_tumbling_window_counts",
+)
+
+
+def ordered_registry() -> dict[str, QueryDef]:
+    """REGISTRY re-ordered so the driver's 50-query window maximizes coverage.
+
+    Names in ``_DRIVER_WINDOW_FIRST`` come first (in that order); everything
+    else follows in registration order. Unknown names are ignored so the list
+    can reference queries gated behind optional fixtures.
+    """
+    ordered: dict[str, QueryDef] = {}
+    for name in _DRIVER_WINDOW_FIRST:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
+    for name, q in REGISTRY.items():
+        ordered.setdefault(name, q)
+    return ordered

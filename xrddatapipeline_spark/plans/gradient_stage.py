@@ -224,14 +224,17 @@ def fused_gradient_inputs(
         bad[:] = True
         if packed:
             v = px_pdf["p"].to_numpy()
+            v = v[v >= 0]  # drop the per-band sentinel (p = -1)
             inten = (v & 0xFFFFFFFF) - 2**31
             yx = v >> 32
             ys = yx // 8192
             xs = yx - ys * 8192
         else:
             ys = px_pdf["y"].to_numpy()
-            xs = px_pdf["x"].to_numpy()
-            inten = px_pdf["intensity"].to_numpy()
+            keep = ys >= 0  # drop the per-band sentinel (y = -1)
+            ys = ys[keep]
+            xs = px_pdf["x"].to_numpy()[keep]
+            inten = px_pdf["intensity"].to_numpy()[keep]
         img[ys - y0, xs] = inten
         bad[ys - y0, xs] = False  # shipped rows are exactly the unmasked
         _t1 = _time.perf_counter()
@@ -326,6 +329,30 @@ def fused_gradient_inputs(
     src = src.withColumn("band", F.explode(bands) if n_bands > 1 else yb)
     if packed:
         src = src.drop("y")
+    # Guarantee one cogroup group per (image_id, band) even when a band's
+    # entire halo'd slice is base-masked (e.g. a dead detector module):
+    # .where(~base_mask) would otherwise drop the group and its summary row,
+    # shorting n_core and the candidate multiset. One sentinel row per band
+    # (p/y = -1, filtered out in-kernel) keeps the group alive; an empty
+    # raster inpaints to zeros exactly as the dense route does (den == 0
+    # leaves img's zeros in place), so bit-identity to np.percentile holds.
+    # Image list comes from lpx (tiny): an image with no labeled pixels has
+    # no threshold consumers, so its summary rows are never read.
+    sent = (
+        lpx.select("image_id")
+        .distinct()
+        .select(
+            "image_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_bands - 1))
+            ).alias("band"),
+        )
+    )
+    for fld in src.schema.fields:
+        if fld.name not in ("image_id", "band"):
+            default = -1 if fld.name in ("p", "y", "x") else 0
+            sent = sent.withColumn(fld.name, F.lit(default).cast(fld.dataType))
+    src = src.unionByName(sent.select(*src.columns))
     lsrc = lpx.select("image_id", "y", "x").withColumn("band", yb)
     if n_images is not None:
         src, lsrc = _balanced_group_partitions(
