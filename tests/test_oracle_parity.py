@@ -25,3 +25,26 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     q = REGISTRY[name]
     df = q.spark(spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_ordered_registry_window_is_sound():
+    """r04 regression: a promised-but-unregistered window name must fail
+    loudly, not silently shrink the driver's hash-checked window."""
+    from xrddatapipeline_spark.plans import driver_queries as dq
+
+    reg = dq.ordered_registry()
+    window = list(reg)[:50]
+    assert len(set(window)) == 50
+    # every explicitly-listed name resolved (none silently dropped)
+    assert [n for n in dq._DRIVER_WINDOW_FIRST if n not in reg] == []
+
+    orig = dq._DRIVER_WINDOW_FIRST
+    try:
+        dq._DRIVER_WINDOW_FIRST = orig + ("query_that_does_not_exist",)
+        with pytest.raises(KeyError, match="query_that_does_not_exist"):
+            dq.ordered_registry()
+        dq._DRIVER_WINDOW_FIRST = orig + (orig[0],)
+        with pytest.raises(KeyError, match="duplicate"):
+            dq.ordered_registry()
+    finally:
+        dq._DRIVER_WINDOW_FIRST = orig

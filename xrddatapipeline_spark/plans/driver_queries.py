@@ -417,6 +417,89 @@ def a12_global_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "grad_percentile_candidates",
+    """
+    WITH g AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    h AS (
+        SELECT event_type, value, rn, n,
+               CAST(floor((n - 1) * CAST(0.001 AS DOUBLE)) AS BIGINT) AS lo1,
+               (n - 1) * CAST(0.001 AS DOUBLE)
+                   - floor((n - 1) * CAST(0.001 AS DOUBLE)) AS frac1,
+               CAST(floor((n - 1) * CAST(0.10 AS DOUBLE)) AS BIGINT) AS lo2,
+               (n - 1) * CAST(0.10 AS DOUBLE)
+                   - floor((n - 1) * CAST(0.10 AS DOUBLE)) AS frac2
+        FROM g
+    ),
+    i AS (
+        SELECT *, LEAST(lo1 + 1, n - 1) AS hi1, LEAST(lo2 + 1, n - 1) AS hi2
+        FROM h
+    )
+    SELECT event_type,
+           max(n) AS n_core,
+           max(CASE WHEN rn = lo1 + 1 THEN value END)
+             + max(frac1) * (max(CASE WHEN rn = hi1 + 1 THEN value END)
+                             - max(CASE WHEN rn = lo1 + 1 THEN value END)) AS p_lo,
+           max(CASE WHEN rn = lo2 + 1 THEN value END)
+             + max(frac2) * (max(CASE WHEN rn = hi2 + 1 THEN value END)
+                             - max(CASE WHEN rn = lo2 + 1 THEN value END)) AS p10
+    FROM i
+    GROUP BY event_type
+    """,
+    doc="The gradient stage's exact-percentile-from-banded-candidates "
+    "mechanism (gradient_stage.py:267 keep_k bottom-k per band, :362 "
+    "merge; reference classification.py:502-503 global percentiles), "
+    "reproduced relationally: Spark prunes each (group, band) to its "
+    "bottom-k BEFORE the global rank, the DuckDB oracle ranks the FULL "
+    "data — a hash match proves the per-band candidate pruning is "
+    "lossless for the p0.1/p10 thresholds, with np.percentile's exact "
+    "linear interpolation (v_lo + frac*(v_hi - v_lo)) on both sides.",
+    tags=("agg", "xrd", "percentile"),
+)
+def grad_percentile_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # group sizes via groupBy + broadcast-back (NOT a window count: at scale
+    # a count(*) OVER (PARTITION BY group) shuffles the full table into one
+    # partition per group — the agg+broadcast shape is skew-immune)
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    ev = ev.join(F.broadcast(counts), "event_type")
+    # per-band bottom-k, k = floor((n-1)*q_max) + 2: each band keeps enough
+    # that the union provably contains the global bottom hi+1 values
+    # (mirrors gradient_stage keep_r2/keep_a2 = pct/100*h*w + 4)
+    ev = ev.withColumn("band", F.pmod(F.col("event_id"), F.lit(8)))
+    k = F.floor((F.col("n") - 1) * F.lit(0.10)) + 2
+    w_band = Window.partitionBy("event_type", "band").orderBy("value")
+    cand = (
+        ev.withColumn("rb", F.row_number().over(w_band))
+        .where(F.col("rb") <= k)
+        .drop("rb", "band", "event_id")
+    )
+    # global rank over the (small) candidate union only — the full table is
+    # never globally sorted; ranks <= k agree with the full-data ranks
+    w_glob = Window.partitionBy("event_type").orderBy("value")
+    cand = cand.withColumn("rn", F.row_number().over(w_glob))
+
+    def pick(q: float) -> Column:
+        h = (F.col("n") - 1) * F.lit(q)
+        lo = F.floor(h)
+        hi = F.least(lo + 1, F.col("n") - 1)
+        frac = h - lo
+        v_lo = F.max(F.when(F.col("rn") == lo + 1, F.col("value")))
+        v_hi = F.max(F.when(F.col("rn") == hi + 1, F.col("value")))
+        return v_lo + F.max(frac) * (v_hi - v_lo)
+
+    return cand.groupBy("event_type").agg(
+        F.max("n").alias("n_core"),
+        pick(0.001).alias("p_lo"),
+        pick(0.10).alias("p10"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A9 — spot/arc threshold classifier over joined aggregates
 # ---------------------------------------------------------------------------
@@ -1362,59 +1445,59 @@ from xrddatapipeline_spark.plans import corpus_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` per
 # round; everything past the window only gets the in-repo pytest parity run.
-# Registration order is module layout, which is organizational, not priority —
-# so ``ordered_registry()`` re-orders the dict to put queries that have not
-# yet received a driver CORRECTNESS row at the front (rounds 1-3 covered the
-# 50 earliest-registered; these 41+new had only in-repo coverage). Once every
-# query has a driver row this list can rotate again to re-confirm old anchors.
+# Registration order is module layout, not priority, so ``ordered_registry()``
+# re-orders the dict per a rotation schedule: every query should get a fresh
+# driver CORRECTNESS row at least every ~2 rounds. History: r01-r03 covered
+# the 50 earliest-registered; r04 covered the other 41 plus 9 flagship
+# anchors (union across rounds = all 91). This round rotates the r01-r03-only
+# cohort back in (their rows are 2+ rounds stale), fronted by the one query
+# with no prior row anywhere, and keeps the same 8 flagship anchors hot.
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # New this round (no prior row anywhere)
+    # New this round (no prior driver row anywhere)
     "grad_percentile_candidates",
-    # Rotated out of the r03 window by mid-list insertions (green in r01/r02)
-    "events_funnel_steps",
-    "corpus_clean_filter",
-    "j8_asof_signup_join",
-    # Never driver-checked in any round — benched / scale-claimed first
-    "tpch_q14_promo_share",
-    "emb_kmeans_update",
-    "emb_kmeans_inertia",
-    "text_tfidf_top_terms",
-    "pack_context_windows",
-    "j9_range_join_error_burst",
-    "text_contamination_check",
-    "emb_pq_encode",
-    "emb_pq_adc_topk",
-    "docs_length_deciles",
-    "docs_chunk_tokens",
-    "docs_mixture_token_budget",
-    "docs_percent_rank",
-    "docs_set_ops",
-    "docs_redact_terms",
-    "emb_lang_centroids",
-    "events_daily_rollup",
-    "events_trailing_hour_stats",
-    "events_rollup_grouping",
-    "events_pivot_daily",
-    "events_anomaly_mad",
-    "events_cohort_retention",
-    "orders_rank_ties",
-    "orders_above_global_avg",
-    "customers_without_orders",
-    "tpch_q3ish_order_volume_topk",
-    "tpch_q4ish_exists_semijoin",
-    "tpch_q6ish_forecast_revenue",
-    "tpch_q7ish_nation_volume",
-    "tpch_q10ish_returned_topk",
-    "tpch_q16ish_supplier_cnt",
-    "tpch_q18ish_big_orders",
-    "tpch_q22ish_idle_balance",
-    "mm_resize_geometry",
-    "mm_frame_sample",
-    "text_repetition_score",
-    "dedup_span_hash",
-    "text_unigram_logprob",
-    # Fill the remaining window slots with flagship §2 anchors so the round
-    # still re-confirms the headline operators alongside the new coverage.
+    # r01-r03-only cohort: driver rows 2+ rounds stale, rotate back in
+    "s11_json_props_extract",
+    "a5_regionprops_label_stats",
+    "a6_area_filter",
+    "a7_azim_extent_wrap",
+    "a8_percentile_spread",
+    "a12_global_percentiles",
+    "a9_shape_classifier",
+    "a16_count_distinct",
+    "w1_lag_first_pairing",
+    "w3_stride_downsample",
+    "w5_circular_gap_scan",
+    "w6_sessionize_events",
+    "t6_sliding_window_stats",
+    "t6_interval_join_counts",
+    "j5_diff_pivot",
+    "a11_central_band_percentile",
+    "a15_fraction_masked_per_bin",
+    "p7_correction_chain",
+    "a18_grad_stats_per_bin",
+    "a20_cosine_consecutive",
+    "m1_label_components",
+    "dedup_exact_hash",
+    "dedup_minhash_bands",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "ann_lsh_bucketed",
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid_ngram",
+    "text_fingerprint_winnow",
+    "mm_binary_metadata",
+    "mm_decode_features",
+    "dedup_near_dup_clusters",
+    "dedup_clusters_star",
+    "dedup_keep_list",
+    "ann_ivf_topk",
+    "sample_stratified_hash",
+    "text_top_tokens",
+    # Flagship §2 anchors, kept hot every round
     "tpch_q1_pricing",
     "a1_integrate_binned_mean",
     "a2_ring_median_mad",
@@ -1425,14 +1508,36 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "t6_tumbling_window_counts",
 )
 
+# Names allowed to be absent from REGISTRY (queries gated behind optional
+# fixtures/deps that may not import in every environment). Currently none —
+# every listed name must exist, or ordered_registry() raises.
+_FIXTURE_GATED: frozenset[str] = frozenset()
+
 
 def ordered_registry() -> dict[str, QueryDef]:
     """REGISTRY re-ordered so the driver's 50-query window maximizes coverage.
 
     Names in ``_DRIVER_WINDOW_FIRST`` come first (in that order); everything
-    else follows in registration order. Unknown names are ignored so the list
-    can reference queries gated behind optional fixtures.
+    else follows in registration order. A listed name missing from REGISTRY
+    is a hard error unless explicitly opted out via ``_FIXTURE_GATED`` —
+    round 4 proved a silent skip can fake coverage (a promised query that
+    was never implemented shrank the window without any test failing).
     """
+    unknown = [
+        n for n in _DRIVER_WINDOW_FIRST
+        if n not in REGISTRY and n not in _FIXTURE_GATED
+    ]
+    if unknown:
+        raise KeyError(
+            f"_DRIVER_WINDOW_FIRST names not in REGISTRY: {unknown} — "
+            "implement/register them or add to _FIXTURE_GATED explicitly"
+        )
+    dupes = [
+        n for n in set(_DRIVER_WINDOW_FIRST)
+        if _DRIVER_WINDOW_FIRST.count(n) > 1
+    ]
+    if dupes:
+        raise KeyError(f"_DRIVER_WINDOW_FIRST duplicate names: {dupes}")
     ordered: dict[str, QueryDef] = {}
     for name in _DRIVER_WINDOW_FIRST:
         if name in REGISTRY:
