@@ -26,6 +26,7 @@ from fixtures_images import CONTROLS  # noqa: E402  (tests/ is sys.path[0])
 
 def main() -> None:
     landing, out_dir, ckpt = sys.argv[1], sys.argv[2], sys.argv[3]
+    gradient = "--gradient" in sys.argv[4:]
     os.makedirs(landing, exist_ok=True)  # the source rejects a missing dir
     spark = get_spark(
         app_name="chaos-worker", master="local[2]", shuffle_partitions=4
@@ -33,7 +34,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     calib = build_calib_pixels(spark, CONTROLS).cache()
     calib.count()
-    pipe = StreamingImagePipeline(spark, calib, CONTROLS, out_dir)
+    pipe = StreamingImagePipeline(
+        spark, calib, CONTROLS, out_dir, gradient_stage=gradient
+    )
     print("WORKER_READY", flush=True)
     q = pipe.start(
         landing,

@@ -602,3 +602,50 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out")).toPandas()
     assert sorted(out["doc_id"]) == [1, 2, 5]  # 3 and 4 deduped
     assert set(out["text"]) == {"alpha", "beta", "gamma"}
+
+
+def test_prune_skip_manifest_keeps_uncommitted_batch_files(spark, tmp_path):
+    """ADVICE r4 #1: source logs are written at batch-PLANNING time, so a
+    mid-batch crash leaves the in-flight batch's files under sources/*
+    with no commits/<id>. A clear_queue() issued while stopped must
+    survive the prune for exactly those files — they WILL be replayed."""
+    import json
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src_log = tmp_path / "ckpt" / "sources" / "0"
+    commits = tmp_path / "ckpt" / "commits"
+    src_log.mkdir(parents=True)
+    commits.mkdir(parents=True)
+    # batch 0 committed (fileA), batch 1 planned but NOT committed (fileB)
+    (src_log / "0").write_text(
+        'v1\n{"path":"file:///landing/fileA.parquet","timestamp":1,"batchId":0}'
+    )
+    (src_log / "1").write_text(
+        'v1\n{"path":"file:///landing/fileB.parquet","timestamp":2,"batchId":1}'
+    )
+    (commits / "0").write_text("v1\n{}")
+
+    calib = build_calib_pixels(spark, CONTROLS)
+    pipe = StreamingImagePipeline(spark, calib, CONTROLS, out_dir)
+    manifest = tmp_path / "out" / "control" / "skip_manifest.json"
+    manifest.parent.mkdir(parents=True)
+    manifest.write_text(json.dumps(["fileA.parquet", "fileB.parquet"]))
+
+    pipe._prune_skip_manifest(ckpt)
+    # committed fileA pruned (never replayed); in-flight fileB kept (will
+    # be replayed, and the source-side filter must drop its rows)
+    assert pipe._load_skip_names() == {"fileB.parquet"}
+
+    # a .compact log mixes batches: same rule applies per entry
+    (src_log / "2.compact").write_text(
+        "v1\n"
+        '{"path":"file:///landing/fileA.parquet","timestamp":1,"batchId":0}\n'
+        '{"path":"file:///landing/fileC.parquet","timestamp":3,"batchId":2}'
+    )
+    manifest.write_text(json.dumps(["fileB.parquet", "fileC.parquet"]))
+    pipe._prune_skip_manifest(ckpt)
+    assert pipe._load_skip_names() == {"fileB.parquet", "fileC.parquet"}
+    (commits / "2").write_text("v1\n{}")
+    pipe._prune_skip_manifest(ckpt)
+    assert pipe._load_skip_names() == {"fileB.parquet"}

@@ -211,13 +211,27 @@ class StreamingImagePipeline:
         checkpoint already committed, which the file source never replays
         anyway. Prune those on (re)start so a long-lived deployment's
         source-side ``isin`` literal stays bounded by genuinely-pending
-        skips instead of the full processing history."""
+        skips instead of the full processing history.
+
+        Only files in COMMITTED batches are pruned. Source logs are written
+        at batch-planning time, so after a mid-batch crash the in-flight
+        batch's files appear under ``sources/*`` without a matching
+        ``commits/<id>`` — those files WILL be replayed on restart, and if
+        the operator cleared the queue while stopped, their skip entries
+        must survive the prune so the replayed batch's rows are filtered at
+        the source (the reference's queue.clear() drops every pending file,
+        and a planned-but-uncommitted file is still pending: none of its
+        outputs exist)."""
         import glob as _glob
         import json
 
         names = self._load_skip_names()
         if not names:
             return
+        try:
+            committed = set(os.listdir(os.path.join(checkpoint_dir, "commits")))
+        except OSError:
+            committed = set()
         processed: set[str] = set()
         for log in _glob.glob(os.path.join(checkpoint_dir, "sources", "*", "*")):
             if not os.path.isfile(log):
@@ -233,7 +247,12 @@ class StreamingImagePipeline:
                         except ValueError:
                             continue
                         path = entry.get("path")
-                        if path:
+                        # each entry records its planning batch ("batchId"
+                        # in both per-batch and .compact log files); prune
+                        # only when that batch reached commits/. An entry
+                        # without a batchId is conservatively kept.
+                        bid = entry.get("batchId")
+                        if path and bid is not None and str(bid) in committed:
                             processed.add(os.path.basename(path))
             except OSError:
                 continue
