@@ -17,32 +17,54 @@ from pyspark.sql import DataFrame
 
 
 def release(df: DataFrame) -> None:
-    """Free a barrier frame: unpersist a cached plan, or drop the
-    checkpointed RDD(s) behind any LogicalRDD leaf (localCheckpoint).
+    """Free a barrier frame: drop the checkpointed RDD behind a LogicalRDD
+    leaf (localCheckpoint) AND unpersist any Dataset-level cache on ``df``.
 
     Searches the analyzed plan's LEAVES, not just the root: callers often
     hold a projection over the checkpointed frame (e.g.
     ``ckpt.select(...)``) — a root-only check would silently fall through
     to Dataset.unpersist, which does NOT free localCheckpoint storage,
     reintroducing the leak this helper exists to prevent.
+
+    Safety rules (round-4 ADVICE):
+
+    - The leaf is freed only when it is UNAMBIGUOUS — exactly one
+      LogicalRDD leaf in the plan. A frame spanning several checkpoints
+      (e.g. a join of two checkpointed frames) does not own its leaves:
+      a localCheckpoint RDD cannot recompute after unpersist (lineage is
+      truncated), so freeing a sibling here would break every other
+      consumer of that checkpoint. Release each checkpointed frame
+      individually instead; a warning points there.
+    - ``df.unpersist()`` runs regardless: a PERSISTED projection over a
+      checkpoint previously early-returned after freeing the leaf and
+      leaked its own cache entry. (It is a no-op on non-persisted frames,
+      and on checkpoint frames — localCheckpoint storage is RDD-level,
+      invisible to the Dataset cache manager.)
     """
+    import warnings
+
     try:
         lp = df._jdf.queryExecution().analyzed()
         leaves = lp.collectLeaves()
-        freed = False
-        for i in range(leaves.size()):
-            leaf = leaves.apply(i)
-            if leaf.getClass().getName().endswith("LogicalRDD"):
-                leaf.rdd().unpersist(False)
-                freed = True
-        if freed:
-            return
+        rdd_leaves = [
+            leaves.apply(i)
+            for i in range(leaves.size())
+            if leaves.apply(i).getClass().getName().endswith("LogicalRDD")
+        ]
+        if len(rdd_leaves) == 1:
+            rdd_leaves[0].rdd().unpersist(False)
+        elif len(rdd_leaves) > 1:
+            warnings.warn(
+                f"release: frame spans {len(rdd_leaves)} checkpoint leaves "
+                "(join of checkpointed frames?) — freeing none of them; "
+                "release each checkpointed frame individually",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     except Exception as e:
         # JVM internals moved (PySpark upgrade): Dataset.unpersist below
         # does NOT free localCheckpoint RDDs, so a silent fallback would
         # reintroduce the slow storage leak in long-lived streams — warn.
-        import warnings
-
         warnings.warn(
             f"release: LogicalRDD unpersist path failed ({e!r}); "
             "falling back to Dataset.unpersist, which leaks "

@@ -368,15 +368,20 @@ def inpaint_masked(
     out: np.ndarray | None = None,
 ) -> np.ndarray:
     """Replace ``bad`` pixels by the Gaussian-weighted average of their good
-    neighbors (normalized convolution — the standard formulation of
-    astropy's interpolate_replace_nans, classification.py:88-92).
+    neighbors (normalized convolution, after astropy's
+    interpolate_replace_nans as used at classification.py:88-92).
     ``out`` (must not alias ``img``) reuses a result buffer.
 
-    A bad pixel with NO good pixel in its kernel window (deep inside a
-    thick mask blob, e.g. a dead detector module) becomes 0.0: its raw
-    intensity is physically invalid (that is why it is masked), and zero
-    is also what the sparse/fused route produces for unshipped pixels —
-    the two routes stay bit-identical for arbitrary masks."""
+    DELIBERATE DEVIATION from astropy: a bad pixel with NO good pixel in
+    its kernel window (deep inside a thick mask blob, e.g. a dead detector
+    module) becomes 0.0, where interpolate_replace_nans would leave NaN.
+    Rationale: (a) NaN would poison the np.percentile gradient thresholds
+    downstream, while the reference never reads those pixels (masked
+    interiors feed no labeled-pixel gradients, so no classified output
+    differs); (b) zero is what the sparse/fused route produces for
+    unshipped pixels, keeping all three routes bit-identical for
+    arbitrary masks. The raw intensity is physically invalid anyway —
+    that is why the pixel is masked."""
     k = gaussian_kernel2d(sigma, radius)
     h, w_ = img.shape
     vals = _scratch((h, w_), "inp_vals")

@@ -797,12 +797,14 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "corpus", "embedding", "ivf", "index"),
 )
 def ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
-    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"xrdspark_ivf_index_{sf_tag}")
+    # per-invocation scratch dir (round-4 ADVICE: a fixed world-shared
+    # path let concurrent runs clobber each other's index mid-probe); in
+    # production the index is a durable table path owned by the caller —
+    # save_ivf_index/ivf_index_probe take any URI.
+    path = tempfile.mkdtemp(prefix="xrdspark_ivf_index_")
     sim.save_ivf_index(emb, path, num_cells=_IVF_CELLS)
     return sim.ivf_index_probe(
         spark, path, emb.where(F.col("vec_id") < 8), k=3, nprobe=2

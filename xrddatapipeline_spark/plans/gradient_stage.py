@@ -388,7 +388,18 @@ def _balanced_group_partitions(
 
 def exact_percentiles_from_candidates(fused_summaries: DataFrame) -> DataFrame:
     """Merge the per-band bottom-k candidate blobs into the image-level
-    thresholds — bit-identical to np.percentile over the dense frame."""
+    thresholds — bit-identical to np.percentile over the dense frame.
+
+    INVARIANT (round-4 ADVICE): summaries are complete only for images
+    that appear in ``lpx`` (the labeled-pixel feed). The per-band sentinel
+    that keeps fully-masked bands' groups alive is generated from
+    lpx-distinct image ids, so an image with pixels but NO labeled
+    clusters can be missing band summaries here — its n_core/candidate
+    union would be short. That is currently unobservable (thresholds are
+    consumed only joined back to labeled pixels, and such an image has
+    none), but any NEW image-level consumer of this output must first
+    widen the sentinel source from lpx to px (see the sentinel block in
+    fused_gradient_inputs)."""
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
         n = int(pdf["n_core"].sum())

@@ -61,21 +61,26 @@ def get_spark(
     # Opt-out via XRDSPARK_MALLOC_TUNE=0 (pinning the mmap threshold also
     # pins the trim threshold — measured both ways at the 8 x 2880^2
     # config before keeping this default).
-    if os.environ.get("XRDSPARK_MALLOC_TUNE", "1") != "0":
+    malloc_tune = os.environ.get("XRDSPARK_MALLOC_TUNE", "1") != "0"
+    if malloc_tune:
         os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "67108864")
         os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "536870912")
 
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config(
+    builder = SparkSession.builder.appName(app_name).master(master)
+    if malloc_tune:
+        # the opt-out must reach spark.executorEnv.* too: in local mode
+        # workers inherit the driver env, but on a real cluster ONLY these
+        # confs reach executors — setting them unconditionally would make
+        # XRDSPARK_MALLOC_TUNE=0 a silent no-op there (round-4 ADVICE).
+        builder = builder.config(
             "spark.executorEnv.MALLOC_MMAP_THRESHOLD_",
             os.environ.get("MALLOC_MMAP_THRESHOLD_", "67108864"),
-        )
-        .config(
+        ).config(
             "spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
             os.environ.get("MALLOC_TRIM_THRESHOLD_", "536870912"),
         )
+    builder = (
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
