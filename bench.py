@@ -151,8 +151,8 @@ def _keepup_2880(batch: int = 8) -> dict:
     pipeline_queue.py:849-852): a batch of `batch` full-resolution images
     through corrections-equivalent plan + ring outlier mask + closing/
     labeling + classification + gradient stage + 4-way integrals + spot
-    stats + spottiness + csim series, every output materialized (noop sink),
-    checkpoint-barrier lineage truncation.
+    stats + spottiness + per-Qbin h-maxima + csim series, every output
+    materialized (noop sink), checkpoint-barrier lineage truncation.
 
     Runs in its OWN session: default codegen.hugeMethodLimit (65535) wins
     at 8.3 Mpx partitions (see session.py docstring), opposite of the small
@@ -216,6 +216,10 @@ def _keepup_2880(batch: int = 8) -> dict:
         )
         outs = [res.integrals, res.spot_stats, res.spottiness, res.outliers,
                 cosine_similarity_series(res.pixels)]
+        if res.h_maxima is not None:
+            # A19 runs inside the reference's spottiness stage — part of
+            # the "full parity" keep-up number since round 5
+            outs.append(res.h_maxima)
         if res.gradient is not None:
             outs.append(res.gradient.on_arc_labels)
         # the outputs are independent jobs over the already-materialized
@@ -246,6 +250,48 @@ def _keepup_2880(batch: int = 8) -> dict:
     # So: run two identical batches in one session; sec_per_image is the
     # WARM batch (what a drained queue sustains), cold_batch_sec reports
     # the first-batch cost honestly.
+    #
+    # Pilot batch (round 5): one 512^2 image through the SAME plan shape
+    # first. Whole-stage-codegen caches generated classes by source text,
+    # and the closed-form calib constants enter via the references array,
+    # so the 512^2 plan compiles the same wide fused projections C2 will
+    # run at 2880^2 — the pilot pays JIT on ~3% of the pixels instead of
+    # letting the first big batch run half-interpreted (measured 1.9-3.1x
+    # cold/warm ratios without it). Python kernel-pool page-fault warmup
+    # is separate (the in-plan warmup thread).
+    if os.environ.get("SPARK_GRAFT_KEEPUP_PILOT", "1") != "0":
+        from dataclasses import replace as _replace
+
+        pc = _replace(
+            c,
+            size_x=512, size_y=512,
+            center_x=512 * 150.0 / 2000.0, center_y=512 * 150.0 / 2000.0,
+            dataset="pilot",
+        )
+        ppx = _synthetic_pixels(spark, pc, n_images=1).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        ppx.count()
+        pres = run_image_plan(
+            ppx, None, pc, gradient_stage=True, barrier=barrier, n_images=1
+        )
+        pouts = [pres.integrals, pres.spot_stats, pres.spottiness,
+                 pres.outliers, cosine_similarity_series(pres.pixels)]
+        if pres.h_maxima is not None:
+            pouts.append(pres.h_maxima)
+        if pres.gradient is not None:
+            pouts.append(pres.gradient.on_arc_labels)
+        with ThreadPoolExecutor(max_workers=len(pouts)) as pool:
+            for f in [
+                pool.submit(
+                    lambda o: o.write.format("noop").mode("overwrite").save(),
+                    out,
+                )
+                for out in pouts
+            ]:
+                f.result()
+        pres.unpersist_all()
+        ppx.unpersist()
     cold = one_batch()
     warm = one_batch()
     pixels.unpersist()

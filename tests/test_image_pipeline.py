@@ -152,6 +152,12 @@ def test_h_maxima_per_qbin(plan_result, spark):
     # maxima, some inside the spot mask
     assert 20 <= hm.n_maxima.sum() <= 500
     assert hm.n_spot_maxima.sum() > 0
+    # round 5: wired into run_image_plan (the result carries the same
+    # aggregation — spot flags come from the shared mask_flags table,
+    # which equals classifier==1 membership without the gradient stage)
+    wired = res.h_maxima.toPandas()
+    assert wired.n_maxima.sum() == hm.n_maxima.sum()
+    assert wired.n_spot_maxima.sum() == hm.n_spot_maxima.sum()
 
 
 def test_cosine_similarity_series(spark):
@@ -193,7 +199,7 @@ def test_observed_stage_counters_match_outputs(spark):
     try:
         # materialize every output the way the streaming sink would
         for out in (res.integrals, res.spot_stats, res.spottiness,
-                    res.outliers):
+                    res.outliers, res.h_maxima):
             out.write.format("noop").mode("overwrite").save()
         m = {}
         for o in res.observations.values():
@@ -204,9 +210,11 @@ def test_observed_stage_counters_match_outputs(spark):
         assert m["n_clusters"] == res.label_table.count()
         assert m["n_spots"] + m["n_arcs"] <= m["n_clusters"]
         assert m["n_integral_rows"] == res.integrals.count()
+        assert m["n_hmax_rows"] == res.h_maxima.count()
         assert set(m) == {
             "n_px", "n_base_masked", "n_outlier_px", "n_om_px",
             "n_clusters", "n_spots", "n_arcs", "n_integral_rows",
+            "n_hmax_rows",
         }
     finally:
         res.unpersist_all()

@@ -48,3 +48,25 @@ def test_ordered_registry_window_is_sound():
             dq.ordered_registry()
     finally:
         dq._DRIVER_WINDOW_FIRST = orig
+
+
+def test_driver_window_rotation_staleness_bound():
+    """The rotation schedule is enforced, not promised (round-4 ADVICE):
+    every registry query must have a driver CORRECTNESS row within the
+    last 2 rounds, i.e. REGISTRY ⊆ current_window ∪ _PREVIOUS_WINDOW.
+    When rotating the window next round, update _PREVIOUS_WINDOW to this
+    round's CORRECTNESS keys — forgetting to rotate (or rotating so a
+    query falls out of both) fails here before the driver ever runs."""
+    from xrddatapipeline_spark.plans import driver_queries as dq
+
+    current = set(list(dq.ordered_registry())[: dq.DRIVER_WINDOW_SIZE])
+    covered = current | dq._PREVIOUS_WINDOW
+    stale = sorted(set(dq.REGISTRY) - covered)
+    assert not stale, (
+        f"queries with no driver row in the last 2 rounds: {stale} — "
+        "rotate them into _DRIVER_WINDOW_FIRST"
+    )
+    # _PREVIOUS_WINDOW must itself be real query names (catch typos when
+    # it is rotated each round)
+    ghost = sorted(dq._PREVIOUS_WINDOW - set(dq.REGISTRY))
+    assert not ghost, f"_PREVIOUS_WINDOW names not in REGISTRY: {ghost}"

@@ -167,6 +167,15 @@ def test_outputs_consistent_with_batch_plan(stream_run, spark):
         .set_index("tth_idx").intensity.sort_index()
     )
     np.testing.assert_allclose(got.values, want.values, rtol=1e-12)
+    # A19: the h-maxima table (reference spottiness stage) is written per
+    # batch and matches the batch plan
+    want_hm = res.h_maxima.toPandas()
+    got_hm = (
+        pipe.output("h_maxima").toPandas()
+        .query("image_id == 'synth-00001'")
+    )
+    assert got_hm.n_maxima.sum() == want_hm.n_maxima.sum()
+    assert got_hm.n_spot_maxima.sum() == want_hm.n_spot_maxima.sum()
 
 
 def test_settle_guard_filters_fresh_rows(spark, tmp_path):

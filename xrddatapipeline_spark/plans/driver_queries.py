@@ -1446,12 +1446,45 @@ from xrddatapipeline_spark.plans import corpus_queries  # noqa: E402,F401
 # The external driver hash-checks the FIRST 50 entries of ``queries()`` per
 # round; everything past the window only gets the in-repo pytest parity run.
 # Registration order is module layout, not priority, so ``ordered_registry()``
-# re-orders the dict per a rotation schedule: every query should get a fresh
-# driver CORRECTNESS row at least every ~2 rounds. History: r01-r03 covered
-# the 50 earliest-registered; r04 covered the other 41 plus 9 flagship
-# anchors (union across rounds = all 91). This round rotates the r01-r03-only
-# cohort back in (their rows are 2+ rounds stale), fronted by the one query
-# with no prior row anywhere, and keeps the same 8 flagship anchors hot.
+# re-orders the dict per a rotation schedule: every query gets a fresh driver
+# CORRECTNESS row at least every 2 rounds. The schedule is DATA, not a
+# comment: ``_PREVIOUS_WINDOW`` records the last round's actual window (the
+# CORRECTNESS_r{N}.json keys), and tests/test_oracle_parity.py asserts
+# ``REGISTRY ⊆ current_window ∪ _PREVIOUS_WINDOW`` — so a rotation that
+# would leave any query >2 rounds driver-unchecked fails pytest before the
+# driver ever runs. Next round: set _PREVIOUS_WINDOW to this round's window
+# (CORRECTNESS_r05 keys) and front the complement.
+# History: r01-r03 covered the 50 earliest-registered; r04 covered the other
+# 41 plus 9 flagship anchors; r05 (this window) rotates the r01-r03-only
+# cohort back in, fronted by the one query with no prior row anywhere
+# (grad_percentile_candidates, new in r05), keeping 8 flagship anchors hot.
+_PREVIOUS_WINDOW: frozenset[str] = frozenset({
+    # CORRECTNESS_r04.json keys — the driver-checked window last round
+    "events_funnel_steps", "corpus_clean_filter", "j8_asof_signup_join",
+    "tpch_q14_promo_share", "emb_kmeans_update", "emb_kmeans_inertia",
+    "text_tfidf_top_terms", "pack_context_windows",
+    "j9_range_join_error_burst", "text_contamination_check",
+    "emb_pq_encode", "emb_pq_adc_topk", "docs_length_deciles",
+    "docs_chunk_tokens", "docs_mixture_token_budget", "docs_percent_rank",
+    "docs_set_ops", "docs_redact_terms", "emb_lang_centroids",
+    "events_daily_rollup", "events_trailing_hour_stats",
+    "events_rollup_grouping", "events_pivot_daily", "events_anomaly_mad",
+    "events_cohort_retention", "orders_rank_ties", "orders_above_global_avg",
+    "customers_without_orders", "tpch_q3ish_order_volume_topk",
+    "tpch_q4ish_exists_semijoin", "tpch_q6ish_forecast_revenue",
+    "tpch_q7ish_nation_volume", "tpch_q10ish_returned_topk",
+    "tpch_q16ish_supplier_cnt", "tpch_q18ish_big_orders",
+    "tpch_q22ish_idle_balance", "mm_resize_geometry", "mm_frame_sample",
+    "text_repetition_score", "dedup_span_hash", "text_unigram_logprob",
+    "tpch_q1_pricing", "a1_integrate_binned_mean", "a2_ring_median_mad",
+    "a13_gradient_swap", "dedup_minhash_pairs", "dedup_semantic_ivf",
+    "ann_ivf_index_probe", "t6_tumbling_window_counts",
+    "tpch_q5ish_regional_volume",
+})
+
+#: The external driver's window size (first N of ``queries()``).
+DRIVER_WINDOW_SIZE: int = 50
+
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # New this round (no prior driver row anywhere)
     "grad_percentile_candidates",

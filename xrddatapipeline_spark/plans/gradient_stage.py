@@ -338,21 +338,29 @@ def fused_gradient_inputs(
     # leaves img's zeros in place), so bit-identity to np.percentile holds.
     # Image list comes from lpx (tiny): an image with no labeled pixels has
     # no threshold consumers, so its summary rows are never read.
-    sent = (
-        lpx.select("image_id")
-        .distinct()
-        .select(
-            "image_id",
-            F.explode(
-                F.sequence(F.lit(0), F.lit(n_bands - 1))
-            ).alias("band"),
+    # XRDSPARK_GRAD_SENTINEL=0 disables the union for same-session A/B
+    # perf runs ONLY (it re-introduces the fully-masked-band correctness
+    # hole the sentinel closes — never set it in production).
+    import os as _os_mod
+
+    if _os_mod.environ.get("XRDSPARK_GRAD_SENTINEL", "1") != "0":
+        sent = (
+            lpx.select("image_id")
+            .distinct()
+            .select(
+                "image_id",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(n_bands - 1))
+                ).alias("band"),
+            )
         )
-    )
-    for fld in src.schema.fields:
-        if fld.name not in ("image_id", "band"):
-            default = -1 if fld.name in ("p", "y", "x") else 0
-            sent = sent.withColumn(fld.name, F.lit(default).cast(fld.dataType))
-    src = src.unionByName(sent.select(*src.columns))
+        for fld in src.schema.fields:
+            if fld.name not in ("image_id", "band"):
+                default = -1 if fld.name in ("p", "y", "x") else 0
+                sent = sent.withColumn(
+                    fld.name, F.lit(default).cast(fld.dataType)
+                )
+        src = src.unionByName(sent.select(*src.columns))
     lsrc = lpx.select("image_id", "y", "x").withColumn("band", yb)
     if n_images is not None:
         src, lsrc = _balanced_group_partitions(

@@ -39,8 +39,12 @@ from xrddatapipeline_spark.operators.raster import close_mask_pixels, label_pixe
 #: SLOWER (46.2 vs 41.7 s/img) — single-box shuffles are memory copies,
 #: so the extra 66M-row pre-aggregation pass costs more than it saves.
 #: Default False (array) for local throughput; flip True on a real
-#: cluster where the ring-stat shuffle crosses the network and 65x fewer
-#: bytes wins. Lockstep-tested exactly equal either way.
+#: cluster where the ring-stat shuffle crosses the network. Exchange
+#: write metrics pinned in tests/test_ring_stats_hist.py (2880^2 / 2500
+#: rings, bench distribution): histogram 239k records / 3.5 MB vs array
+#: 23.9 MB — ~35x fewer records than pixels, ~7x fewer bytes (lz4
+#: already packs the array route's integer runs; the byte win is real
+#: but smaller than the row win). Lockstep-tested exactly equal.
 #: Env override XRDSPARK_OUTLIER_HISTOGRAM=1/0 for A/B runs.
 import os as _os
 
@@ -374,6 +378,11 @@ class ImagePlanResult:
     integrals: DataFrame
     spot_stats: DataFrame
     spottiness: DataFrame
+    # A19/M6 per-Qbin regional h-maxima counts (the reference computes
+    # these inside the spottiness stage, spottiness.py:64-84); None only
+    # with run_image_plan(..., h_maxima=False). Lazy — not a barrier
+    # frame, so skipping materialization costs nothing.
+    h_maxima: "DataFrame | None" = None
     gradient: "object | None" = None  # GradientStageResult when enabled
     # stage counters (A22 analog of the reference's per-stage printouts,
     # pipeline_queue.py:1007-1014): populated when run_image_plan(...,
@@ -406,6 +415,7 @@ def run_image_plan(
     corrections: dict | None = None,
     sparse_broadcast_rows: int = 4_000_000,
     n_images: int | None = None,
+    h_maxima: bool = True,
 ) -> ImagePlanResult:
     """Full per-image plan (pipeline.py:78-504 equivalent).
 
@@ -660,6 +670,22 @@ def run_image_plan(
     )
     stats = spot_stats(lpx, label_table, px, sparse_hint=sb)
     spotty = spottiness_per_qbin(px, om, sparse_hint=sb)
+    hm = None
+    if h_maxima:
+        # A19/M6 runs inside the spottiness stage in the reference
+        # (spottiness.py:64-84); spot membership comes from the same flag
+        # table the integrals consume (gradient-refined when enabled).
+        hm = _obs(
+            h_maxima_per_qbin(
+                px,
+                mask_flags.where(F.col("is_spot_px")).select(
+                    "image_id", "y", "x"
+                ),
+                controls,
+            ),
+            "h_maxima",
+            F.count(F.lit(1)).alias("n_hmax_rows"),
+        )
     return ImagePlanResult(
         pixels=px,
         outliers=outliers,
@@ -669,6 +695,7 @@ def run_image_plan(
         integrals=integrals,
         spot_stats=stats,
         spottiness=spotty,
+        h_maxima=hm,
         gradient=grad,
         observations=obs,
     )

@@ -315,6 +315,9 @@ class StreamingImagePipeline:
                 (res.spottiness, "spottiness"),
                 (res.outliers, "outliers"),
             ]
+            if res.h_maxima is not None:
+                # A19: part of the reference's spottiness stage output
+                sinks.append((res.h_maxima, "h_maxima"))
             if self.gradient_stage and res.gradient is not None:
                 sinks.append((res.gradient.on_arc_labels, "gradient_arcs"))
             with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
