@@ -78,3 +78,25 @@ def test_multi_probe_recall_superset(spark, tmp_path):
     allp = ivf_index_probe(spark, path, queries, k=3, nprobe=8).toPandas()
     j = one.merge(allp, on=["query_id", "rank"], suffixes=("_1", "_8"))
     assert (j["cos_1"] <= j["cos_8"] + 1e-15).all()
+
+
+def test_registry_probe_scratch_dir_reclaimed(spark):
+    """The ann_ivf_index_probe registry entry builds its index in a
+    per-invocation scratch dir; repeated invocations in one process must
+    not accumulate dirs (round-5 ADVICE) — each call reclaims the previous
+    call's dir (whose lazy readers have been consumed by then) and atexit
+    sweeps the last."""
+    from xrddatapipeline_spark.plans.corpus_queries import (
+        ann_ivf_index_probe,
+    )
+
+    df1 = ann_ivf_index_probe(spark, SF_DIR)
+    d1 = ann_ivf_index_probe._scratch_dir
+    assert df1.count() > 0  # consume before the next call reclaims d1
+    assert os.path.isdir(d1)
+
+    df2 = ann_ivf_index_probe(spark, SF_DIR)
+    d2 = ann_ivf_index_probe._scratch_dir
+    assert not os.path.exists(d1), "previous scratch dir not reclaimed"
+    assert os.path.isdir(d2)
+    assert df2.count() > 0

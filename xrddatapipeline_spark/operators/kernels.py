@@ -491,7 +491,7 @@ def _clamp_scan_ltr(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
 
 
 def grayscale_reconstruct(
-    marker: np.ndarray, mask: np.ndarray
+    marker: np.ndarray, mask: np.ndarray, out: np.ndarray | None = None
 ) -> np.ndarray:
     """Grayscale reconstruction-by-dilation of ``marker`` under ``mask``
     (8-connectivity), via Vincent's hybrid algorithm (L. Vincent,
@@ -505,8 +505,19 @@ def grayscale_reconstruct(
     the upper/lower-neighbor max is a shifted elementwise max, and the
     in-row left/right propagation t[x] = min(mask[x], max(t[x +/- 1],
     cand[x])) is the clamp-composition doubling scan (`_clamp_scan_ltr`).
+
+    ``out`` (float64, same shape) receives the reconstruction and is
+    returned; hot-path callers (h_maxima under applyInPandas) pass a
+    ``scratch()`` buffer so repeated calls in a reused worker touch
+    already-faulted pages instead of paying first-touch page faults for
+    an image-sized float64 temporary per call (same economics as the
+    band-gradient kernels — see the _SCRATCH doc above).
     """
-    J = np.minimum(marker, mask).astype(np.float64)
+    if out is None:
+        J = np.minimum(marker, mask).astype(np.float64)
+    else:
+        np.minimum(marker, mask, out=out, casting="unsafe")
+        J = out
     I = np.asarray(mask, dtype=np.float64)
     h, w = J.shape
 
@@ -540,7 +551,8 @@ def grayscale_reconstruct(
     # Evaluated vectorized on the post-sweep values — every q in N-(p) is
     # updated before p in anti-raster order, so these ARE the values the
     # sequential formulation would have seen.
-    cond = np.zeros(J.shape, dtype=bool)
+    cond = _scratch(J.shape, "hmax_cond", dtype=bool)
+    cond[:] = False
     for dy, dx in ((1, -1), (1, 0), (1, 1), (0, 1)):
         ys0, ys1 = max(0, -dy), h - max(0, dy)
         xs0, xs1 = max(0, -dx), w - max(0, dx)
@@ -642,10 +654,23 @@ def h_maxima(img: np.ndarray, h: float, max_iter: int = 512) -> np.ndarray:
     formulation needs (``max_iter`` is kept for signature compatibility; the
     hybrid is exact and needs no iteration cap)."""
     del max_iter  # the hybrid algorithm is exact in one pass
-    maskf = img.astype(np.float64)
-    rec = grayscale_reconstruct(maskf - h, maskf)
+    shape = img.shape
+    # Every image-sized float64 temporary lives in the per-process scratch
+    # pool (mask copy, marker, reconstruction) — ~200 MB of first-touch
+    # page faults per 2880^2 call otherwise, the dominant cost under
+    # full-node applyInPandas concurrency (SCALE.md, band-kernel numbers).
+    # All three are dead at return; only the bool result is fresh.
+    if isinstance(img, np.ndarray) and img.dtype == np.float64:
+        maskf = img
+    else:
+        maskf = _scratch(shape, "hmax_mask")
+        np.copyto(maskf, img, casting="unsafe")
+    marker = np.subtract(maskf, h, out=_scratch(shape, "hmax_marker"))
+    rec = grayscale_reconstruct(
+        marker, maskf, out=_scratch(shape, "hmax_rec")
+    )
     # regional maxima of the reconstruction: pixels strictly above all
     # neighbors' reconstruction would miss plateaus; use the h-maxima
     # criterion img - rec >= ... standard: maxima where rec < img is false.
-    resid = maskf - rec
+    resid = np.subtract(maskf, rec, out=marker)  # marker dead post-init
     return resid >= h - 1e-9

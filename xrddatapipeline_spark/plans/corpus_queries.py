@@ -797,6 +797,8 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "corpus", "embedding", "ivf", "index"),
 )
 def ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -804,7 +806,19 @@ def ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path let concurrent runs clobber each other's index mid-probe); in
     # production the index is a durable table path owned by the caller —
     # save_ivf_index/ivf_index_probe take any URI.
+    #
+    # Cleanup (round-5 ADVICE: dirs accumulated unboundedly): the returned
+    # DataFrame lazily READS the index, so rmtree here would break the
+    # probe before the caller materializes it. Instead each invocation
+    # removes the PREVIOUS one's dir (its result has been consumed by
+    # then), and atexit sweeps the last — at most one live scratch dir per
+    # process.
+    prev = getattr(ann_ivf_index_probe, "_scratch_dir", None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
     path = tempfile.mkdtemp(prefix="xrdspark_ivf_index_")
+    ann_ivf_index_probe._scratch_dir = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     sim.save_ivf_index(emb, path, num_cells=_IVF_CELLS)
     return sim.ivf_index_probe(
         spark, path, emb.where(F.col("vec_id") < 8), k=3, nprobe=2

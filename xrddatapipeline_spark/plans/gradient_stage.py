@@ -340,10 +340,24 @@ def fused_gradient_inputs(
     # no threshold consumers, so its summary rows are never read.
     # XRDSPARK_GRAD_SENTINEL=0 disables the union for same-session A/B
     # perf runs ONLY (it re-introduces the fully-masked-band correctness
-    # hole the sentinel closes — never set it in production).
+    # hole the sentinel closes — never set it in production). Because a
+    # leaked env var would reopen the round-4 hole INVISIBLY at plan-build
+    # time, disabling it is loud: a RuntimeWarning every time a plan is
+    # built with the sentinel off.
     import os as _os_mod
 
-    if _os_mod.environ.get("XRDSPARK_GRAD_SENTINEL", "1") != "0":
+    if _os_mod.environ.get("XRDSPARK_GRAD_SENTINEL", "1") == "0":
+        import warnings
+
+        warnings.warn(
+            "XRDSPARK_GRAD_SENTINEL=0: gradient-stage sentinel rows are "
+            "DISABLED — fully-masked bands will silently drop their "
+            "summary row (wrong percentile thresholds). This switch exists "
+            "only for same-session A/B perf runs; unset it in production.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    else:
         sent = (
             lpx.select("image_id")
             .distinct()

@@ -283,37 +283,69 @@ def spottiness_per_qbin(
 
 
 def h_maxima_per_qbin(
-    px: DataFrame, spot_px: DataFrame, controls: ImageControls
+    px: DataFrame, spot_px: DataFrame, controls: ImageControls,
+    n_images: int | None = None,
 ) -> DataFrame:
     """A19/M6 (spottiness.py:64-84): count regional h-maxima per Q-bin,
     total and intersected with the spot mask; h = 5% of the image's p99.9
     intensity.
 
-    One applyInPandas kernel pass per image (h is image-dependent, so the
-    p99.9 is aggregated first and joined in as a constant column), then a
-    hash aggregation on (image_id, qbin).
+    One applyInPandas kernel pass per image, then a hash aggregation on
+    (image_id, qbin). ``h`` is computed IN-KERNEL with ``np.percentile``
+    over the image's own pixel values — exactly what the reference does
+    (spottiness.py:65, ``np.percentile(image, 99.9)``), and it removes the
+    whole-table ``percentile`` aggregation scan + broadcast join the
+    previous formulation paid (the pixel table is dense, so the shipped
+    rows ARE the image).
+
+    Shuffle economics mirror the band-gradient feed (gradient_stage.py):
+    rows ship as ONE packed int64 — (y*8192 + x) << 32 | (intensity +
+    2^31) — plus the qbin, instead of (y, x, intensity, qbin): 3 row
+    fields instead of 5. Detectors wider than 8191 px fall back to the
+    unpacked layout. With ``n_images`` known, the group shuffle is pinned
+    to an explicit 4x-over-provisioned partition count so hash collisions
+    don't stack two whole-image kernels on one task (same rationale as
+    ``_balanced_group_partitions``).
 
     kernels.h_maxima runs the Vincent'93 hybrid reconstruction (raster +
-    anti-raster sweeps + vectorized worklist) — a few seconds per 2880^2
+    anti-raster sweeps + vectorized worklist) with all image-sized float64
+    temporaries in the per-process scratch pool — a few seconds per 2880^2
     frame, so this stage is viable at the full-resolution config."""
     import numpy as np
     import pandas as pd
     from xrddatapipeline_spark.operators import kernels
 
     h, w = controls.size_y, controls.size_x
-    p999 = px.groupBy("image_id").agg(
-        F.expr("percentile(intensity, 0.999)").alias("p999")
-    )
-    with_h = px.select("image_id", "y", "x", "intensity", "qbin").join(
-        F.broadcast(p999), "image_id"
-    )
+    packed = h <= 8192 and w <= 8192
+    if packed:
+        src = px.select(
+            "image_id",
+            (
+                F.shiftleft(F.col("y").cast("long") * 8192 + F.col("x"), 32)
+                + (F.col("intensity").cast("long") + F.lit(2**31))
+            ).alias("p"),
+            "qbin",
+        )
+    else:
+        src = px.select("image_id", "y", "x", "intensity", "qbin")
+    if n_images is not None and 4 * n_images <= 4096:
+        src = src.repartition(4 * n_images, "image_id")
 
     def _maxima(pdf: pd.DataFrame) -> pd.DataFrame:
-        img = np.zeros((h, w), dtype=np.float64)
-        ys = pdf["y"].to_numpy()
-        xs = pdf["x"].to_numpy()
-        img[ys, xs] = pdf["intensity"].to_numpy()
-        hval = 0.05 * float(pdf["p999"].iloc[0])
+        if packed:
+            v = pdf["p"].to_numpy()
+            inten = (v & 0xFFFFFFFF) - 2**31
+            yx = v >> 32
+            ys = yx // 8192
+            xs = yx - ys * 8192
+        else:
+            ys = pdf["y"].to_numpy()
+            xs = pdf["x"].to_numpy()
+            inten = pdf["intensity"].to_numpy()
+        img = kernels.scratch((h, w), "hmax_img")
+        img[:] = 0.0
+        img[ys, xs] = inten
+        hval = 0.05 * float(np.percentile(inten, 99.9))
         is_max = kernels.h_maxima(img, hval)
         sel = is_max[ys, xs]
         return pd.DataFrame(
@@ -325,7 +357,7 @@ def h_maxima_per_qbin(
             }
         )
 
-    maxima = with_h.groupBy("image_id").applyInPandas(
+    maxima = src.groupBy("image_id").applyInPandas(
         _maxima, schema="image_id string, y int, x int, qbin int"
     )
     flagged = maxima.join(
@@ -630,15 +662,15 @@ def run_image_plan(
     # the labeled pixel set, and spot/arc membership is the classifier (or
     # the gradient stage's refined new_spot/new_arc flags)
     grad = None
+    if (gradient_stage or h_maxima) and n_images is None and eager:
+        # cheap column-pruned count on the already-materialized px
+        # barrier — lets the band-kernel and h-maxima feeds pin a balanced
+        # explicit partition count (streaming callers don't know the
+        # batch's image count up front)
+        n_images = px.select("image_id").distinct().count()
     if gradient_stage:
         from xrddatapipeline_spark.plans.gradient_stage import gradient_classify
 
-        if n_images is None and eager:
-            # cheap column-pruned count on the already-materialized px
-            # barrier — lets the band-kernel feed pin a balanced explicit
-            # partition count (streaming callers don't know the batch's
-            # image count up front)
-            n_images = px.select("image_id").distinct().count()
         # plain (row-checkpoint) barrier even under "hybrid": the gradient
         # raster has only 2 consumers (thresholds kernel, lpx join), so a
         # columnar cache build never pays for itself there — measured
@@ -682,6 +714,7 @@ def run_image_plan(
                     "image_id", "y", "x"
                 ),
                 controls,
+                n_images=n_images,
             ),
             "h_maxima",
             F.count(F.lit(1)).alias("n_hmax_rows"),
