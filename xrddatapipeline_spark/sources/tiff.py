@@ -109,9 +109,12 @@ def _parse_ifd(data: bytes) -> tuple[str, dict[int, tuple[int, int, list]]]:
 def read_tiff_gray(data: bytes) -> np.ndarray:
     """Decode an uncompressed grayscale baseline TIFF to a 2-D numpy array.
 
-    Handles both byte orders, 8/16/32-bit unsigned/signed/float samples,
-    and multi-strip layouts. Raises ValueError for compressed or
-    multi-sample images (out of scope; see module docstring).
+    Handles both byte orders, 1-bit bilevel (BitsPerSample absent or 1 —
+    the layout the reference's tifffile-written boolean mask sinks use;
+    see docs/GuiliangJun25_tutorial_output/masks/*.tif) and 8/16/32-bit
+    unsigned/signed/float samples, and multi-strip layouts. Raises
+    ValueError for compressed or multi-sample images (out of scope; see
+    module docstring).
     """
     bo, full = _parse_ifd(data)
     tags = {t: v[2] for t, v in full.items()}
@@ -126,9 +129,22 @@ def read_tiff_gray(data: bytes) -> np.ndarray:
     kind = {1: "u", 2: "i", 3: "f"}.get(sample_fmt)
     if kind is None:
         raise ValueError(f"unsupported TIFF sample format {sample_fmt}")
-    dtype = np.dtype(f"{bo}{kind}{bits // 8}")
 
     offsets = tags[_TAG_STRIP_OFFSETS]
+    if bits == 1:
+        # bilevel: rows are packed 8 pixels/byte, MSB first (TIFF fill
+        # order 1), each row padded to a whole byte
+        row_bytes = (width + 7) // 8
+        counts = tags.get(_TAG_STRIP_COUNTS, [height * row_bytes])
+        payload = b"".join(
+            data[int(o): int(o) + int(c)] for o, c in zip(offsets, counts)
+        )
+        packed = np.frombuffer(
+            payload, dtype=np.uint8, count=height * row_bytes
+        ).reshape(height, row_bytes)
+        return np.unpackbits(packed, axis=1)[:, :width].astype(bool)
+
+    dtype = np.dtype(f"{bo}{kind}{bits // 8}")
     counts = tags.get(
         _TAG_STRIP_COUNTS, [height * width * (bits // 8) - 0]
     )
