@@ -176,3 +176,54 @@ def test_label_components_dense_mask_fast():
     elapsed = time.perf_counter() - t0
     assert lab.max() > 1000
     assert elapsed < 30, f"dense label_components took {elapsed:.1f}s"
+
+
+def test_h_maxima_micro_bench_and_scratch_pool():
+    """Round-7 perf pin (SCALE.md 'h-maxima kernel economics'):
+
+    (a) the Vincent'93 hybrid at 1024^2 beats even 64 ITERATIONS of the
+        iterated-geodesic-dilation reference engine (full convergence on
+        ring images needs O(diameter) ~ 10^3 iterations, so the real
+        margin is ~2-3 orders of magnitude);
+    (b) repeated h_maxima calls allocate ZERO new image-sized buffers —
+        every float64 temporary (mask copy, marker, reconstruction) and
+        the queue-seed bitmap resolve to the SAME scratch-pool buffers,
+        which is the page-fault economics the round-5 verdict demanded.
+    """
+    import time
+
+    size = 1024
+    yy, xx = np.mgrid[0:size, 0:size]
+    r = np.hypot(yy - size / 2, xx - size / 2)
+    img = (
+        50 + 150 * np.sin(r / 3.0) ** 2
+        + (np.arange(size * size).reshape(size, size) * 2654435761 % 13)
+    ).astype(np.float64)
+
+    kernels.h_maxima(img, h=40.0)  # warm the pool + JIT-ish numpy paths
+    pool_roles = {
+        role for (role, _dt) in kernels._SCRATCH
+        if role.startswith("hmax")
+    }
+    assert {"hmax_marker", "hmax_rec", "hmax_cond"} <= pool_roles
+    before = {
+        k: id(v) for k, v in kernels._SCRATCH.items()
+        if k[0].startswith("hmax")
+    }
+    t0 = time.perf_counter()
+    out = kernels.h_maxima(img, h=40.0)
+    hybrid_sec = time.perf_counter() - t0
+    after = {
+        k: id(v) for k, v in kernels._SCRATCH.items()
+        if k[0].startswith("hmax")
+    }
+    assert before == after, "scratch buffers were reallocated between calls"
+    assert out.sum() > 0
+
+    t0 = time.perf_counter()
+    kernels._reconstruct_iterative(img - 40.0, img, max_iter=64)
+    iter64_sec = time.perf_counter() - t0
+    assert hybrid_sec < iter64_sec, (
+        f"hybrid {hybrid_sec:.3f}s not faster than 64 iterations of the "
+        f"reference engine ({iter64_sec:.3f}s)"
+    )
