@@ -2805,3 +2805,215 @@ def docs_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_hits") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H analogs, round 7: q13 (left-join distribution), q17 (decorrelated
+# scalar-subquery filter), q19 (disjunctive pushdown canary), q21 (multi-
+# level agg + join chain on the same key)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "tpch_q13ish_custdist",
+    """
+    WITH percust AS (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM percust GROUP BY c_count
+    """,
+    doc="TPC-H Q13 analog (customer order-count distribution): LEFT join "
+        "with a compound non-key condition (zero-order customers survive "
+        "with c_count 0 — count(o_orderkey) skips the null-extended rows), "
+        "then a two-level aggregate. The orders side pre-filters "
+        "map-side; the second aggregate's key space is tiny (~max order "
+        "count), so the distribution shuffle is a few dozen rows however "
+        "large the customer table grows.",
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q13ish_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    percust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return percust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@_register(
+    "tpch_q17ish_small_qty_revenue",
+    """
+    WITH pq AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#2'
+      AND CAST(l.l_quantity AS BIGINT) * 5 * pq.cnt < pq.sq
+    """,
+    doc="TPC-H Q17 analog (small-quantity-order revenue): the original's "
+        "correlated scalar subquery (quantity < 0.2 * per-part average) "
+        "written in its decorrelated form — a per-part aggregate joined "
+        "back to the fact table, which is exactly the plan Spark's "
+        "RewriteCorrelatedScalarSubquery produces. The 0.2*avg comparison "
+        "is cross-multiplied to pure int64 arithmetic (qty*5*cnt < sum), "
+        "so membership can't flip on float division; revenue sums integer "
+        "cents. Both aggregates share the l_partkey shuffle key.",
+    tags=("join", "agg", "tpch", "subquery"),
+)
+def tpch_q17ish_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pq = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#2"
+    ).select("p_partkey")
+    return (
+        li.join(pq, "l_partkey")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(
+            F.col("l_quantity").cast("long") * 5 * F.col("cnt")
+            < F.col("sq")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).cast("long").alias("rev_cents"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "tpch_q19ish_disjunctive_revenue",
+    """
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000) AS BIGINT)) AS BIGINT)
+               AS rev_ten_thousandths,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity BETWEEN 10 AND 25)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity BETWEEN 20 AND 35)
+    """,
+    doc="TPC-H Q19 analog (disjunctive predicate revenue) — the classic "
+        "OR-of-ANDs pushdown canary: Catalyst must split the disjunction "
+        "into per-side conjuncts it can push below the join (the part "
+        "side keeps brand/size disjuncts, the lineitem side keeps the "
+        "quantity envelope) instead of evaluating the whole OR post-join. "
+        "extendedprice*(1-discount) has exactly 4 decimal places (2+2), "
+        "so *10000 rounds to exact int64 and the sum is order-independent.",
+    tags=("join", "agg", "tpch", "pushdown"),
+)
+def tpch_q19ish_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    br = F.col("p_brand")
+    cond = (
+        ((br == "Brand#1") & sz.between(1, 10) & q.between(1, 15))
+        | ((br == "Brand#2") & sz.between(1, 20) & q.between(10, 25))
+        | ((br == "Brand#3") & sz.between(1, 30) & q.between(20, 35))
+    )
+    return j.where(cond).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long")
+        ).cast("long").alias("rev_ten_thousandths"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+@_register(
+    "tpch_q21ish_last_to_ship",
+    """
+    WITH ranked AS (
+        SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_maxd
+        FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    ord AS (
+        SELECT l_orderkey, max(supp_maxd) AS maxd,
+               CAST(count(*) AS BIGINT) AS nsupp
+        FROM ranked GROUP BY l_orderkey
+    ),
+    waiting AS (
+        SELECT r.l_orderkey, r.l_suppkey
+        FROM ranked r JOIN ord d ON r.l_orderkey = d.l_orderkey
+        WHERE d.nsupp > 1 AND r.supp_maxd = d.maxd
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM waiting w
+    JOIN orders o ON o.o_orderkey = w.l_orderkey
+                 AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 50
+    """,
+    doc="TPC-H Q21 analog (suppliers last to ship on multi-supplier "
+        "finished orders; the original's commitdate/receiptdate columns "
+        "aren't in this testdata, so 'kept waiting' = tied for the "
+        "latest shipdate): the EXISTS/NOT-EXISTS pair collapses to "
+        "per-order window aggregates (max shipdate, supplier count) over "
+        "the (order, supplier) pre-aggregate. The oracle spells it as a "
+        "self-join CTE; the Spark side deliberately uses the window form "
+        "because the self-join DUPLICATES the ranked subtree (plan-"
+        "checked: 4 exchanges + two lineitem scans vs 2 exchanges + one "
+        "scan here — the window re-uses the single materialized ranked "
+        "stream). Supplier dimension broadcast; global top-50 via "
+        "TakeOrderedAndProject.",
+    tags=("join", "agg", "tpch", "topk", "window"),
+)
+def tpch_q21ish_last_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ranked = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_maxd")
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        ranked
+        .withColumn("maxd", F.max("supp_maxd").over(w))
+        .withColumn("nsupp", F.count("*").over(w))
+        .where((F.col("nsupp") > 1) & (F.col("supp_maxd") == F.col("maxd")))
+        .select("l_orderkey", "l_suppkey")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(orders, waiting.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(50)
+    )

@@ -1529,15 +1529,19 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "w3_stride_downsample",
     "w5_circular_gap_scan",
     "w6_sessionize_events",
-    # Flagship §2 anchors, kept hot every round
+    # NEW round-7 queries (no prior driver row — must be in this window)
+    "tpch_q13ish_custdist",
+    "tpch_q17ish_small_qty_revenue",
+    "tpch_q19ish_disjunctive_revenue",
+    "tpch_q21ish_last_to_ship",
+    # Flagship §2 anchors, kept hot (the other four usual anchors —
+    # a13_gradient_swap, dedup_minhash_pairs, ann_ivf_index_probe,
+    # t6_tumbling_window_counts — have fresh r06 rows and yielded their
+    # slots to the new queries this round)
     "tpch_q1_pricing",
     "a1_integrate_binned_mean",
     "a2_ring_median_mad",
-    "a13_gradient_swap",
-    "dedup_minhash_pairs",
     "dedup_semantic_ivf",
-    "ann_ivf_index_probe",
-    "t6_tumbling_window_counts",
 )
 
 # Names allowed to be absent from REGISTRY (queries gated behind optional
