@@ -263,3 +263,22 @@ def test_golden_mask_tiffs_decode():
 
     edges = np.load(f"{GOLD}/stats/MA2_qbinedges.npy")
     assert edges.ndim == 1 and (np.diff(edges) > 0).all()
+
+
+def test_stats_csv_header_matches_golden(spark, tmp_path):
+    """K5 format parity: export_stats_csv writes exactly the reference's
+    CSV header (no image_id column — the filename carries the image), as
+    pinned by the tutorial goldens."""
+    from xrddatapipeline_spark.sinks import export_stats_csv
+
+    golden_header = open(
+        f"{GOLD}/stats/MA2-00001_spots_stats_df.csv"
+    ).readline().strip()
+    stats = spark.createDataFrame(
+        [("img-1", 0, 100, 5.1, 349, 525734340.0, 331351.88, 20621.08, 1)],
+        "image_id string, spot_stat_label int, area long, medianQ double, "
+        "Qbin int, intensity_sum double, intensity_max double, "
+        "intensity_mean double, on_arc int",
+    )
+    path = export_stats_csv(stats, "img-1", str(tmp_path / "s.csv"))
+    assert open(path).readline().strip() == golden_header

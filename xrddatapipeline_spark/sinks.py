@@ -64,8 +64,13 @@ def export_xye(
 
 
 def export_stats_csv(stats: DataFrame, image_id: str, path: str) -> str:
-    """Write one image's spot-stats table as CSV (K5)."""
-    pdf = stats.where(stats.image_id == image_id).toPandas()
+    """Write one image's spot-stats table as CSV (K5).
+
+    The reference writes one file per image with NO image column
+    (spottiness.py:46's df.to_csv; header pinned by the tutorial goldens,
+    docs/GuiliangJun25_tutorial_output/stats/*_spots_stats_df.csv) — the
+    partitioning column is the filename, so drop it from the rows."""
+    pdf = stats.where(stats.image_id == image_id).drop("image_id").toPandas()
     pdf.to_csv(path, index=False)
     return path
 
