@@ -375,12 +375,27 @@ def cosine_similarity_series(pixels: DataFrame) -> DataFrame:
     """J4/W1/A20: per image, cosine similarity vs previous seq and vs first
     seq in its dataset (pipeline.py:506-557). Window-over-Delta
     reformulation — tolerant to out-of-order arrival, unlike the
-    reference's filename pairing (SURVEY §7 'Ordering-dependent')."""
-    w = Window.partitionBy("dataset", "y", "x").orderBy("seq")
-    paired = pixels.select(
+    reference's filename pairing (SURVEY §7 'Ordering-dependent').
+
+    Shuffle-width economics (round 7): the window exchange ships every
+    pixel row, so strings hurt — image_id (~20 B/row over 66 M rows at
+    8 x 2880^2) never participates in the math and is functionally
+    dependent on (dataset, seq), so it is re-attached AFTER the per-image
+    aggregation via a broadcast of the tiny distinct (dataset, seq,
+    image_id) map; (y, x) pack collision-free into one long
+    ((y << 32) | x — no detector-width assumption), and intensity ships
+    as its int32 self (the double cast happens post-shuffle). Same math,
+    same window, ~35% narrower rows on the dominant exchange."""
+    ids = pixels.select("dataset", "seq", "image_id").distinct()
+    yx = (
+        F.shiftleft(F.col("y").cast("long"), 32)
+        + F.col("x").cast("long")
+    ).alias("yx")
+    src = pixels.select("dataset", "seq", yx, "intensity")
+    w = Window.partitionBy("dataset", "yx").orderBy("seq")
+    paired = src.select(
         "dataset",
         "seq",
-        "image_id",
         F.col("intensity").cast("double").alias("v"),
         F.coalesce(F.lag("intensity").over(w), F.col("intensity"))
         .cast("double")
@@ -388,7 +403,7 @@ def cosine_similarity_series(pixels: DataFrame) -> DataFrame:
         F.first("intensity").over(w).cast("double").alias("v_first"),
     )
     dot = lambda a, b: F.sum(F.col(a) * F.col(b))  # noqa: E731
-    return paired.groupBy("dataset", "seq", "image_id").agg(
+    sims = paired.groupBy("dataset", "seq").agg(
         (
             dot("v", "v_first")
             / F.sqrt(dot("v", "v") * dot("v_first", "v_first"))
@@ -397,6 +412,9 @@ def cosine_similarity_series(pixels: DataFrame) -> DataFrame:
             dot("v", "v_prev")
             / F.sqrt(dot("v", "v") * dot("v_prev", "v_prev"))
         ).alias("csim_prev"),
+    )
+    return sims.join(F.broadcast(ids), ["dataset", "seq"]).select(
+        "dataset", "seq", "image_id", "csim_first", "csim_prev"
     )
 
 
