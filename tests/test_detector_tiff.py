@@ -337,3 +337,55 @@ def test_unknown_format_raises():
     data = make_pseudo_tiff(33, 35, b"\x00" * 100, 8)
     with pytest.raises(ValueError):
         read_detector_tiff(data)
+
+
+def _bilevel_tiff(width, height, bits_rows, photometric=1, fill_order=1):
+    """Minimal 1-bit uncompressed TIFF (matches the reference mask sinks'
+    layout: no BitsPerSample tag, single strip, MSB-first packing)."""
+    import struct
+
+    import numpy as np
+
+    row_bytes = (width + 7) // 8
+    payload = np.packbits(bits_rows, axis=1).tobytes()
+    entries = [
+        (256, 4, 1, width), (257, 4, 1, height), (259, 3, 1, 1),
+        (262, 3, 1, photometric), (266, 3, 1, fill_order),
+        (273, 4, 1, 0),  # strip offset patched below
+        (278, 4, 1, height), (279, 4, 1, height * row_bytes),
+    ]
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * len(entries) + 4
+    buf = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    buf += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            val = data_off
+        buf += struct.pack("<HHII", tag, typ, cnt, val)
+    buf += struct.pack("<I", 0)
+    buf += payload
+    return bytes(buf)
+
+
+def test_bilevel_photometric_and_fill_order():
+    """1-bit decode honors WhiteIsZero (inverted samples) and rejects
+    LSB-first fill order loudly instead of bit-reversing silently."""
+    import numpy as np
+    import pytest
+
+    from xrddatapipeline_spark.sources.tiff import read_tiff_gray
+
+    rng = np.random.default_rng(7)
+    bits = (rng.random((16, 19)) < 0.3)
+    padded = np.zeros((16, 24), dtype=np.uint8)
+    padded[:, :19] = bits
+
+    got = read_tiff_gray(_bilevel_tiff(19, 16, padded, photometric=1))
+    assert got.dtype == bool and got.shape == (16, 19)
+    assert np.array_equal(got, bits)
+
+    inv = read_tiff_gray(_bilevel_tiff(19, 16, padded, photometric=0))
+    assert np.array_equal(inv, ~bits)
+
+    with pytest.raises(ValueError, match="fill order"):
+        read_tiff_gray(_bilevel_tiff(19, 16, padded, fill_order=2))

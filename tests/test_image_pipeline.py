@@ -285,3 +285,24 @@ def test_hybrid_nopx_barrier_equivalent(spark):
             check_exact=True,
         )
     pixels.unpersist()
+
+
+def test_empty_batch_eager_plan_builds(spark):
+    """Round-7 review: an empty pixel frame under an eager barrier yields
+    n_images=0 — the h-maxima feed's explicit repartition must not be
+    built with 0 partitions (plan-construction crash). Empty in, empty
+    out, no exception."""
+    from pyspark.sql import functions as F
+    from xrddatapipeline_spark.calib.cache import build_calib_pixels
+    from xrddatapipeline_spark.plans.image_pipeline import run_image_plan
+
+    empty = images_long_df(
+        spark, [("synth", 0, make_image(CONTROLS, seq=0))]
+    ).where(F.lit(False))
+    calib = build_calib_pixels(spark, CONTROLS)
+    res = run_image_plan(
+        empty, calib, CONTROLS, barrier="local_checkpoint", h_maxima=True
+    )
+    assert res.h_maxima.count() == 0
+    assert res.integrals.count() == 0
+    res.unpersist_all()

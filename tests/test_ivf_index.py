@@ -83,20 +83,25 @@ def test_multi_probe_recall_superset(spark, tmp_path):
 def test_registry_probe_scratch_dir_reclaimed(spark):
     """The ann_ivf_index_probe registry entry builds its index in a
     per-invocation scratch dir; repeated invocations in one process must
-    not accumulate dirs (round-5 ADVICE) — each call reclaims the previous
-    call's dir (whose lazy readers have been consumed by then) and atexit
-    sweeps the last."""
+    not accumulate dirs (round-5 ADVICE). The last TWO dirs stay live so
+    a still-lazy previous result remains readable (round-7 review); older
+    dirs are reclaimed on entry and atexit sweeps the rest."""
     from xrddatapipeline_spark.plans.corpus_queries import (
         ann_ivf_index_probe,
     )
 
     df1 = ann_ivf_index_probe(spark, SF_DIR)
-    d1 = ann_ivf_index_probe._scratch_dir
-    assert df1.count() > 0  # consume before the next call reclaims d1
-    assert os.path.isdir(d1)
-
+    d1 = ann_ivf_index_probe._scratch_dirs[-1]
     df2 = ann_ivf_index_probe(spark, SF_DIR)
-    d2 = ann_ivf_index_probe._scratch_dir
-    assert not os.path.exists(d1), "previous scratch dir not reclaimed"
-    assert os.path.isdir(d2)
+    d2 = ann_ivf_index_probe._scratch_dirs[-1]
+    # the previous invocation's result must still be materializable AFTER
+    # a new invocation (its dir is in the keep-2 window)
+    assert df1.count() > 0
     assert df2.count() > 0
+    assert os.path.isdir(d1) and os.path.isdir(d2)
+
+    df3 = ann_ivf_index_probe(spark, SF_DIR)
+    assert not os.path.exists(d1), "oldest scratch dir not reclaimed"
+    assert os.path.isdir(d2)
+    assert df3.count() > 0
+    assert len(ann_ivf_index_probe._scratch_dirs) == 2

@@ -227,3 +227,38 @@ def test_h_maxima_micro_bench_and_scratch_pool():
         f"hybrid {hybrid_sec:.3f}s not faster than 64 iterations of the "
         f"reference engine ({iter64_sec:.3f}s)"
     )
+
+
+def test_grayscale_reconstruct_rejects_noncontiguous_out():
+    """A non-contiguous `out` would silently lose the worklist phase's
+    updates (J.ravel() copies) — must be rejected loudly."""
+    img = np.arange(64, dtype=np.float64).reshape(8, 8)
+    bad = np.empty((8, 16))[:, ::2]
+    with np.testing.assert_raises(ValueError):
+        kernels.grayscale_reconstruct(img - 2, img, out=bad)
+    with np.testing.assert_raises(ValueError):
+        kernels.grayscale_reconstruct(img - 2, img, out=np.empty((4, 8)))
+    ok = np.empty((8, 8))
+    got = kernels.grayscale_reconstruct(img - 2, img, out=ok)
+    assert got is ok
+    np.testing.assert_array_equal(
+        got, kernels.grayscale_reconstruct(img - 2, img)
+    )
+
+
+def test_warmup_hmax_scratch_prefaults_pool():
+    before = dict(kernels._SCRATCH)
+    n = kernels.warmup_hmax_scratch((64, 64))
+    assert n == 3 * 64 * 64 * 8 + 64 * 64
+    for role in kernels.HMAX_SCRATCH_ROLES:
+        assert (role, "<f8") in kernels._SCRATCH
+    # a subsequent h_maxima call at the warmed shape reuses those buffers
+    img = np.zeros((64, 64))
+    img[10, 10] = 50.0
+    ids = {k: id(v) for k, v in kernels._SCRATCH.items() if k[0].startswith("hmax")}
+    out = kernels.h_maxima(img, 5.0)
+    assert out[10, 10]
+    after = {k: id(v) for k, v in kernels._SCRATCH.items() if k[0].startswith("hmax")}
+    for k, i in ids.items():
+        assert after[k] == i
+    del before

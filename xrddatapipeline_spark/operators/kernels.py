@@ -225,6 +225,30 @@ def warmup_band_scratch(shape: tuple[int, int]) -> int:
     return n + b.nbytes
 
 
+#: the h-maxima kernel's scratch set (full-image shapes, unlike the band
+#: roles above): input raster + marker + reconstruction, plus the bool
+#: queue-seed bitmap. hmax_mask is only used for non-float64 callers and
+#: the pipeline always passes float64 — not pre-faulted.
+HMAX_SCRATCH_ROLES = ("hmax_img", "hmax_marker", "hmax_rec")
+
+
+def warmup_hmax_scratch(shape: tuple[int, int]) -> int:
+    """Pre-fault the h-maxima kernel's scratch set (same first-touch
+    page-fault economics as ``warmup_band_scratch``, but at FULL image
+    height — ~210 MB at 2880^2). Steady-state footprint is unchanged:
+    workers that run any h-maxima group grow these buffers anyway; this
+    just moves the fault storm into the warmup overlap. Returns bytes
+    touched."""
+    n = 0
+    for role in HMAX_SCRATCH_ROLES:
+        buf = _scratch(shape, role)
+        buf[:] = 0.0
+        n += buf.nbytes
+    b = _scratch(shape, "hmax_cond", dtype=bool)
+    b[:] = False
+    return n + b.nbytes
+
+
 def conv3x3(img: np.ndarray, kernel: np.ndarray, out: np.ndarray | None = None) -> np.ndarray:
     """Direct 3x3 correlation with zero padding (no scipy).
 
@@ -516,6 +540,17 @@ def grayscale_reconstruct(
     if out is None:
         J = np.minimum(marker, mask).astype(np.float64)
     else:
+        # the worklist phase writes through J.ravel(), which COPIES for a
+        # non-contiguous array — silently discarding the queue updates —
+        # so reject anything but a C-contiguous float64 of the right shape
+        if (
+            out.shape != np.shape(marker)
+            or out.dtype != np.float64
+            or not out.flags["C_CONTIGUOUS"]
+        ):
+            raise ValueError(
+                "out must be a C-contiguous float64 array of marker's shape"
+            )
         np.minimum(marker, mask, out=out, casting="unsafe")
         J = out
     I = np.asarray(mask, dtype=np.float64)

@@ -809,16 +809,21 @@ def ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     #
     # Cleanup (round-5 ADVICE: dirs accumulated unboundedly): the returned
     # DataFrame lazily READS the index, so rmtree here would break the
-    # probe before the caller materializes it. Instead each invocation
-    # removes the PREVIOUS one's dir (its result has been consumed by
-    # then), and atexit sweeps the last — at most one live scratch dir per
-    # process.
-    prev = getattr(ann_ivf_index_probe, "_scratch_dir", None)
-    if prev is not None:
-        shutil.rmtree(prev, ignore_errors=True)
+    # probe before the caller materializes it. Instead the LAST TWO
+    # invocations' dirs stay live (current + previous — so "build df1,
+    # build df2, then materialize df1" still works) and older ones are
+    # reclaimed on entry; one atexit sweep removes whatever remains. At
+    # most two live scratch dirs per process.
+    dirs = getattr(ann_ivf_index_probe, "_scratch_dirs", None)
+    if dirs is None:
+        dirs = ann_ivf_index_probe._scratch_dirs = []
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True) for d in dirs]
+        )
+    while len(dirs) >= 2:
+        shutil.rmtree(dirs.pop(0), ignore_errors=True)
     path = tempfile.mkdtemp(prefix="xrdspark_ivf_index_")
-    ann_ivf_index_probe._scratch_dir = path
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    dirs.append(path)
     sim.save_ivf_index(emb, path, num_cells=_IVF_CELLS)
     return sim.ivf_index_probe(
         spark, path, emb.where(F.col("vec_id") < 8), k=3, nprobe=2

@@ -400,6 +400,9 @@ def _balanced_group_partitions(
     keeps the expected max load at <= 2 groups per task; empty partitions
     cost nothing."""
     n_part = 4 * n_groups
+    if n_part <= 0:
+        return src, lsrc  # empty batch: nothing to balance, and
+        # repartition(0) would be an error
     if n_part > 4096:
         return src, lsrc  # enough groups to balance statistically
     return (

@@ -328,7 +328,9 @@ def h_maxima_per_qbin(
         )
     else:
         src = px.select("image_id", "y", "x", "intensity", "qbin")
-    if n_images is not None and 4 * n_images <= 4096:
+    # n_images may legitimately be 0 (empty batch under an eager barrier):
+    # repartition(0) is an error, and there is nothing to balance anyway
+    if n_images and 0 < 4 * n_images <= 4096:
         src = src.repartition(4 * n_images, "image_id")
 
     def _maxima(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -513,12 +515,19 @@ def run_image_plan(
     import sys as _sys
     import time as _time
 
-    if eager and gradient_stage and controls.size_y * controls.size_x >= 4_000_000:
-        # pre-fault the band kernel's ~120 MB scratch set across the python
-        # worker pool CONCURRENTLY with the px cache build (JVM-heavy,
-        # pythons idle): first-touch page faults were the cold-call cost of
-        # the kernel stage (10-20x the numpy time under full concurrency).
-        # Fire-and-forget — a failed warmup only loses the overlap.
+    if (
+        eager
+        and (gradient_stage or h_maxima)
+        and controls.size_y * controls.size_x >= 4_000_000
+    ):
+        # pre-fault the kernel scratch sets across the python worker pool
+        # CONCURRENTLY with the px cache build (JVM-heavy, pythons idle):
+        # first-touch page faults were the cold-call cost of the kernel
+        # stages (10-20x the numpy time under full concurrency) — the
+        # band-gradient set (~120 MB at band height) and, when A19 is on,
+        # the h-maxima set (~210 MB at full image height; steady-state
+        # footprint unchanged — see warmup_hmax_scratch). Fire-and-forget
+        # — a failed warmup only loses the overlap.
         import threading
 
         from xrddatapipeline_spark.plans.gradient_stage import _GRAD_HALO
@@ -527,6 +536,8 @@ def run_image_plan(
         _wshape = (
             min(controls.size_y, 512 + 2 * _GRAD_HALO), controls.size_x
         )
+        _full_shape = (controls.size_y, controls.size_x)
+        _warm_bands, _warm_hmax = gradient_stage, h_maxima
 
         def _warm() -> None:
             try:
@@ -537,7 +548,11 @@ def run_image_plan(
                 def _wf(it):
                     from xrddatapipeline_spark.operators import kernels as _K
 
-                    touched = _K.warmup_band_scratch(_wshape)
+                    touched = 0
+                    if _warm_bands:
+                        touched += _K.warmup_band_scratch(_wshape)
+                    if _warm_hmax:
+                        touched += _K.warmup_hmax_scratch(_full_shape)
                     for _ in it:
                         pass
                     yield _pd.DataFrame({"n": [touched]})

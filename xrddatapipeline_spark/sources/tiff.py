@@ -47,6 +47,8 @@ _TAG_COMPRESSION = 259
 _TAG_STRIP_OFFSETS = 273
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
+_TAG_PHOTOMETRIC = 262
+_TAG_FILL_ORDER = 266
 _TAG_SAMPLE_FORMAT = 339
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
@@ -132,8 +134,16 @@ def read_tiff_gray(data: bytes) -> np.ndarray:
 
     offsets = tags[_TAG_STRIP_OFFSETS]
     if bits == 1:
-        # bilevel: rows are packed 8 pixels/byte, MSB first (TIFF fill
-        # order 1), each row padded to a whole byte
+        # bilevel: rows are packed 8 pixels/byte, MSB first (TIFF
+        # FillOrder 1, the only value we decode — LSB-first files would
+        # otherwise come back silently bit-reversed), each row padded to
+        # a whole byte. PhotometricInterpretation 0 (WhiteIsZero) inverts
+        # the sample meaning — honor it rather than return complemented
+        # masks.
+        fill_order = int(tags.get(_TAG_FILL_ORDER, [1])[0])
+        if fill_order != 1:
+            raise ValueError(f"unsupported TIFF fill order {fill_order}")
+        photometric = int(tags.get(_TAG_PHOTOMETRIC, [1])[0])
         row_bytes = (width + 7) // 8
         counts = tags.get(_TAG_STRIP_COUNTS, [height * row_bytes])
         payload = b"".join(
@@ -142,7 +152,8 @@ def read_tiff_gray(data: bytes) -> np.ndarray:
         packed = np.frombuffer(
             payload, dtype=np.uint8, count=height * row_bytes
         ).reshape(height, row_bytes)
-        return np.unpackbits(packed, axis=1)[:, :width].astype(bool)
+        arr = np.unpackbits(packed, axis=1)[:, :width].astype(bool)
+        return ~arr if photometric == 0 else arr
 
     dtype = np.dtype(f"{bo}{kind}{bits // 8}")
     counts = tags.get(
