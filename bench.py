@@ -179,10 +179,15 @@ def _keepup_2880(batch: int = 8) -> dict:
     )
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    profile = os.environ.get("XRDSPARK_KEEPUP_PROFILE", "1") != "0"
     spark = get_spark(
         app_name="xrdspark-keepup",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
+        # the UI exists only to serve the per-batch REST stage profiles
+        # (negligible cost; keeps outlier batches diagnosable from the
+        # published BENCH json instead of being one-off mysteries)
+        extra_conf={"spark.ui.enabled": "true"} if profile else None,
     )
     spark.sparkContext.setLogLevel("ERROR")
     size = 2880
@@ -223,7 +228,83 @@ def _keepup_2880(batch: int = 8) -> dict:
     barrier = os.environ.get("SPARK_GRAFT_KEEPUP_BARRIER", "hybrid")
     from concurrent.futures import ThreadPoolExecutor
 
-    def one_batch(h_maxima: bool = True) -> float:
+    # ------------------------------------------------------------------
+    # Per-batch stage/GC profiling (round 8): BENCH_r07's warm batches
+    # spanned 80.7-251.9 s on identical code — unexplainable after the
+    # fact because nothing recorded WHAT the slow batch spent its time
+    # on. Each batch now snapshots the UI REST stage list + executor GC
+    # before/after, and publishes a compact delta (wall vs sum-run vs
+    # sum-cpu, GC seconds, failed tasks, top stages by run time) so an
+    # outlier batch arrives with its own stage profile attached.
+    # Best-effort: any REST failure degrades to no profile, never a
+    # bench failure.
+    # ------------------------------------------------------------------
+    def _rest(path: str):
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/{path}", timeout=60
+        ) as r:
+            return json.load(r)
+
+    def _prof_snap():
+        if not profile:
+            return None
+        try:
+            stages = _rest("stages?status=complete")
+            execs = _rest("executors")
+            return {
+                "done": {(s["stageId"], s["attemptId"]) for s in stages},
+                "gc_ms": sum(e.get("totalGCTime", 0) for e in execs),
+            }
+        except Exception:
+            return None
+
+    def _prof_delta(before):
+        if before is None:
+            return None
+        try:
+            stages = _rest("stages?status=complete")
+            execs = _rest("executors")
+            new = [
+                s for s in stages
+                if (s["stageId"], s["attemptId"]) not in before["done"]
+            ]
+            gc_sec = (
+                sum(e.get("totalGCTime", 0) for e in execs)
+                - before["gc_ms"]
+            ) / 1000.0
+            new.sort(key=lambda s: s.get("executorRunTime", 0), reverse=True)
+            return {
+                "gc_sec": round(gc_sec, 1),
+                "run_sec": round(
+                    sum(s.get("executorRunTime", 0) for s in new) / 1000, 1
+                ),
+                "cpu_sec": round(
+                    sum(s.get("executorCpuTime", 0) for s in new) / 1e9, 1
+                ),
+                "failed_tasks": sum(s.get("numFailedTasks", 0) for s in new),
+                "n_stages": len(new),
+                "top": [
+                    [
+                        s["name"].splitlines()[0][:48],
+                        round(s.get("executorRunTime", 0) / 1000, 1),
+                        round(s.get("executorCpuTime", 0) / 1e9, 1),
+                        s.get("numCompleteTasks", 0),
+                        s.get("numFailedTasks", 0),
+                    ]
+                    for s in new[:5]
+                ],
+            }
+        except Exception:
+            return None
+
+    batch_profiles: dict[str, list] = {}
+
+    def one_batch(h_maxima: bool = True, prof_key: str | None = None) -> float:
+        snap = _prof_snap() if prof_key else None
         t0 = time.perf_counter()
         res = run_image_plan(
             pixels, None, c, gradient_stage=True, barrier=barrier,
@@ -254,6 +335,11 @@ def _keepup_2880(batch: int = 8) -> dict:
                 f.result()
         elapsed = time.perf_counter() - t0
         res.unpersist_all()
+        if prof_key is not None:
+            d = _prof_delta(snap)
+            if d is not None:
+                d["wall_sec"] = round(elapsed, 1)
+                batch_profiles.setdefault(prof_key, []).append(d)
         return elapsed
 
     # The keep-up criterion is STEADY-STATE queue drain (the reference's
@@ -315,14 +401,15 @@ def _keepup_2880(batch: int = 8) -> dict:
         pilot_sec = time.perf_counter() - t_pilot
     import statistics
 
-    cold = one_batch()
+    cold = one_batch(prof_key="cold")
     warm_reps = max(1, int(os.environ.get("SPARK_GRAFT_KEEPUP_WARM_REPS", "3")))
-    warms = [one_batch() for _ in range(warm_reps)]
+    warms = [one_batch(prof_key="warm") for _ in range(warm_reps)]
     warm = statistics.median(warms)
     # h-maxima A/B in the SAME session (weather cancels): warm batches with
     # the A19 stage off quantify its marginal cost per batch.
     hoff_reps = int(os.environ.get("SPARK_GRAFT_KEEPUP_HOFF_REPS", "2"))
-    hoffs = [one_batch(h_maxima=False) for _ in range(hoff_reps)]
+    hoffs = [one_batch(h_maxima=False, prof_key="hoff")
+             for _ in range(hoff_reps)]
     hoff = statistics.median(hoffs) if hoffs else None
     pixels.unpersist()
     spark.stop()
@@ -344,6 +431,8 @@ def _keepup_2880(batch: int = 8) -> dict:
     }
     if pilot_sec is not None:
         out["pilot_sec"] = round(pilot_sec, 2)
+    if batch_profiles:
+        out["batch_profiles"] = batch_profiles
     if hoff is not None:
         out["hoff_batch_sec"] = round(hoff, 2)
         out["hoff_batches_sec"] = [round(v, 2) for v in hoffs]

@@ -339,9 +339,12 @@ def test_unknown_format_raises():
         read_detector_tiff(data)
 
 
-def _bilevel_tiff(width, height, bits_rows, photometric=1, fill_order=1):
+def _bilevel_tiff(width, height, bits_rows, photometric=1, fill_order=1,
+                  strip_counts=True, n_strip_offsets=1):
     """Minimal 1-bit uncompressed TIFF (matches the reference mask sinks'
-    layout: no BitsPerSample tag, single strip, MSB-first packing)."""
+    layout: no BitsPerSample tag, single strip, MSB-first packing).
+    ``strip_counts=False`` omits StripByteCounts; ``n_strip_offsets``
+    fakes a multi-strip offsets array (values beyond the first unused)."""
     import struct
 
     import numpy as np
@@ -351,9 +354,11 @@ def _bilevel_tiff(width, height, bits_rows, photometric=1, fill_order=1):
     entries = [
         (256, 4, 1, width), (257, 4, 1, height), (259, 3, 1, 1),
         (262, 3, 1, photometric), (266, 3, 1, fill_order),
-        (273, 4, 1, 0),  # strip offset patched below
-        (278, 4, 1, height), (279, 4, 1, height * row_bytes),
+        (273, 4, n_strip_offsets, 0),  # strip offset(s) patched below
+        (278, 4, 1, height),
     ]
+    if strip_counts:
+        entries.append((279, 4, 1, height * row_bytes))
     ifd_off = 8
     data_off = ifd_off + 2 + 12 * len(entries) + 4
     buf = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
@@ -389,3 +394,29 @@ def test_bilevel_photometric_and_fill_order():
 
     with pytest.raises(ValueError, match="fill order"):
         read_tiff_gray(_bilevel_tiff(19, 16, padded, fill_order=2))
+
+
+def test_bilevel_missing_strip_counts():
+    """StripByteCounts absent: fine with one strip (size is derivable),
+    but with multiple strips the decoder must raise rather than decode
+    bytes past the first strip silently (ADVICE r7)."""
+    import numpy as np
+    import pytest
+
+    from xrddatapipeline_spark.sources.tiff import read_tiff_gray
+
+    rng = np.random.default_rng(11)
+    bits = (rng.random((16, 19)) < 0.3)
+    padded = np.zeros((16, 24), dtype=np.uint8)
+    padded[:, :19] = bits
+
+    # single strip, no counts tag: derivable, decodes fine
+    got = read_tiff_gray(_bilevel_tiff(19, 16, padded, strip_counts=False))
+    assert np.array_equal(got, bits)
+
+    # multiple strips, no counts tag: loud rejection
+    with pytest.raises(ValueError, match="StripByteCounts"):
+        read_tiff_gray(
+            _bilevel_tiff(19, 16, padded, strip_counts=False,
+                          n_strip_offsets=2)
+        )

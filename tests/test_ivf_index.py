@@ -83,25 +83,28 @@ def test_multi_probe_recall_superset(spark, tmp_path):
 def test_registry_probe_scratch_dir_reclaimed(spark):
     """The ann_ivf_index_probe registry entry builds its index in a
     per-invocation scratch dir; repeated invocations in one process must
-    not accumulate dirs (round-5 ADVICE). The last TWO dirs stay live so
-    a still-lazy previous result remains readable (round-7 review); older
-    dirs are reclaimed on entry and atexit sweeps the rest."""
+    not accumulate dirs unboundedly (round-5 ADVICE). The last
+    ``_IVF_SCRATCH_KEEP`` dirs stay live so still-lazy earlier results
+    remain readable (round-7 ADVICE: a keep-2 window silently broke
+    'build 3 probes, then materialize the first'); older dirs are
+    reclaimed on entry and atexit sweeps the rest."""
     from xrddatapipeline_spark.plans.corpus_queries import (
+        _IVF_SCRATCH_KEEP,
         ann_ivf_index_probe,
     )
 
-    df1 = ann_ivf_index_probe(spark, SF_DIR)
-    d1 = ann_ivf_index_probe._scratch_dirs[-1]
-    df2 = ann_ivf_index_probe(spark, SF_DIR)
-    d2 = ann_ivf_index_probe._scratch_dirs[-1]
-    # the previous invocation's result must still be materializable AFTER
-    # a new invocation (its dir is in the keep-2 window)
-    assert df1.count() > 0
-    assert df2.count() > 0
-    assert os.path.isdir(d1) and os.path.isdir(d2)
+    # the exact ad-hoc pattern round 7's keep-2 window broke: build
+    # KEEP probes before materializing any, then materialize the FIRST
+    dfs, dirs = [], []
+    for _ in range(_IVF_SCRATCH_KEEP):
+        dfs.append(ann_ivf_index_probe(spark, SF_DIR))
+        dirs.append(ann_ivf_index_probe._scratch_dirs[-1])
+    assert dfs[0].count() > 0  # oldest in-window index still on disk
+    assert all(os.path.isdir(d) for d in dirs)
 
-    df3 = ann_ivf_index_probe(spark, SF_DIR)
-    assert not os.path.exists(d1), "oldest scratch dir not reclaimed"
-    assert os.path.isdir(d2)
-    assert df3.count() > 0
-    assert len(ann_ivf_index_probe._scratch_dirs) == 2
+    # one more invocation reclaims exactly the oldest dir
+    df_next = ann_ivf_index_probe(spark, SF_DIR)
+    assert not os.path.exists(dirs[0]), "oldest scratch dir not reclaimed"
+    assert all(os.path.isdir(d) for d in dirs[1:])
+    assert df_next.count() > 0
+    assert len(ann_ivf_index_probe._scratch_dirs) == _IVF_SCRATCH_KEEP

@@ -150,3 +150,76 @@ def test_deciles_uses_range_partitioning_no_global_window(spark, sf_dir):
     plan_bar = _plan(df)
     assert "existingrdd" in plan_bar.lower().replace(" ", "")
     assert plan_bar.lower().count("filescan") == 0
+
+
+# Broadcast-hint policy (round 8): explicit broadcast hints are reserved
+# for genuinely BOUNDED relations (nation=25 rows, region=5 rows, 1-row
+# scalar aggregates, top-k profiles). Tables that grow with the corpus
+# (customer, supplier, part, orders, lineitem, documents, embeddings)
+# must be UNHINTED so AQE can pick broadcast while they fit and degrade
+# to shuffle join at 100 TB instead of OOMing a forced build side.
+# analyzed-plan Relation lines carry column lists, not paths — identify
+# each growing table by its primary-key column name
+_GROWING_TPCH = ("c_custkey", "s_suppkey", "p_partkey", "o_orderkey",
+                 "l_orderkey", "doc_id", "vec_id")
+
+
+def _broadcast_hint_relations(df) -> list[str]:
+    """Parquet scan paths reachable below ResolvedHint(broadcast) nodes
+    in the analyzed logical plan — i.e. which base tables this query
+    FORCES to broadcast."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    hinted: list[str] = []
+    hint_depth: list[int] = []  # indent levels of active hint subtrees
+    for line in analyzed.splitlines():
+        indent = len(line) - len(line.lstrip(" :+-"))
+        hint_depth = [d for d in hint_depth if indent > d]
+        if "ResolvedHint" in line and "BROADCAST" in line.upper():
+            hint_depth.append(indent)
+        if hint_depth and ("Relation" in line or "parquet" in line):
+            hinted.append(line.strip())
+    return hinted
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "tpch_q5ish_regional_volume",
+        "tpch_q7ish_nation_volume",
+        "tpch_q14_promo_share",
+        "tpch_q16ish_supplier_cnt",
+        "tpch_q17ish_small_qty_revenue",
+        "tpch_q18ish_big_orders",
+        "tpch_q19ish_disjunctive_revenue",
+        "tpch_q21ish_last_to_ship",
+        "orders_rank_ties",
+    ],
+)
+def test_no_forced_broadcast_of_growing_tables(spark, sf_dir, qname):
+    """VERDICT r7 'What's wrong #1': a forced broadcast(customer) is an
+    OOM scale-killer. Pin the round-8 policy — no query may carry a
+    broadcast hint whose subtree scans a table that grows with SF."""
+    from xrddatapipeline_spark.plans.driver_queries import REGISTRY
+
+    df = REGISTRY[qname].spark(spark, sf_dir)
+    offenders = [
+        rel
+        for rel in _broadcast_hint_relations(df)
+        if any(key in rel for key in _GROWING_TPCH)
+    ]
+    assert not offenders, (
+        f"{qname} forces broadcast of a growing table: {offenders}"
+    )
+
+
+def test_q5ish_joins_still_broadcast_at_bench_sf(spark, sf_dir):
+    """Dropping the hints must not change the LOCAL plan: static
+    file-size stats still make every q5ish join a broadcast join at
+    test SF (and AQE re-confirms at runtime — checked at sf0.1 in
+    round 8, all BroadcastHashJoin, zero SortMergeJoin)."""
+    from xrddatapipeline_spark.plans.driver_queries import REGISTRY
+
+    df = REGISTRY["tpch_q5ish_regional_volume"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -677,6 +677,8 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _IVF_CELLS = 8
+#: live scratch-index window for ann_ivf_index_probe (see its cleanup note)
+_IVF_SCRATCH_KEEP = 8
 
 SQL_IVF = f"""
 cents AS (
@@ -809,18 +811,22 @@ def ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     #
     # Cleanup (round-5 ADVICE: dirs accumulated unboundedly): the returned
     # DataFrame lazily READS the index, so rmtree here would break the
-    # probe before the caller materializes it. Instead the LAST TWO
-    # invocations' dirs stay live (current + previous — so "build df1,
-    # build df2, then materialize df1" still works) and older ones are
-    # reclaimed on entry; one atexit sweep removes whatever remains. At
-    # most two live scratch dirs per process.
+    # probe before the caller materializes it. The last
+    # ``_IVF_SCRATCH_KEEP`` invocations' dirs stay live and older ones
+    # are reclaimed on entry; one atexit sweep removes whatever remains.
+    # The window is 8 (round-8, was 2): the driver/bench pattern only
+    # ever holds current+previous, but an ad-hoc caller building several
+    # probes before materializing the first would have had its index
+    # deleted under it — 8 unmaterialized concurrent probes bounds that
+    # failure well past any observed usage while keeping disk use at
+    # most 8 oracle-scale indexes (~MBs).
     dirs = getattr(ann_ivf_index_probe, "_scratch_dirs", None)
     if dirs is None:
         dirs = ann_ivf_index_probe._scratch_dirs = []
         atexit.register(
             lambda: [shutil.rmtree(d, ignore_errors=True) for d in dirs]
         )
-    while len(dirs) >= 2:
+    while len(dirs) >= _IVF_SCRATCH_KEEP:
         shutil.rmtree(dirs.pop(0), ignore_errors=True)
     path = tempfile.mkdtemp(prefix="xrdspark_ivf_index_")
     dirs.append(path)
@@ -1551,11 +1557,14 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     doc="TPC-H Q14 analog (promotion revenue share by ship month): "
-        "fact-to-dimension equi-join with the dimension broadcast (part "
-        "is O(SF) small vs lineitem; no shuffle of the fact side before "
-        "the join) feeding a conditional aggregate. The month grouping "
-        "key is derived, so the only fact-side shuffle is the final "
-        "12-ish-key hash agg, map-side combined.",
+        "fact-to-dimension equi-join feeding a conditional aggregate. "
+        "part grows with SF, so the join carries NO forced broadcast "
+        "hint — static stats/AQE pick broadcast while the dim fits "
+        "(they do at bench SF: no fact-side shuffle before the join, "
+        "plan-asserted) and degrade to shuffle join at 100 TB. The "
+        "month grouping key is derived, so the only guaranteed "
+        "fact-side shuffle is the final 12-ish-key hash agg, "
+        "map-side combined.",
     tags=("join", "agg", "tpch"),
 )
 def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1563,7 +1572,10 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        # no broadcast hint: part grows with the fact data (SF*200k rows),
+        # so AQE/static stats choose broadcast while it fits and degrade
+        # to shuffle join at scale instead of OOMing a forced build side
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
@@ -2013,14 +2025,16 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bands): gap vs no-gap tie semantics, per market segment. Rank "
         "values are tie-group properties, so the output is deterministic "
         "whatever order peers arrive in — safe under any shuffle layout. "
-        "Customer dimension broadcasts; one window shuffle on segment.",
+        "Customer grows with SF so the join is unhinted (AQE broadcasts "
+        "while it fits); one window shuffle on segment.",
     tags=("window", "relational"),
 )
 def orders_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        # customer grows with SF — AQE sizes the join, no forced broadcast
+        cust, orders.o_custkey == cust.c_custkey
     ).select(
         "o_orderkey", "c_mktsegment",
         F.floor(F.col("o_totalprice") / 10000).alias("price_band"),
@@ -2406,10 +2420,10 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2, 3
     """,
     doc="TPC-H Q7 analog: bilateral shipping volume between two nations "
-        "by year. Plan shape: the lineitem fact is probed through FOUR "
-        "broadcast dimension joins (orders is largest but still "
-        "broadcast-eligible at bench SF; at production SF it becomes the "
-        "one shuffled join, on the high-entropy orderkey), then a "
+        "by year. Plan shape: only the bounded nation slices carry "
+        "broadcast hints; orders/customer/supplier all grow with SF and "
+        "are unhinted — AQE broadcasts them at bench SF and shifts to "
+        "shuffle joins (high-entropy keys) at production SF. Then a "
         "3-column hash agg. Nation filters push below the joins.",
     tags=("relational", "join", "agg"),
 )
@@ -2428,7 +2442,9 @@ def tpch_q7ish_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # supplier grows with SF (SF*10k) — unhinted, AQE decides; only
+        # the bounded nation slices keep explicit broadcast hints
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("_n1k"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("_n2k"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
@@ -2670,7 +2686,8 @@ def tpch_q18ish_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcast at runtime instead of forcing it
         big
         .join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer grows with SF — unhinted, AQE decides
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate",
             "o_totalprice", "sum_qty",
@@ -2692,8 +2709,10 @@ def tpch_q18ish_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p.p_brand, p.p_type, p.p_size
     """,
     doc="TPC-H Q16 analog (supplier diversity per part group): NOT IN "
-        "compiled as a broadcast left-anti join (s_suppkey is non-null, "
-        "so anti-join == NOT IN), part dimension broadcast, then "
+        "compiled as a left-anti join (s_suppkey is non-null, so "
+        "anti-join == NOT IN). Both the excluded-supplier set and the "
+        "part dim grow with SF, so the joins are unhinted — AQE picks "
+        "broadcast at bench SF, shuffle at 100 TB. Then "
         "count(DISTINCT) — Spark expands to a two-level hash aggregate "
         "(partial distinct map-side), no row ever shuffled twice.",
     tags=("join", "agg", "tpch", "subquery"),
@@ -2707,8 +2726,10 @@ def tpch_q16ish_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("l_suppkey")
     )
     return (
-        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # both sides grow with SF (supplier fraction with negative balance,
+        # part minus one brand) — unhinted, AQE picks broadcast while small
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
@@ -2897,7 +2918,10 @@ def tpch_q17ish_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("p_partkey")
     return (
         li.join(pq, "l_partkey")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part filtered to ONE brand (~1/|brands| of SF*200k) is far
+        # smaller than the unfiltered dim but still grows linearly with
+        # SF — unhinted so AQE can fall back to shuffle at extreme scale
+        .join(part, li.l_partkey == part.p_partkey)
         .where(
             F.col("l_quantity").cast("long") * 5 * F.col("cnt")
             < F.col("sq")
@@ -2938,7 +2962,8 @@ def tpch_q17ish_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 def tpch_q19ish_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # part grows with SF — unhinted, AQE decides join strategy
+    j = li.join(part, li.l_partkey == part.p_partkey)
     q = F.col("l_quantity")
     sz = F.col("p_size")
     br = F.col("p_brand")
@@ -2993,7 +3018,8 @@ def tpch_q19ish_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         "because the self-join DUPLICATES the ranked subtree (plan-"
         "checked: 4 exchanges + two lineitem scans vs 2 exchanges + one "
         "scan here — the window re-uses the single materialized ranked "
-        "stream). Supplier dimension broadcast; global top-50 via "
+        "stream). Supplier grows with SF so its join is unhinted (AQE "
+        "broadcasts while it fits); global top-50 via "
         "TakeOrderedAndProject.",
     tags=("join", "agg", "tpch", "topk", "window"),
 )
@@ -3016,7 +3042,8 @@ def tpch_q21ish_last_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         waiting.join(orders, waiting.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        # supplier grows with SF — unhinted, AQE decides
+        .join(supp, waiting.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

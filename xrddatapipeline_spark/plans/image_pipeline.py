@@ -287,8 +287,8 @@ def h_maxima_per_qbin(
     n_images: int | None = None,
 ) -> DataFrame:
     """A19/M6 (spottiness.py:64-84): count regional h-maxima per Q-bin,
-    total and intersected with the spot mask; h = 5% of the image's p99.9
-    intensity.
+    total and intersected with the spot mask; h = int(5% of the image's
+    p99.9 intensity) — the int truncation mirrors spottiness.py:66.
 
     One applyInPandas kernel pass per image, then a hash aggregation on
     (image_id, qbin). ``h`` is computed IN-KERNEL with ``np.percentile``
@@ -347,7 +347,10 @@ def h_maxima_per_qbin(
         img = kernels.scratch((h, w), "hmax_img")
         img[:] = 0.0
         img[ys, xs] = inten
-        hval = 0.05 * float(np.percentile(inten, 99.9))
+        # reference truncates to int (spottiness.py:66:
+        # h = int(0.05*np.percentile(image,99.9))) — match it exactly so
+        # maxima with residual in [int(h), h) are counted identically
+        hval = float(int(0.05 * float(np.percentile(inten, 99.9))))
         is_max = kernels.h_maxima(img, hval)
         sel = is_max[ys, xs]
         return pd.DataFrame(

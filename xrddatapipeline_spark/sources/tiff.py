@@ -145,7 +145,17 @@ def read_tiff_gray(data: bytes) -> np.ndarray:
             raise ValueError(f"unsupported TIFF fill order {fill_order}")
         photometric = int(tags.get(_TAG_PHOTOMETRIC, [1])[0])
         row_bytes = (width + 7) // 8
-        counts = tags.get(_TAG_STRIP_COUNTS, [height * row_bytes])
+        counts = tags.get(_TAG_STRIP_COUNTS)
+        if counts is None:
+            # the single-element default would zip against offsets[0]
+            # only and silently decode bytes past the first strip —
+            # reject loudly, like the fill-order check above
+            if len(offsets) > 1:
+                raise ValueError(
+                    "TIFF StripByteCounts missing with "
+                    f"{len(offsets)} strips — cannot infer strip sizes"
+                )
+            counts = [height * row_bytes]
         payload = b"".join(
             data[int(o): int(o) + int(c)] for o, c in zip(offsets, counts)
         )
@@ -156,9 +166,14 @@ def read_tiff_gray(data: bytes) -> np.ndarray:
         return ~arr if photometric == 0 else arr
 
     dtype = np.dtype(f"{bo}{kind}{bits // 8}")
-    counts = tags.get(
-        _TAG_STRIP_COUNTS, [height * width * (bits // 8) - 0]
-    )
+    counts = tags.get(_TAG_STRIP_COUNTS)
+    if counts is None:
+        if len(offsets) > 1:
+            raise ValueError(
+                "TIFF StripByteCounts missing with "
+                f"{len(offsets)} strips — cannot infer strip sizes"
+            )
+        counts = [height * width * (bits // 8)]
     payload = b"".join(
         data[int(o): int(o) + int(c)] for o, c in zip(offsets, counts)
     )
