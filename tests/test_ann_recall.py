@@ -1,0 +1,109 @@
+"""ANN quality (recall) gate — VERDICT r7 #6.
+
+The IVF/LSH top-k operators are hash-exact against their DuckDB oracles
+(same candidate cells/buckets), but that checks the IMPLEMENTATION, not
+the APPROXIMATION: nothing previously measured how much of the true
+top-k the probe surfaces. This gate computes recall@k of
+`ivf_index_probe` (nprobe 1, 2, 4) and single-bucket `lsh_topk` against
+`brute_force_topk` on a clustered synthetic corpus (4k vectors, 16-dim,
+12 Gaussian clusters — the shape IVF's data-adaptive cells are built
+for) and pins floors under the measured curve.
+
+Measured 2026-08-15 (seed 42, deterministic — the numbers reproduce
+bit-for-bit):
+
+    IVF  nprobe=1  recall@10 = 0.838
+    IVF  nprobe=2  recall@10 = 0.947
+    IVF  nprobe=4  recall@10 = 1.000
+    LSH  planes=4  recall@10 = 0.578   (single-bucket probe)
+    LSH  planes=6  recall@10 = 0.444   (smaller buckets, lower recall)
+
+SCALE.md §ANN quotes this curve; floors here sit a few points under it
+so a quantization tweak doesn't flake the gate, while a broken probe
+(wrong cell assignment, lost candidates) fails it hard.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pytest
+
+from xrddatapipeline_spark.operators import similarity as sim
+
+K = 10
+N, DIM, NCLUST, NQ = 4000, 16, 12, 32
+
+
+@pytest.fixture(scope="module")
+def corpus_and_queries(spark):
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(NCLUST, DIM)) * 3.0
+    assign = rng.integers(0, NCLUST, size=N)
+    vecs = centers[assign] + rng.normal(size=(N, DIM))
+    corpus = spark.createDataFrame(
+        [(int(i), [float(v) for v in vecs[i]]) for i in range(N)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8).cache()
+    corpus.count()
+    qvecs = centers[rng.integers(0, NCLUST, size=NQ)] + rng.normal(
+        size=(NQ, DIM)
+    )
+    queries = spark.createDataFrame(
+        [(int(10_000_000 + i), [float(v) for v in qvecs[i]])
+         for i in range(NQ)],
+        "vec_id long, embedding array<double>",
+    )
+    yield corpus, queries
+    corpus.unpersist()
+
+
+def _topk_sets(df) -> dict[int, set[int]]:
+    pdf = df.toPandas()
+    return pdf.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+
+
+def _recall(got: dict[int, set[int]], gt: dict[int, set[int]]) -> float:
+    return float(
+        np.mean([len(got.get(q, set()) & g) / K for q, g in gt.items()])
+    )
+
+
+@pytest.fixture(scope="module")
+def ground_truth(corpus_and_queries):
+    corpus, queries = corpus_and_queries
+    return _topk_sets(sim.brute_force_topk(corpus, queries, k=K))
+
+
+def test_ivf_recall_floors_and_monotonicity(
+    spark, corpus_and_queries, ground_truth, tmp_path_factory
+):
+    corpus, queries = corpus_and_queries
+    path = str(tmp_path_factory.mktemp("recall") / "ivf")
+    sim.save_ivf_index(corpus, path, num_cells=16)
+    recalls = {}
+    for nprobe in (1, 2, 4):
+        got = _topk_sets(
+            sim.ivf_index_probe(spark, path, queries, k=K, nprobe=nprobe)
+        )
+        recalls[nprobe] = _recall(got, ground_truth)
+    shutil.rmtree(path, ignore_errors=True)
+
+    # floors a few points under the measured 0.838 / 0.947 / 1.000
+    assert recalls[1] >= 0.80, recalls
+    assert recalls[2] >= 0.90, recalls
+    assert recalls[4] >= 0.99, recalls
+    # nprobe=n+1's probed cell set is a superset of nprobe=n's
+    # (ivf_cells_expr slices the same sorted candidate array), and the
+    # rerank is exact, so recall must be monotone non-decreasing
+    assert recalls[1] <= recalls[2] <= recalls[4], recalls
+
+
+def test_lsh_recall_floor(corpus_and_queries, ground_truth):
+    corpus, queries = corpus_and_queries
+    got = _topk_sets(sim.lsh_topk(corpus, queries, k=K, num_planes=4))
+    rec = _recall(got, ground_truth)
+    # measured 0.578 at 4 planes; the floor catches a broken bucket
+    # expression (recall would collapse toward k/N ~ 0.003)
+    assert rec >= 0.50, rec

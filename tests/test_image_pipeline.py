@@ -306,3 +306,69 @@ def test_empty_batch_eager_plan_builds(spark):
     assert res.h_maxima.count() == 0
     assert res.integrals.count() == 0
     res.unpersist_all()
+
+
+def _shuffle_exchange_outputs(df) -> list[list[tuple[str, str]]]:
+    """Output attributes (name, type) of every non-broadcast shuffle
+    exchange in the (possibly adaptive) physical plan. Lazy — inspects
+    the pre-execution plan; no action is run."""
+    seen: set[int] = set()
+    outs: list[list[tuple[str, str]]] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if "ShuffleExchange" in name and node.id() not in seen:
+            seen.add(node.id())
+            attrs = []
+            it = node.output().iterator()
+            while it.hasNext():
+                a = it.next()
+                attrs.append((a.name(), a.dataType().simpleString()))
+            outs.append(attrs)
+        if name.endswith("QueryStageExec"):
+            walk(node.plan())
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+        ch = node.children().iterator()
+        while ch.hasNext():
+            walk(ch.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return outs
+
+
+def test_csim_window_exchange_ships_packed_narrow_rows(spark):
+    """Pin the round-7 csim exchange narrowing (ca237b6): the dominant
+    window-input exchange must ship exactly the packed 4-field rows —
+    (dataset, seq, yx:bigint, intensity:int) — and NO shuffle exchange
+    anywhere in the plan may carry the image_id string or unpacked y/x
+    (image_id re-attaches post-agg from a broadcast; y/x ride inside
+    yx). A refactor that silently reintroduces wide rows on the ~66 M-row
+    exchange fails here, without needing a bench number."""
+    imgs = [("synth", s, make_image(CONTROLS, seq=s)) for s in range(2)]
+    pixels = images_long_df(spark, imgs)
+    df = cosine_similarity_series(pixels)
+    exchanges = _shuffle_exchange_outputs(df)
+    assert exchanges, "csim plan lost its shuffle exchanges entirely?"
+
+    window_ex = [ex for ex in exchanges if any(n == "yx" for n, _ in ex)]
+    assert window_ex, "no exchange carries the packed yx column"
+    for ex in window_ex:
+        names = {n for n, _ in ex}
+        # exactly the 4 narrow fields: no image_id string, no unpacked
+        # y/x, and no duplicate double-cast of intensity (round-8 plan
+        # test caught Catalyst planning a pre-window cast/alias BELOW
+        # the exchange, shipping the value twice)
+        assert names == {"dataset", "seq", "yx", "intensity"}, names
+        types = dict(ex)
+        assert types["yx"] == "bigint"
+        assert types["intensity"] == "int"  # double cast is post-shuffle
+
+    # image_id may only travel in the tiny (dataset, seq, image_id)
+    # id-map exchanges — never alongside pixel-scale columns (the
+    # fixture's own input repartition is not the operator's doing and
+    # carries no packed columns)
+    for ex in exchanges:
+        names = {n for n, _ in ex}
+        if "image_id" in names:
+            assert not names & {"yx", "intensity"}, exchanges

@@ -398,24 +398,34 @@ def cosine_similarity_series(pixels: DataFrame) -> DataFrame:
     ).alias("yx")
     src = pixels.select("dataset", "seq", yx, "intensity")
     w = Window.partitionBy("dataset", "yx").orderBy("seq")
+    # all three series stay int32 THROUGH the window: a pre-window
+    # ``intensity.cast("double")`` projection gets planned BELOW the
+    # exchange, so the shuffle would ship the double AND the int
+    # (+8 B/row on the dominant exchange — caught by the round-8 plan
+    # test). int32 -> double is exact, so casting inside the dot
+    # products instead is bit-identical.
     paired = src.select(
         "dataset",
         "seq",
-        F.col("intensity").cast("double").alias("v"),
+        "intensity",  # NOT re-aliased: an alias projects a duplicate
+        # attribute below the exchange, widening every shuffled row
         F.coalesce(F.lag("intensity").over(w), F.col("intensity"))
-        .cast("double")
         .alias("v_prev"),
-        F.first("intensity").over(w).cast("double").alias("v_first"),
+        F.first("intensity").over(w).alias("v_first"),
     )
-    dot = lambda a, b: F.sum(F.col(a) * F.col(b))  # noqa: E731
+    dot = lambda a, b: F.sum(  # noqa: E731
+        F.col(a).cast("double") * F.col(b).cast("double")
+    )
     sims = paired.groupBy("dataset", "seq").agg(
         (
-            dot("v", "v_first")
-            / F.sqrt(dot("v", "v") * dot("v_first", "v_first"))
+            dot("intensity", "v_first")
+            / F.sqrt(dot("intensity", "intensity")
+                     * dot("v_first", "v_first"))
         ).alias("csim_first"),
         (
-            dot("v", "v_prev")
-            / F.sqrt(dot("v", "v") * dot("v_prev", "v_prev"))
+            dot("intensity", "v_prev")
+            / F.sqrt(dot("intensity", "intensity")
+                     * dot("v_prev", "v_prev"))
         ).alias("csim_prev"),
     )
     return sims.join(F.broadcast(ids), ["dataset", "seq"]).select(
