@@ -303,36 +303,46 @@ def _keepup_2880(batch: int = 8) -> dict:
 
     batch_profiles: dict[str, list] = {}
 
+    def _noop_write(o) -> None:
+        o.write.format("noop").mode("overwrite").save()
+
     def one_batch(h_maxima: bool = True, prof_key: str | None = None) -> float:
         snap = _prof_snap() if prof_key else None
         t0 = time.perf_counter()
-        res = run_image_plan(
-            pixels, None, c, gradient_stage=True, barrier=barrier,
-            n_images=batch, h_maxima=h_maxima,
-        )
-        outs = [res.integrals, res.spot_stats, res.spottiness, res.outliers,
-                cosine_similarity_series(res.pixels)]
-        if res.h_maxima is not None:
-            # A19 runs inside the reference's spottiness stage — part of
-            # the "full parity" keep-up number since round 5
-            outs.append(res.h_maxima)
-        if res.gradient is not None:
-            outs.append(res.gradient.on_arc_labels)
-        # the outputs are independent jobs over the already-materialized
-        # barriers: submit them concurrently so one job's stage tails
-        # overlap the next job's ramp-up instead of leaving cores idle
-        # between the six sequential actions (same overlap a multi-sink
-        # streaming batch gets on a real cluster)
-        with ThreadPoolExecutor(max_workers=len(outs)) as pool:
-            futs = [
-                pool.submit(
-                    lambda o: o.write.format("noop").mode("overwrite").save(),
-                    out,
-                )
-                for out in outs
-            ]
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            # csim needs NOTHING from the plan — only (dataset, seq, y, x,
+            # intensity) off the raw pixel cache — so its big window
+            # shuffle job is submitted FIRST and runs concurrently with
+            # run_image_plan's eager barrier chain (round-8 overlap: the
+            # barriers were profiled at ~36% of core time with csim
+            # previously serialized after them). Identical output to
+            # csim-over-res.pixels: the operator's first select takes the
+            # same 6 columns either way.
+            csim_fut = pool.submit(
+                _noop_write, cosine_similarity_series(pixels)
+            )
+            res = run_image_plan(
+                pixels, None, c, gradient_stage=True, barrier=barrier,
+                n_images=batch, h_maxima=h_maxima,
+            )
+            outs = [res.integrals, res.spot_stats, res.spottiness,
+                    res.outliers]
+            if res.h_maxima is not None:
+                # A19 runs inside the reference's spottiness stage — part
+                # of the "full parity" keep-up number since round 5
+                outs.append(res.h_maxima)
+            if res.gradient is not None:
+                outs.append(res.gradient.on_arc_labels)
+            # the remaining outputs are independent jobs over the
+            # already-materialized barriers: submit them concurrently so
+            # one job's stage tails overlap the next job's ramp-up
+            # instead of leaving cores idle between sequential actions
+            # (same overlap a multi-sink streaming batch gets on a real
+            # cluster)
+            futs = [pool.submit(_noop_write, out) for out in outs]
             for f in futs:
                 f.result()
+            csim_fut.result()
         elapsed = time.perf_counter() - t0
         res.unpersist_all()
         if prof_key is not None:
@@ -381,20 +391,16 @@ def _keepup_2880(batch: int = 8) -> dict:
         pres = run_image_plan(
             ppx, None, pc, gradient_stage=True, barrier=barrier, n_images=1
         )
+        # csim over the RAW pixel cache — the same plan shape one_batch
+        # compiles, so the pilot pre-JITs the right generated classes
         pouts = [pres.integrals, pres.spot_stats, pres.spottiness,
-                 pres.outliers, cosine_similarity_series(pres.pixels)]
+                 pres.outliers, cosine_similarity_series(ppx)]
         if pres.h_maxima is not None:
             pouts.append(pres.h_maxima)
         if pres.gradient is not None:
             pouts.append(pres.gradient.on_arc_labels)
         with ThreadPoolExecutor(max_workers=len(pouts)) as pool:
-            for f in [
-                pool.submit(
-                    lambda o: o.write.format("noop").mode("overwrite").save(),
-                    out,
-                )
-                for out in pouts
-            ]:
+            for f in [pool.submit(_noop_write, out) for out in pouts]:
                 f.result()
         pres.unpersist_all()
         ppx.unpersist()

@@ -247,11 +247,20 @@ def test_grayscale_reconstruct_rejects_noncontiguous_out():
 
 
 def test_warmup_hmax_scratch_prefaults_pool():
+    # start cold: idempotent warmup (round 8) returns 0 when the roles
+    # are already warm, so drop them first for a deterministic byte count
+    for key in [k for k in kernels._SCRATCH if k[0].startswith("hmax")]:
+        del kernels._SCRATCH[key]
     before = dict(kernels._SCRATCH)
     n = kernels.warmup_hmax_scratch((64, 64))
     assert n == 3 * 64 * 64 * 8 + 64 * 64
     for role in kernels.HMAX_SCRATCH_ROLES:
         assert (role, "<f8") in kernels._SCRATCH
+    # idempotency: warm workers must NOT re-memset (the round-8 fix for
+    # the per-batch warmup parasite — 500-1200 core-s/batch of re-zeroing)
+    assert kernels.warmup_hmax_scratch((64, 64)) == 0
+    assert kernels.warmup_hmax_scratch((32, 64)) == 0  # smaller fits
+    assert kernels.warmup_hmax_scratch((128, 64)) > 0  # taller re-warms
     # a subsequent h_maxima call at the warmed shape reuses those buffers
     img = np.zeros((64, 64))
     img[10, 10] = 50.0

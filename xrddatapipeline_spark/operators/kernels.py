@@ -206,6 +206,25 @@ BAND_SCRATCH_ROLES = (
 )
 
 
+def _roles_warm(
+    roles: tuple[tuple[str, type], ...], shape: tuple[int, int]
+) -> bool:
+    """True when every (role, dtype) buffer already exists at this width
+    and >= this height — its pages were faulted by a previous warmup or
+    kernel call in this process, so re-zeroing them is pure
+    memory-bandwidth waste (measured round 8: the per-batch warmup job
+    burned 500-1200 core-seconds re-memsetting ~330 MB x 96 tasks of
+    already-warm buffers every batch, and was the dominant share of the
+    h-on warm-batch variance: its python-worker waits interleaved
+    nondeterministically with the h-maxima kernel stage)."""
+    h, w = shape
+    for role, dtype in roles:
+        buf = _SCRATCH.get((role, np.dtype(dtype).str))
+        if buf is None or buf.shape[1] != w or buf.shape[0] < h:
+            return False
+    return True
+
+
 def warmup_band_scratch(shape: tuple[int, int]) -> int:
     """Pre-fault the fused band kernel's scratch set in this worker.
 
@@ -213,8 +232,15 @@ def warmup_band_scratch(shape: tuple[int, int]) -> int:
     cost of the band kernel (10-20x the numpy time under full-node
     concurrency); run_image_plan submits a tiny warmup job concurrently
     with the (JVM-heavy, python-idle) pixel-cache build so the worker pool
-    is pre-faulted by the time the kernel stage runs. Returns bytes
-    touched."""
+    is pre-faulted by the time the kernel stage runs. Idempotent: a worker
+    whose buffers are already warm returns 0 without touching memory.
+    Returns bytes touched."""
+    if _roles_warm(
+        tuple((r, np.float64) for r in BAND_SCRATCH_ROLES)
+        + (("band_bad", bool),),
+        shape,
+    ):
+        return 0
     n = 0
     for role in BAND_SCRATCH_ROLES:
         buf = _scratch(shape, role)
@@ -237,8 +263,15 @@ def warmup_hmax_scratch(shape: tuple[int, int]) -> int:
     page-fault economics as ``warmup_band_scratch``, but at FULL image
     height — ~210 MB at 2880^2). Steady-state footprint is unchanged:
     workers that run any h-maxima group grow these buffers anyway; this
-    just moves the fault storm into the warmup overlap. Returns bytes
-    touched."""
+    just moves the fault storm into the warmup overlap. Idempotent like
+    ``warmup_band_scratch`` — warm workers return 0 untouched. Returns
+    bytes touched."""
+    if _roles_warm(
+        tuple((r, np.float64) for r in HMAX_SCRATCH_ROLES)
+        + (("hmax_cond", bool),),
+        shape,
+    ):
+        return 0
     n = 0
     for role in HMAX_SCRATCH_ROLES:
         buf = _scratch(shape, role)

@@ -113,6 +113,62 @@ def closed_outlier_pixels(
     return close_mask_pixels(outliers, shape=shape, radius=1)
 
 
+def labeled_pixels_frame(
+    px: DataFrame, om_pixels: DataFrame, shape: tuple[int, int],
+    sparse_hint=None,
+) -> DataFrame:
+    """The labeled sparse pixel set feeding shape classification: label
+    the closed outlier mask (M1), then attach the per-pixel physics
+    columns from the dense table.
+
+    q/azim feed the shape classifier; intensity/qbin ride along so
+    downstream per-label stats (spot_stats) never probe the dense pixel
+    table again — the labeled set is ~1% of pixels, so two extra int
+    columns in the sparse barrier are free compared to a second 66M-row
+    hash-probe of a multi-column key (measured 24 s/task of pure CPU in
+    the warm 8 x 2880^2 profile)."""
+    labeled = label_pixels(om_pixels, shape=shape, connectivity=2)
+    if sparse_hint is not None:
+        labeled = sparse_hint(labeled)
+    lpx = labeled.join(
+        px.select("image_id", "y", "x", "q", "azim", "intensity", "qbin"),
+        ["image_id", "y", "x"],
+    )
+    # flipped azimuth mirrors the axis so wrapped arcs read contiguous (A7)
+    return lpx.withColumn(
+        "azim_flip", F.pmod(F.col("azim") + 180.0, F.lit(360.0))
+    )
+
+
+def label_table_from(lpx: DataFrame) -> DataFrame:
+    """Per-label shape classification over an (already materialized)
+    labeled pixel set: area / circular azimuth extent / Q extent -> arc
+    vs spot (A5-A9). Split from ``labeled_pixels_frame`` (round 8) so
+    run_image_plan derives it from the CHECKPOINTED lpx barrier — the
+    previous single-function form rebuilt label_table from the lazy lpx,
+    re-running the labeling kernel AND the 66M-row px join a second time
+    inside the label_table checkpoint job."""
+    ext = F.max("azim") - F.min("azim")
+    extf = F.max("azim_flip") - F.min("azim_flip")
+    label_table = lpx.groupBy("image_id", "label").agg(
+        F.count("*").alias("area"),
+        F.least(ext, extf).alias("diff_azim"),
+        (
+            F.expr("percentile(q, 0.9)") - F.expr("percentile(q, 0.1)")
+        ).alias("diff_q"),
+    )
+    return label_table.withColumn(
+        "classifier",
+        F.when(
+            (F.col("area") > MIN_ARC_AREA)
+            & (F.col("diff_q") < Q_MAX)
+            & (F.col("diff_azim") > AZIM_MIN)
+            & (F.col("diff_azim") / F.col("diff_q") > AZIM_Q_SHAPE_MIN),
+            F.lit(2),
+        ).otherwise(F.lit(1)),
+    )
+
+
 def classify_clusters(
     px: DataFrame, om_pixels: DataFrame, shape: tuple[int, int],
     sparse_hint=None,
@@ -123,42 +179,11 @@ def classify_clusters(
 
     Returns (labeled_pixels, label_table) where label_table carries
     (image_id, label, area, diff_azim, diff_q, classifier) with
-    classifier 1 = spot, 2 = arc (A9)."""
-    labeled = label_pixels(om_pixels, shape=shape, connectivity=2)
-    if sparse_hint is not None:
-        labeled = sparse_hint(labeled)
-    # q/azim feed the shape classifier; intensity/qbin ride along so
-    # downstream per-label stats (spot_stats) never probe the dense pixel
-    # table again — the labeled set is ~1% of pixels, so two extra int
-    # columns in the sparse barrier are free compared to a second 66M-row
-    # hash-probe of a multi-column key (measured 24 s/task of pure CPU in
-    # the warm 8 x 2880^2 profile)
-    lpx = labeled.join(
-        px.select("image_id", "y", "x", "q", "azim", "intensity", "qbin"),
-        ["image_id", "y", "x"],
-    )
-    # flipped azimuth mirrors the axis so wrapped arcs read contiguous (A7)
-    lpx = lpx.withColumn("azim_flip", F.pmod(F.col("azim") + 180.0, F.lit(360.0)))
-    ext = F.max("azim") - F.min("azim")
-    extf = F.max("azim_flip") - F.min("azim_flip")
-    label_table = lpx.groupBy("image_id", "label").agg(
-        F.count("*").alias("area"),
-        F.least(ext, extf).alias("diff_azim"),
-        (
-            F.expr("percentile(q, 0.9)") - F.expr("percentile(q, 0.1)")
-        ).alias("diff_q"),
-    )
-    label_table = label_table.withColumn(
-        "classifier",
-        F.when(
-            (F.col("area") > MIN_ARC_AREA)
-            & (F.col("diff_q") < Q_MAX)
-            & (F.col("diff_azim") > AZIM_MIN)
-            & (F.col("diff_azim") / F.col("diff_q") > AZIM_Q_SHAPE_MIN),
-            F.lit(2),
-        ).otherwise(F.lit(1)),
-    )
-    return lpx, label_table
+    classifier 1 = spot, 2 = arc (A9). Lazy composition wrapper;
+    run_image_plan uses the split halves so the label_table job reads
+    the lpx BARRIER instead of re-running the kernel."""
+    lpx = labeled_pixels_frame(px, om_pixels, shape, sparse_hint)
+    return lpx, label_table_from(lpx)
 
 
 def integrate_all(
@@ -695,10 +720,16 @@ def run_image_plan(
         sb = F.broadcast
     else:
         sb = None
-    lpx, label_table = classify_clusters(px, om, shape, sparse_hint=sb)
-    lpx = _bar(lpx, label="lpx")
+    # split construction (round 8): materialize the lpx barrier FIRST,
+    # then build label_table FROM the barrier — the tuple form re-ran
+    # the labeling kernel + the 66M-row px join inside the label_table
+    # checkpoint job (one of the three big localCheckpoint stages in the
+    # round-7 warm profile)
+    lpx = _bar(
+        labeled_pixels_frame(px, om, shape, sparse_hint=sb), label="lpx"
+    )
     label_table = _bar(_obs(
-        label_table,
+        label_table_from(lpx),
         "shape_classification",
         F.count(F.lit(1)).alias("n_clusters"),
         F.count_if(F.col("classifier") == 1).alias("n_spots"),

@@ -293,6 +293,16 @@ class StreamingImagePipeline:
             partition_by=("dataset", "seq"), fmt=self.table_format,
         )
 
+        # csim depends ONLY on the pixel store just written (T5 reads the
+        # pruned partitions back), so its window-shuffle job overlaps the
+        # eager barrier chain inside run_image_plan instead of running
+        # serialized after every sink (round 8 — the barriers profile at
+        # ~36% of core time; csim is the single biggest independent job)
+        from concurrent.futures import ThreadPoolExecutor
+
+        csim_pool = ThreadPoolExecutor(max_workers=1)
+        csim_fut = csim_pool.submit(self._append_csim, batch_df)
+
         res = run_image_plan(
             batch_df,
             self.calib,
@@ -307,8 +317,6 @@ class StreamingImagePipeline:
             # submit concurrently so stage tails of one output job overlap
             # the ramp-up of the next (measured idle-core gaps between the
             # sequential actions at 8 x 2880^2)
-            from concurrent.futures import ThreadPoolExecutor
-
             sinks = [
                 (res.integrals, "integrals"),
                 (res.spot_stats, "spot_stats"),
@@ -342,7 +350,10 @@ class StreamingImagePipeline:
                 render_mask_tiffs(
                     res.outliers, shape, masks_dir, "_outliermask"
                 ).collect()
-            self._append_csim(batch_df)
+            # join the overlapped csim job (submitted before
+            # run_image_plan); surfaces any csim failure here, after the
+            # sinks, exactly where the serialized call used to run
+            csim_fut.result()
             if self.observe_metrics and res.observations:
                 # A22 analog: the reference prints per-stage counters at
                 # Stop (pipeline_queue.py:1007-1014); here each batch
@@ -362,6 +373,10 @@ class StreamingImagePipeline:
                     self._path("stage_metrics")
                 )
         finally:
+            # csim must be settled (done or failed) before the batch's
+            # frames are unpersisted — shutdown(wait=True) guarantees it
+            # even when a sink raised past the result() above
+            csim_pool.shutdown(wait=True)
             res.unpersist_all()
 
     def _append_csim(self, batch_df: DataFrame) -> None:
