@@ -438,7 +438,21 @@ def _keepup_2880(batch: int = 8) -> dict:
     if pilot_sec is not None:
         out["pilot_sec"] = round(pilot_sec, 2)
     if batch_profiles:
-        out["batch_profiles"] = batch_profiles
+        # Round 8 lesson: embedding the full per-batch REST stage profiles
+        # here ballooned the final JSON line past the driver's ~2000-char
+        # stdout tail capture, cutting it mid-JSON — BENCH_r08 recorded
+        # "parsed": null and the headline numbers were lost. The profiles
+        # are diagnostics, not the metric: they go to a sidecar file and
+        # the published line carries only the path.
+        prof_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_PROFILES.json"
+        )
+        try:
+            with open(prof_path, "w") as f:
+                json.dump(batch_profiles, f, indent=1)
+            out["profiles_path"] = prof_path
+        except OSError as e:
+            print(f"profile sidecar write failed: {e!r}", file=sys.stderr)
     if hoff is not None:
         out["hoff_batch_sec"] = round(hoff, 2)
         out["hoff_batches_sec"] = [round(v, 2) for v in hoffs]
@@ -521,7 +535,29 @@ def main() -> None:
     }
     if keepup is not None:
         out["xrd_image_plan_2880"] = keepup
-    print(json.dumps(out))
+
+    # The driver captures only a ~2000-char tail of stdout and parses the
+    # JSON line from it (BENCH_r08 lost the round's numbers when this line
+    # outgrew the capture). Hard budget: if the line exceeds it, shed
+    # diagnostic sub-fields in priority order until it fits — the headline
+    # `value`/`queries`/`sec_per_image` metrics are never dropped.
+    _LINE_BUDGET = 1500
+    _SHEDDABLE = [
+        "warm_batches_sec", "hoff_batches_sec", "warm_spread_sec",
+        "pilot_sec", "px_build_sec", "cold_batch_sec", "profiles_path",
+        "breakeven_acquisition_period_sec", "images_per_sec",
+    ]
+    line = json.dumps(out)
+    if len(line) > _LINE_BUDGET and keepup is not None:
+        for key in _SHEDDABLE:
+            keepup.pop(key, None)
+            line = json.dumps(out)
+            if len(line) <= _LINE_BUDGET:
+                break
+    if len(line) > _LINE_BUDGET:
+        out["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

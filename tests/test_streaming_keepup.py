@@ -133,7 +133,11 @@ def test_streaming_keepup_full_parity(tmp_path):
     # regression without flaking on weather. Override via
     # XRDSPARK_KEEPUP_BAR_SEC for slower hosts.
     bar_sec_per_img = float(os.environ.get("XRDSPARK_KEEPUP_BAR_SEC", "90"))
-    steady_ms = [v for _, v in sorted(per_batch.items())][1:]
+    # progress entries can lack a triggerExecution duration (None) —
+    # drop those rather than TypeError inside min()
+    steady_ms = [
+        v for _, v in sorted(per_batch.items()) if v is not None
+    ][1:]
     assert steady_ms, "need >=2 non-empty micro-batches for a steady state"
     steady_sec_per_img = min(steady_ms) / 1000.0 / FILES_PER_TRIGGER
     assert steady_sec_per_img <= bar_sec_per_img, (

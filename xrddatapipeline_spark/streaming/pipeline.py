@@ -303,16 +303,23 @@ class StreamingImagePipeline:
         csim_pool = ThreadPoolExecutor(max_workers=1)
         csim_fut = csim_pool.submit(self._append_csim, batch_df)
 
-        res = run_image_plan(
-            batch_df,
-            self.calib,
-            self.controls,
-            broadcast_calib=self.broadcast_calib,
-            gradient_stage=self.gradient_stage,
-            observe=self.observe_metrics,
-            barrier=self.barrier,
-        )
+        # everything from here on sits inside the try so that a failure in
+        # run_image_plan itself (not just in a sink) still reaches the
+        # csim_pool.shutdown(wait=True) below — otherwise the csim thread
+        # would be orphaned with its append-mode write possibly still in
+        # flight when foreachBatch retries the batch, racing the retry's
+        # _append_csim into duplicate (dataset, seq) rows.
+        res = None
         try:
+            res = run_image_plan(
+                batch_df,
+                self.calib,
+                self.controls,
+                broadcast_calib=self.broadcast_calib,
+                gradient_stage=self.gradient_stage,
+                observe=self.observe_metrics,
+                barrier=self.barrier,
+            )
             # independent sinks over the already-materialized barriers:
             # submit concurrently so stage tails of one output job overlap
             # the ramp-up of the next (measured idle-core gaps between the
@@ -375,9 +382,11 @@ class StreamingImagePipeline:
         finally:
             # csim must be settled (done or failed) before the batch's
             # frames are unpersisted — shutdown(wait=True) guarantees it
-            # even when a sink raised past the result() above
+            # on every exit path, including run_image_plan raising before
+            # res exists
             csim_pool.shutdown(wait=True)
-            res.unpersist_all()
+            if res is not None:
+                res.unpersist_all()
 
     def _append_csim(self, batch_df: DataFrame) -> None:
         """T5: csim vs previous/first via the pixel store (J4-over-store).
