@@ -271,3 +271,26 @@ def test_warmup_hmax_scratch_prefaults_pool():
     for k, i in ids.items():
         assert after[k] == i
     del before
+
+
+def test_warmup_memset_counter_pins_once_per_lifetime():
+    """Regression pin for the round-8 per-batch warmup parasite: however
+    many batch-shaped warmup calls run (one_batch submits a warmup job per
+    batch), the actual re-memset must happen at most ONCE per (role-set,
+    shape) per worker lifetime — WARMUP_MEMSET_EVENTS counts real memsets,
+    not warmup calls."""
+    shape = (64, 64)
+    # cold-start both role sets deterministically
+    for key in [
+        k for k in kernels._SCRATCH
+        if k[0].startswith(("hmax", "band", "grad", "conv", "umap"))
+    ]:
+        del kernels._SCRATCH[key]
+    start = kernels.WARMUP_MEMSET_EVENTS
+    # simulate 5 batches, each submitting both warmups (the streaming /
+    # bench per-batch pattern)
+    for _ in range(5):
+        kernels.warmup_band_scratch(shape)
+        kernels.warmup_hmax_scratch(shape)
+    # exactly one memset per role set, regardless of batch count
+    assert kernels.WARMUP_MEMSET_EVENTS - start == 2

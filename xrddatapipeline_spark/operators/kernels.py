@@ -225,6 +225,14 @@ def _roles_warm(
     return True
 
 
+#: count of warmup calls that actually re-zeroed buffers in this process
+#: (regression pin for the round-8 find: a per-batch warmup that re-memsets
+#: warm buffers burned 500-1200 core-s/batch — tests assert this counter
+#: advances at most once per (role-set, shape) per process lifetime however
+#: many batch-shaped warmup calls run)
+WARMUP_MEMSET_EVENTS: int = 0
+
+
 def warmup_band_scratch(shape: tuple[int, int]) -> int:
     """Pre-fault the fused band kernel's scratch set in this worker.
 
@@ -241,6 +249,8 @@ def warmup_band_scratch(shape: tuple[int, int]) -> int:
         shape,
     ):
         return 0
+    global WARMUP_MEMSET_EVENTS
+    WARMUP_MEMSET_EVENTS += 1
     n = 0
     for role in BAND_SCRATCH_ROLES:
         buf = _scratch(shape, role)
@@ -272,6 +282,8 @@ def warmup_hmax_scratch(shape: tuple[int, int]) -> int:
         shape,
     ):
         return 0
+    global WARMUP_MEMSET_EVENTS
+    WARMUP_MEMSET_EVENTS += 1
     n = 0
     for role in HMAX_SCRATCH_ROLES:
         buf = _scratch(shape, role)
