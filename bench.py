@@ -303,8 +303,16 @@ def _keepup_2880(batch: int = 8) -> dict:
 
     batch_profiles: dict[str, list] = {}
 
-    def _noop_write(o) -> None:
-        o.write.format("noop").mode("overwrite").save()
+    def _noop_write(o, label: str | None = None) -> None:
+        # name the output job's stages in the REST profile (callSite.short
+        # is thread-local, and each output job runs on its own pool thread)
+        if label:
+            spark.sparkContext.setLocalProperty("callSite.short", label)
+        try:
+            o.write.format("noop").mode("overwrite").save()
+        finally:
+            if label:
+                spark.sparkContext.setLocalProperty("callSite.short", None)
 
     def one_batch(h_maxima: bool = True, prof_key: str | None = None) -> float:
         snap = _prof_snap() if prof_key else None
@@ -319,27 +327,31 @@ def _keepup_2880(batch: int = 8) -> dict:
             # csim-over-res.pixels: the operator's first select takes the
             # same 6 columns either way.
             csim_fut = pool.submit(
-                _noop_write, cosine_similarity_series(pixels)
+                _noop_write, cosine_similarity_series(pixels), "out:csim"
             )
             res = run_image_plan(
                 pixels, None, c, gradient_stage=True, barrier=barrier,
                 n_images=batch, h_maxima=h_maxima,
             )
-            outs = [res.integrals, res.spot_stats, res.spottiness,
-                    res.outliers]
+            outs = [
+                (res.integrals, "out:integrals"),
+                (res.spot_stats, "out:spot_stats"),
+                (res.spottiness, "out:spottiness"),
+                (res.outliers, "out:outliers"),
+            ]
             if res.h_maxima is not None:
                 # A19 runs inside the reference's spottiness stage — part
                 # of the "full parity" keep-up number since round 5
-                outs.append(res.h_maxima)
+                outs.append((res.h_maxima, "out:h_maxima"))
             if res.gradient is not None:
-                outs.append(res.gradient.on_arc_labels)
+                outs.append((res.gradient.on_arc_labels, "out:grad_arcs"))
             # the remaining outputs are independent jobs over the
             # already-materialized barriers: submit them concurrently so
             # one job's stage tails overlap the next job's ramp-up
             # instead of leaving cores idle between sequential actions
             # (same overlap a multi-sink streaming batch gets on a real
             # cluster)
-            futs = [pool.submit(_noop_write, out) for out in outs]
+            futs = [pool.submit(_noop_write, out, lbl) for out, lbl in outs]
             for f in futs:
                 f.result()
             csim_fut.result()

@@ -497,7 +497,7 @@ def gradient_classify(
     """
     shape = (controls.size_y, controls.size_x)
     if barrier_fn is None:
-        barrier_fn = lambda df: df.persist()  # noqa: E731
+        barrier_fn = lambda df, label="": df.persist()  # noqa: E731
     if sparse_hint is None:
         sparse_hint = lambda df: df  # noqa: E731
     # ONE banded kernel pass emits only the labeled-pixel gradients plus
@@ -506,7 +506,8 @@ def gradient_classify(
     # frame (~n_labeled + bands rows) is barriered so both consumers read
     # one materialization.
     fused = barrier_fn(
-        fused_gradient_inputs(px, lpx, controls, n_images=n_images)
+        fused_gradient_inputs(px, lpx, controls, n_images=n_images),
+        label="grad_fused",
     )
     labeled_grads = fused.where(~F.col("is_summary")).select(
         "image_id", "y", "x", "grad_r2", "grad_a2"
@@ -519,7 +520,8 @@ def gradient_classify(
             fused.where(F.col("is_summary")).select(
                 "image_id", "n_core", "r2_cand", "a2_cand"
             )
-        )
+        ),
+        label="grad_thresholds",
     )
 
     lg = sparse_hint(lpx).join(labeled_grads, ["image_id", "y", "x"])
@@ -537,7 +539,8 @@ def gradient_classify(
     on_arc = barrier_fn(
         p20.join(F.broadcast(thresholds.select("image_id", "r2_p10")), "image_id")
         .withColumn("on_arc", F.col("p20_r2") < F.col("r2_p10"))
-        .select("image_id", "label", "p20_r2", "on_arc")
+        .select("image_id", "label", "p20_r2", "on_arc"),
+        label="grad_on_arc",
     )  # tiny (one row per label); feeds mask, swaps, flags, caller
 
     # gradient mask: extreme 2nd azim derivative inside on_arc clusters

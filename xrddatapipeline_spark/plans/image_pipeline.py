@@ -614,7 +614,7 @@ def run_image_plan(
                 file=_sys.stderr, flush=True,
             )
             try:
-                return _bar_inner(df, dense)
+                return _bar_labeled(df, dense, label)
             finally:
                 _bt_last[0] = _time.perf_counter()
                 print(
@@ -622,7 +622,22 @@ def run_image_plan(
                     f"materialize {_bt_last[0] - _t0:.2f}s",
                     file=_sys.stderr, flush=True,
                 )
-        return _bar_inner(df, dense)
+        return _bar_labeled(df, dense, label)
+
+    def _bar_labeled(df: DataFrame, dense: bool, label: str) -> DataFrame:
+        # name the barrier's stages in the Spark UI / REST profile: the
+        # round-7/8 profiles showed three big "localCheckpoint at
+        # <unknown>" stages that could not be attributed to a frame.
+        # callSite.short is a thread-local property the scheduler copies
+        # into the stage name of jobs submitted while it is set.
+        sc = df.sparkSession.sparkContext
+        if not label:
+            return _bar_inner(df, dense)
+        sc.setLocalProperty("callSite.short", f"barrier:{label}")
+        try:
+            return _bar_inner(df, dense)
+        finally:
+            sc.setLocalProperty("callSite.short", None)
 
     def _bar_inner(df: DataFrame, dense: bool = False) -> DataFrame:
         if not eager:
