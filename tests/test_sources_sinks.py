@@ -370,3 +370,34 @@ def test_write_table_format_gating(spark, tmp_path):
     assert fmt == sinks.table_format()  # delta where available, else parquet
     back = spark.read.format(fmt).load(str(tmp_path / "t"))
     assert back.count() == 5 and set(back.columns) == {"id", "p"}
+
+
+def test_export_dataset_chis_bytes_match_single_writer(spark, tmp_path):
+    """The distributed bulk exporter (one applyInPandas job) must produce
+    byte-identical files to the driver-side per-image writer."""
+    from xrddatapipeline_spark.plans.image_pipeline import run_image_plan
+    from xrddatapipeline_spark.sinks import export_dataset_chis
+
+    pixels = images_long_df(
+        spark,
+        [("synth", 0, make_image(CONTROLS, seq=0)),
+         ("synth", 1, make_image(CONTROLS, seq=1))],
+    )
+    calib = build_calib_pixels(spark, CONTROLS)
+    res = run_image_plan(pixels, calib, CONTROLS)
+    integrals = res.integrals.cache()
+
+    bulk_dir = tmp_path / "bulk"
+    paths = export_dataset_chis(integrals, str(bulk_dir), kinds=("base", "om"))
+    assert len(paths) == 4  # 2 images x 2 kinds
+    assert paths == sorted(paths)
+
+    single_dir = tmp_path / "single"
+    single_dir.mkdir()
+    for image_id in ("synth-00000", "synth-00001"):
+        for kind in ("base", "om"):
+            suffix = "" if kind == "base" else f"_{kind}"
+            name = f"{image_id}{suffix}.chi"
+            export_chi(integrals, image_id, kind, str(single_dir / name))
+            bulk_bytes = (bulk_dir / name).read_bytes()
+            assert bulk_bytes == (single_dir / name).read_bytes(), name

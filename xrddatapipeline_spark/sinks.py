@@ -88,20 +88,42 @@ def read_chi(path: str) -> pd.DataFrame:
 def export_dataset_chis(
     integrals: DataFrame, out_dir: str, kinds: tuple[str, ...] = ("base", "om")
 ) -> list[str]:
-    """Bulk export: one `.chi` per (image, kind) under out_dir."""
+    """Bulk export: one `.chi` per (image, kind) under out_dir.
+
+    ONE distributed job: each (image, kind) group writes its own file from
+    the executor (`applyInPandas`), byte-identical to `export_chi`'s
+    driver-side writer — the previous form ran one filtered collect job
+    per (image, kind), a driver-side loop that serializes a bulk export
+    into images x kinds scheduler round-trips. out_dir must be visible to
+    the executors (local mode / shared filesystem — same contract as
+    `render_mask_tiffs`)."""
+    from pyspark.sql import functions as F
+
     os.makedirs(out_dir, exist_ok=True)
-    ids = [r.image_id for r in integrals.select("image_id").distinct().collect()]
-    paths = []
-    for image_id in sorted(ids):
-        for kind in kinds:
-            suffix = "" if kind == "base" else f"_{kind}"
-            paths.append(
-                export_chi(
-                    integrals, image_id, kind,
-                    os.path.join(out_dir, f"{image_id}{suffix}.chi"),
-                )
-            )
-    return paths
+    out_dir_abs = os.path.abspath(out_dir)
+
+    def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        image_id = pdf["image_id"].iloc[0]
+        kind = pdf["kind"].iloc[0]
+        suffix = "" if kind == "base" else f"_{kind}"
+        path = os.path.join(out_dir_abs, f"{image_id}{suffix}.chi")
+        pdf = pdf.sort_values("tth")
+        with open(path, "w") as f:
+            f.write(f"{image_id}_{kind}\n")
+            f.write("2-Theta Angle (Degrees)\nIntensity\n")
+            f.write(f"       {len(pdf)}\n")
+            for tth, inten in zip(pdf["tth"], pdf["intensity"]):
+                f.write(f" {tth:.7e}  {inten:.7e}\n")
+        return pd.DataFrame({"path": [path]})
+
+    rows = (
+        integrals.where(F.col("kind").isin(list(kinds)))
+        .select("image_id", "kind", "tth", "intensity")
+        .groupBy("image_id", "kind")
+        .applyInPandas(_write_group, "path string")
+        .collect()
+    )
+    return sorted(r.path for r in rows)
 
 
 def render_mask_tiffs(
