@@ -256,6 +256,105 @@ def integrate_all(
     )
 
 
+def integrate_and_spottiness(
+    px: DataFrame,
+    mask_flags: DataFrame,
+    controls: ImageControls,
+    sparse_hint=None,
+) -> DataFrame:
+    """A1 x4 + A15 in ONE pixel-table pass (GROUPING SETS fusion).
+
+    ``integrate_all`` and ``spottiness_per_qbin`` have the same input
+    shape — scan the dense pixel table, left-join the sparse flag table,
+    aggregate per image over a bin column — differing only in the bin key
+    (tth_idx vs qbin) and the aggregates. Run separately they scan + probe
+    the 66 M-row cache twice; the round-9 named-stage profile showed
+    out:spottiness costing as much as a barrier build (176-548 core-s per
+    warm 8 x 2880^2 batch). GROUPING SETS ((image_id, tth_idx),
+    (image_id, qbin)) computes both in one scan: Expand doubles rows
+    map-side, partial agg collapses them immediately, and ONE tiny
+    exchange (bins x images rows) replaces the two.
+
+    Returns the fused agg frame keyed by ``_gid`` (1 = tth_idx set,
+    2 = qbin set); split it with ``split_integrals`` /
+    ``split_spottiness``. Callers should barrier the fused frame (it is
+    tiny) so the two derived outputs don't each re-run the scan.
+
+    Spottiness parity note: A15 counts om membership; the flag table's
+    pixel set equals the om set by construction (labeled pixels ⊆ om via
+    an inner join on the dense grid; azimuth_swap_classify's left join +
+    groupBy preserves every labeled pixel), so ``is_om`` here is the same
+    predicate spottiness_per_qbin joins from om_pixels."""
+    value = F.col("intensity") / F.col("pol") * F.pow(F.col("dist_sq"), 1.5)
+    kinds = {
+        "base": F.col("base_mask"),
+        "om": F.col("base_mask") | F.col("is_om"),
+        "spotsmasked": F.col("base_mask") | F.col("is_spot_px"),
+        "arcsmasked": F.col("base_mask") | F.col("is_arc_px"),
+    }
+    if sparse_hint is not None:
+        mask_flags = sparse_hint(mask_flags)
+    flagged = (
+        px.join(mask_flags, ["image_id", "y", "x"], "left")
+        .fillna(
+            {"is_om": False, "is_spot_px": False, "is_arc_px": False}
+        )
+        .withColumn("_v", value)
+    )
+    aggs = []
+    for kind, mask in kinds.items():
+        aggs.append(F.sum(F.when(~mask, F.col("_v"))).alias(f"sum_{kind}"))
+        aggs.append(F.count(F.when(~mask, F.lit(1))).alias(f"n_{kind}"))
+    aggs.append(F.count(F.lit(1)).alias("n_total"))
+    aggs.append(F.sum(F.col("is_om").cast("int")).alias("n_masked"))
+    return (
+        flagged.groupingSets(
+            [["image_id", "tth_idx"], ["image_id", "qbin"]],
+            "image_id", "tth_idx", "qbin",
+        )
+        .agg(*aggs, F.grouping_id().alias("_gid"))
+    )
+
+
+def split_integrals(fused: DataFrame, controls: ImageControls) -> DataFrame:
+    """(image_id, kind, tth_idx, tth, intensity) from the fused agg frame
+    — same output as ``integrate_all`` (bin-0 rows are aggregated then
+    dropped here; they never contribute to a kept bin either way)."""
+    kinds = ("base", "om", "spotsmasked", "arcsmasked")
+    stack_args = ", ".join(f"'{kind}', sum_{kind}, n_{kind}" for kind in kinds)
+    lo, hi = controls.iotth
+    wide = fused.where((F.col("_gid") == 1) & (F.col("tth_idx") > 0))
+    return wide.selectExpr(
+        "image_id",
+        "tth_idx",
+        f"stack({len(kinds)}, {stack_args}) as (kind, sum_val, n_px)",
+    ).select(
+        "image_id",
+        "kind",
+        "tth_idx",
+        tth_bin_center("tth_idx", lo, hi, controls.out_channels).alias("tth"),
+        (
+            F.coalesce(F.col("sum_val"), F.lit(0.0))
+            / F.greatest(F.col("n_px"), F.lit(1))
+        ).alias("intensity"),
+    )
+
+
+def split_spottiness(fused: DataFrame) -> DataFrame:
+    """(image_id, qbin, n_total, n_masked, frac_masked) from the fused agg
+    frame — same output as ``spottiness_per_qbin``."""
+    return (
+        fused.where((F.col("_gid") == 2) & (F.col("qbin") >= 0))
+        .select(
+            "image_id",
+            "qbin",
+            F.col("n_total"),
+            F.col("n_masked").cast("long").alias("n_masked"),
+            (F.col("n_masked") / F.col("n_total")).alias("frac_masked"),
+        )
+    )
+
+
 def spot_stats(
     lpx: DataFrame, label_table: DataFrame, px: DataFrame,
     sparse_hint=None,
@@ -474,6 +573,9 @@ class ImagePlanResult:
     # frame, so skipping materialization costs nothing.
     h_maxima: "DataFrame | None" = None
     gradient: "object | None" = None  # GradientStageResult when enabled
+    # the fused A1+A15 GROUPING SETS agg frame (barriered; integrals and
+    # spottiness are selects over it) — kept so unpersist_all can drop it
+    fused_bins: "DataFrame | None" = None
     # stage counters (A22 analog of the reference's per-stage printouts,
     # pipeline_queue.py:1007-1014): populated when run_image_plan(...,
     # observe=True); each Observation.get blocks until an action has run
@@ -488,6 +590,8 @@ class ImagePlanResult:
             self.pixels, self.outliers, self.om_pixels,
             self.labeled_pixels, self.label_table,
         ]
+        if self.fused_bins is not None:
+            frames.append(self.fused_bins)
         if self.gradient is not None:
             frames.extend(self.gradient.cached)
         for df in frames:
@@ -787,13 +891,23 @@ def run_image_plan(
             (F.col("classifier") == 1).alias("is_spot_px"),
             (F.col("classifier") == 2).alias("is_arc_px"),
         )
+    # A1 + A15 fused: one pixel-table scan serves both outputs (GROUPING
+    # SETS — see integrate_and_spottiness). The fused agg frame is tiny
+    # (images x bins), so it takes a barrier; the two derived outputs are
+    # then trivial selects instead of two independent 66M-row scan+probe
+    # jobs (the round-9 profile priced the separate spottiness job at
+    # 176-548 core-s per warm batch).
+    fused_bins = _bar(
+        integrate_and_spottiness(px, mask_flags, controls, sparse_hint=sb),
+        label="intspot",
+    )
     integrals = _obs(
-        integrate_all(px, mask_flags, controls, sparse_hint=sb),
+        split_integrals(fused_bins, controls),
         "integrations",
         F.count(F.lit(1)).alias("n_integral_rows"),
     )
     stats = spot_stats(lpx, label_table, px, sparse_hint=sb)
-    spotty = spottiness_per_qbin(px, om, sparse_hint=sb)
+    spotty = split_spottiness(fused_bins)
     hm = None
     if h_maxima:
         # A19/M6 runs inside the spottiness stage in the reference
@@ -822,5 +936,6 @@ def run_image_plan(
         spottiness=spotty,
         h_maxima=hm,
         gradient=grad,
+        fused_bins=fused_bins,
         observations=obs,
     )
