@@ -372,3 +372,40 @@ def test_csim_window_exchange_ships_packed_narrow_rows(spark):
         names = {n for n, _ in ex}
         if "image_id" in names:
             assert not names & {"yx", "intensity"}, exchanges
+
+
+def test_closed_form_calib_matches_calib_table(spark):
+    """run_image_plan(calib=None) (closed-form geometry; lpx probe trimmed
+    to intensity-only, round 9) must be bit-identical to the calib-table
+    join path on every labeled/sparse output."""
+    import pandas as pd
+
+    from tests.fixtures_images import images_long_df, make_image
+    from xrddatapipeline_spark.calib.cache import build_calib_pixels
+
+    pixels = images_long_df(
+        spark, [("synth", 0, make_image(CONTROLS, seq=0))]
+    ).persist()
+    pixels.count()
+    calib = build_calib_pixels(spark, CONTROLS).persist()
+    calib.count()
+    outs = {}
+    for name, cal in (("table", calib), ("closed", None)):
+        res = run_image_plan(pixels, cal, CONTROLS, barrier="hybrid")
+        outs[name] = {
+            "lpx": res.labeled_pixels.orderBy("y", "x")
+            .select("image_id", "y", "x", "label", "q", "azim",
+                    "intensity", "qbin", "azim_flip").toPandas(),
+            "label_table": res.label_table.orderBy("label").toPandas(),
+            "integrals": res.integrals.orderBy("kind", "tth_idx").toPandas(),
+            "spot_stats": res.spot_stats.orderBy("spot_stat_label").toPandas(),
+        }
+        res.unpersist_all()
+    for frame in outs["table"]:
+        pd.testing.assert_frame_equal(
+            outs["table"][frame].reset_index(drop=True),
+            outs["closed"][frame].reset_index(drop=True),
+            check_exact=True,
+        )
+    calib.unpersist()
+    pixels.unpersist()

@@ -115,7 +115,7 @@ def closed_outlier_pixels(
 
 def labeled_pixels_frame(
     px: DataFrame, om_pixels: DataFrame, shape: tuple[int, int],
-    sparse_hint=None,
+    sparse_hint=None, controls: ImageControls | None = None,
 ) -> DataFrame:
     """The labeled sparse pixel set feeding shape classification: label
     the closed outlier mask (M1), then attach the per-pixel physics
@@ -126,14 +126,34 @@ def labeled_pixels_frame(
     table again — the labeled set is ~1% of pixels, so two extra int
     columns in the sparse barrier are free compared to a second 66M-row
     hash-probe of a multi-column key (measured 24 s/task of pure CPU in
-    the warm 8 x 2880^2 profile)."""
+    the warm 8 x 2880^2 profile).
+
+    With ``controls`` set (valid ONLY when the caller's calibration is
+    the closed-form one, i.e. run_image_plan(calib=None)), the dense
+    probe reads just (image_id, y, x, intensity) — 4 columns instead of
+    7 off the columnar cache — and q/azim/qbin are recomputed closed-form
+    on the ~1%-of-pixels sparse rows with the SAME expressions that built
+    the cache, so the values are bit-identical. Only ``intensity`` is
+    data; everything else is geometry. With an externally-measured calib
+    table the 7-column probe stays (recomputation could diverge)."""
     labeled = label_pixels(om_pixels, shape=shape, connectivity=2)
     if sparse_hint is not None:
         labeled = sparse_hint(labeled)
-    lpx = labeled.join(
-        px.select("image_id", "y", "x", "q", "azim", "intensity", "qbin"),
-        ["image_id", "y", "x"],
-    )
+    if controls is not None:
+        from xrddatapipeline_spark.calib.cache import with_calib_columns
+
+        lpx = labeled.join(
+            px.select("image_id", "y", "x", "intensity"),
+            ["image_id", "y", "x"],
+        )
+        lpx = with_calib_columns(lpx, controls).select(
+            "image_id", "y", "x", "label", "q", "azim", "intensity", "qbin"
+        )
+    else:
+        lpx = labeled.join(
+            px.select("image_id", "y", "x", "q", "azim", "intensity", "qbin"),
+            ["image_id", "y", "x"],
+        )
     # flipped azimuth mirrors the axis so wrapped arcs read contiguous (A7)
     return lpx.withColumn(
         "azim_flip", F.pmod(F.col("azim") + 180.0, F.lit(360.0))
@@ -845,7 +865,15 @@ def run_image_plan(
     # checkpoint job (one of the three big localCheckpoint stages in the
     # round-7 warm profile)
     lpx = _bar(
-        labeled_pixels_frame(px, om, shape, sparse_hint=sb), label="lpx"
+        labeled_pixels_frame(
+            px, om, shape, sparse_hint=sb,
+            # closed-form calibration => the lpx probe reads only
+            # intensity off the dense cache (geometry recomputed on the
+            # sparse rows, bit-identical); a real calib table keeps the
+            # full-column probe
+            controls=controls if calib is None else None,
+        ),
+        label="lpx",
     )
     label_table = _bar(_obs(
         label_table_from(lpx),
