@@ -325,7 +325,7 @@ def _keepup_2880(batch: int = 8) -> dict:
             # barriers were profiled at ~36% of core time with csim
             # previously serialized after them). Identical output to
             # csim-over-res.pixels: the operator's first select takes the
-            # same 6 columns either way.
+            # same fields off the raw frame (the barriered px drops dataset/seq).
             csim_fut = pool.submit(
                 _noop_write, cosine_similarity_series(pixels), "out:csim"
             )

@@ -821,12 +821,16 @@ def run_image_plan(
     # BEFORE the barrier: tth is recomputed closed-form from tth_idx at
     # output time, azim_mask is folded into base_mask, azim_band is a
     # registry-query column — ~15% less cache-build and re-scan work.
+    # dataset/seq likewise (round 9): no consumer of the barriered px
+    # reads them — csim takes the RAW pixel frame, the streaming pixel
+    # store writes the raw batch, and image_id remains the per-image key
+    # — so the cache build skips a per-row string copy and an int column.
     px = _bar(_obs(
         with_base_mask(
             join_calib(
                 pixels, calib, broadcast=broadcast_calib, controls=controls
             )
-        ).drop("tth", "azim_band", "azim_mask"),
+        ).drop("tth", "azim_band", "azim_mask", "dataset", "seq"),
         "corrections",
         F.count(F.lit(1)).alias("n_px"),
         F.count_if(F.col("base_mask")).alias("n_base_masked"),
