@@ -223,3 +223,31 @@ def test_q5ish_joins_still_broadcast_at_bench_sf(spark, sf_dir):
     plan = _plan(df)
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_fused_integrals_spottiness_one_scan(spark):
+    """A1+A15 fusion (round 9): ONE Expand + ONE aggregation exchange in
+    the fused plan, and the split outputs read the barrier (no Expand or
+    pixel re-scan below them)."""
+    from tests.fixtures_images import CONTROLS, images_long_df, make_image
+    from xrddatapipeline_spark.plans.image_pipeline import run_image_plan
+
+    pixels = images_long_df(
+        spark, [("synth", 0, make_image(CONTROLS, seq=0))]
+    ).persist()
+    pixels.count()
+    res = run_image_plan(pixels, None, CONTROLS, barrier="hybrid")
+
+    fused_plan = _plan(res.fused_bins)
+    assert fused_plan.count("Expand") == 0  # checkpointed: plan truncated
+
+    for out in (res.integrals, res.spottiness):
+        p = _plan(out)
+        # derived outputs are selects over the tiny checkpointed frame:
+        # no Expand, no aggregation exchange, no InMemoryTableScan of the
+        # dense pixel cache below them
+        assert "Expand" not in p
+        assert _exchanges(out) == 0
+        assert "InMemoryTableScan" not in p
+    res.unpersist_all()
+    pixels.unpersist()
