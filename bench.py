@@ -425,7 +425,11 @@ def _keepup_2880(batch: int = 8) -> dict:
     warm = statistics.median(warms)
     # h-maxima A/B in the SAME session (weather cancels): warm batches with
     # the A19 stage off quantify its marginal cost per batch.
-    hoff_reps = int(os.environ.get("SPARK_GRAFT_KEEPUP_HOFF_REPS", "2"))
+    # 3 reps (round 9): with 2, a single weather outlier poisons the
+    # median — one session measured hoff batches 248.4/60.8 s on identical
+    # code, publishing h_on/h_off = 0.55 (nonsense); median-of-3 keeps the
+    # A/B meaningful through one bad batch.
+    hoff_reps = int(os.environ.get("SPARK_GRAFT_KEEPUP_HOFF_REPS", "3"))
     hoffs = [one_batch(h_maxima=False, prof_key="hoff")
              for _ in range(hoff_reps)]
     hoff = statistics.median(hoffs) if hoffs else None

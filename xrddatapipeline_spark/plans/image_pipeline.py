@@ -825,12 +825,20 @@ def run_image_plan(
     # reads them — csim takes the RAW pixel frame, the streaming pixel
     # store writes the raw batch, and image_id remains the per-image key
     # — so the cache build skips a per-row string copy and an int column.
+    # Under closed-form calibration q/azim also leave the cache: their
+    # only consumer was the lpx probe, which now recomputes them on the
+    # sparse rows (labeled_pixels_frame(controls=...)) — two double
+    # columns (~1 GB at 8 x 2880^2) off the build/store/re-scan path.
+    # With a calib TABLE they stay (lpx reads them from the cache).
+    drop_cols = ["tth", "azim_band", "azim_mask", "dataset", "seq"]
+    if calib is None:
+        drop_cols += ["q", "azim"]
     px = _bar(_obs(
         with_base_mask(
             join_calib(
                 pixels, calib, broadcast=broadcast_calib, controls=controls
             )
-        ).drop("tth", "azim_band", "azim_mask", "dataset", "seq"),
+        ).drop(*drop_cols),
         "corrections",
         F.count(F.lit(1)).alias("n_px"),
         F.count_if(F.col("base_mask")).alias("n_base_masked"),
