@@ -335,12 +335,20 @@ class StreamingImagePipeline:
                 sinks.append((res.h_maxima, "h_maxima"))
             if self.gradient_stage and res.gradient is not None:
                 sinks.append((res.gradient.on_arc_labels, "gradient_arcs"))
+            def _labeled_write(df: DataFrame, name: str) -> None:
+                # name the sink job's stages in the UI/REST profile
+                # (callSite.short is thread-local; each sink has its own
+                # pool thread) — same attribution scheme as the barriers
+                sc = self.spark.sparkContext
+                sc.setLocalProperty("callSite.short", f"sink:{name}")
+                try:
+                    write_table(df, self._path(name), fmt=self.table_format)
+                finally:
+                    sc.setLocalProperty("callSite.short", None)
+
             with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
                 futs = [
-                    pool.submit(
-                        write_table, df, self._path(name),
-                        fmt=self.table_format,
-                    )
+                    pool.submit(_labeled_write, df, name)
                     for df, name in sinks
                 ]
                 for f in futs:
