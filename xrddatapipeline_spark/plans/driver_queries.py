@@ -1459,7 +1459,7 @@ from xrddatapipeline_spark.plans import corpus_queries  # noqa: E402,F401
 # ``REGISTRY ⊆ current_window ∪ _PREVIOUS_WINDOW`` — so a rotation that
 # would leave any query >2 rounds driver-unchecked fails pytest before the
 # driver ever runs. Next round: set _PREVIOUS_WINDOW to this round's window
-# (CORRECTNESS_r05 keys) and front the complement.
+# (CORRECTNESS_r09 keys) and front the complement.
 # History: r01-r03 covered the 50 earliest-registered; r04 covered the other
 # 41 plus 9 flagship anchors; r05 rotated the r01-r03-only cohort back in
 # (fronted by grad_percentile_candidates, new that round); r06 fronted the
