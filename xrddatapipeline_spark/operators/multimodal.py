@@ -93,6 +93,13 @@ def _png_unfilter(raw, width: int, height: int, nch: int):
             # per-element loop; a numpy formulation vectorized across
             # lanes per pixel position is 10-30x SLOWER (per-op overhead
             # on <=4-element arrays dwarfs the python loop it replaces).
+            # A whole-row fixed-point iteration (iterate the recurrence
+            # vectorized until stable) was also measured and rejected:
+            # the mod-256 wrap breaks the error-halving argument (Average
+            # needs ~28 full-row passes on random data), Paeth propagates
+            # information only 1 px/pass on smooth rows (no convergence
+            # in 64 passes), and even converged runs were 2x slower than
+            # this scalar scan at width 512.
             width = stride // nch
             row = [0] * stride
             for lane in range(nch):
