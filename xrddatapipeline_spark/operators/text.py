@@ -258,6 +258,15 @@ def simhash64(df: DataFrame, text_col: str = "text",
     (16 nibble lookups), so the per-(token, p) work is a shift+mask on a
     long instead of substring+strpos on the hex string — same bits, ~10x
     cheaper inner loop at corpus scale.
+
+    Measured and rejected (round 9): pre-collapsing duplicate tokens via
+    a (doc_id, tok) count agg before the 64-sum vote is ~15% faster
+    locally (dup factor 2.33 at sf0.1) but introduces a NEW exchange of
+    ~|distinct tokens| rows where this plan's only shuffle is one
+    64-column row per doc (the vote agg map-side-combines all of a doc's
+    occurrences — documents are co-partitioned with their tokens by
+    construction). At cluster scale that extra exchange dwarfs the
+    vote-expression savings, so the single-agg form stays.
     """
     toks = df.select(
         id_col, F.explode(tokens_col(F.col(text_col))).alias("tok")
