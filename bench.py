@@ -486,6 +486,39 @@ def _keepup_2880(batch: int = 8) -> dict:
     return out
 
 
+#: stdout-tail budget for the published line: the driver captures only a
+#: ~2000-char tail and parses the JSON from it (BENCH_r08 lost the round's
+#: numbers when the line outgrew the capture).
+LINE_BUDGET = 1500
+
+#: keep-up sub-fields shed (in order) when the line exceeds the budget —
+#: diagnostics first; the headline value/queries/sec_per_image and the h
+#: A/B ratios are never dropped.
+SHEDDABLE = [
+    "warm_batches_sec", "hoff_batches_sec", "warm_spread_sec",
+    "pilot_sec", "px_build_sec", "cold_batch_sec", "profiles_path",
+    "breakeven_acquisition_period_sec", "images_per_sec",
+]
+
+
+def compact_line(out: dict, budget: int = LINE_BUDGET) -> str:
+    """Serialize the bench result to ONE line within `budget` chars,
+    shedding keep-up diagnostics (SHEDDABLE order) and finally rounding
+    query timings. Mutates `out`."""
+    line = json.dumps(out)
+    keepup = out.get("xrd_image_plan_2880")
+    if len(line) > budget and keepup is not None:
+        for key in SHEDDABLE:
+            keepup.pop(key, None)
+            line = json.dumps(out)
+            if len(line) <= budget:
+                break
+    if len(line) > budget and "queries" in out:
+        out["queries"] = {k: round(v, 2) for k, v in out["queries"].items()}
+        line = json.dumps(out)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -560,29 +593,7 @@ def main() -> None:
     }
     if keepup is not None:
         out["xrd_image_plan_2880"] = keepup
-
-    # The driver captures only a ~2000-char tail of stdout and parses the
-    # JSON line from it (BENCH_r08 lost the round's numbers when this line
-    # outgrew the capture). Hard budget: if the line exceeds it, shed
-    # diagnostic sub-fields in priority order until it fits — the headline
-    # `value`/`queries`/`sec_per_image` metrics are never dropped.
-    _LINE_BUDGET = 1500
-    _SHEDDABLE = [
-        "warm_batches_sec", "hoff_batches_sec", "warm_spread_sec",
-        "pilot_sec", "px_build_sec", "cold_batch_sec", "profiles_path",
-        "breakeven_acquisition_period_sec", "images_per_sec",
-    ]
-    line = json.dumps(out)
-    if len(line) > _LINE_BUDGET and keepup is not None:
-        for key in _SHEDDABLE:
-            keepup.pop(key, None)
-            line = json.dumps(out)
-            if len(line) <= _LINE_BUDGET:
-                break
-    if len(line) > _LINE_BUDGET:
-        out["queries"] = {k: round(v, 2) for k, v in timings.items()}
-        line = json.dumps(out)
-    print(line)
+    print(compact_line(out))
 
 
 if __name__ == "__main__":

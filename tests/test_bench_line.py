@@ -1,0 +1,68 @@
+"""bench.py published-line contract: the driver captures only a ~2000-char
+stdout tail and parses the LAST JSON line from it — BENCH_r08 recorded
+"parsed": null when diagnostics outgrew the capture. These tests pin the
+budget and the shed order without starting Spark."""
+
+import json
+
+import bench
+
+
+def _fake_out(n_queries=23, with_keepup=True):
+    out = {
+        "metric": "headline_queries_total",
+        "value": 25.95,
+        "unit": "sec",
+        "queries": {f"query_name_{i:02d}_padded": 1.2345 for i in range(n_queries)},
+        "sf": 0.1,
+    }
+    if with_keepup:
+        out["xrd_image_plan_2880"] = {
+            "img_size": 2880, "out_channels": 2500, "esd_mul": 3.0,
+            "batch": 8, "gradient_stage": True,
+            "batch_sec": 111.05, "warm_batches_sec": [78.8, 111.0, 146.7],
+            "warm_spread_sec": [78.8, 146.7], "cold_batch_sec": 128.3,
+            "px_build_sec": 9.3, "sec_per_image": 13.88,
+            "images_per_sec": 0.072,
+            "breakeven_acquisition_period_sec": 13.88, "pilot_sec": 11.9,
+            "profiles_path": "/root/repo/BENCH_PROFILES.json",
+            "hoff_batch_sec": 86.97,
+            "hoff_batches_sec": [86.9, 198.3, 64.3],
+            "hoff_sec_per_image": 10.87, "h_on_over_h_off": 1.277,
+            "h_on_over_h_off_min": 1.226, "sec_per_image_best": 9.85,
+        }
+    return out
+
+
+def test_realistic_line_fits_budget_without_shedding():
+    out = _fake_out()
+    line = bench.compact_line(out)
+    assert len(line) <= bench.LINE_BUDGET
+    d = json.loads(line)
+    # nothing shed: every diagnostic survives at realistic sizes
+    for k in bench.SHEDDABLE:
+        assert k in d["xrd_image_plan_2880"], k
+
+
+def test_oversized_line_sheds_diagnostics_not_metrics():
+    out = _fake_out()
+    # blow the budget: a pathological profiles path
+    out["xrd_image_plan_2880"]["profiles_path"] = "/x" * 700
+    line = bench.compact_line(out)
+    assert len(line) <= bench.LINE_BUDGET
+    d = json.loads(line)
+    k = d["xrd_image_plan_2880"]
+    # the metrics the round is graded on are never shed
+    for key in ("sec_per_image", "batch_sec", "h_on_over_h_off",
+                "h_on_over_h_off_min", "sec_per_image_best"):
+        assert key in k, key
+    assert d["value"] == 25.95 and len(d["queries"]) == 23
+
+
+def test_extreme_case_rounds_queries_last():
+    out = _fake_out(n_queries=60)
+    out["xrd_image_plan_2880"]["profiles_path"] = "/x" * 700
+    line = bench.compact_line(out, budget=1200)
+    d = json.loads(line)
+    # last resort reached: query values rounded to 2 decimals
+    assert all(v == 1.23 for v in d["queries"].values())
