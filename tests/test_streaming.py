@@ -658,3 +658,49 @@ def test_prune_skip_manifest_keeps_uncommitted_batch_files(spark, tmp_path):
     (commits / "2").write_text("v1\n{}")
     pipe._prune_skip_manifest(ckpt)
     assert pipe._load_skip_names() == {"fileB.parquet"}
+
+
+def test_plan_failure_settles_csim_before_batch_exits(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8: if run_image_plan raises, the overlapped csim thread must
+    be SETTLED (its append finished or failed) before process_batch exits —
+    an orphaned in-flight append would race the retry's _append_csim into
+    duplicate (dataset, seq) csim rows."""
+    import threading
+    import time as _time
+
+    import pytest as _pytest
+
+    from xrddatapipeline_spark.streaming import pipeline as sp
+
+    calib = build_calib_pixels(spark, CONTROLS)
+    pipe = StreamingImagePipeline(spark, calib, CONTROLS, str(tmp_path / "o"))
+
+    csim_done = threading.Event()
+    orig_append = pipe._append_csim
+
+    def slow_append(batch_df):
+        _time.sleep(1.5)  # still in flight when run_image_plan raises
+        orig_append(batch_df)
+        csim_done.set()
+
+    monkeypatch.setattr(pipe, "_append_csim", slow_append)
+
+    def boom(*a, **k):
+        raise RuntimeError("plan construction failed")
+
+    monkeypatch.setattr(sp, "run_image_plan", boom)
+
+    batch = images_long_df(spark, [("synth", 0, make_image(CONTROLS, seq=0))])
+    with _pytest.raises(RuntimeError, match="plan construction failed"):
+        pipe.process_batch(batch, batch_id=0)
+    # the failure must not exit the batch with the csim append in flight
+    assert csim_done.is_set(), (
+        "process_batch raised while the csim append was still running — "
+        "orphaned thread would race the foreachBatch retry"
+    )
+    # and the append actually landed (settled = completed here, so a retry
+    # appends alongside a FINISHED write, never a concurrent one)
+    got = spark.read.parquet(str(tmp_path / "o" / "csim"))
+    assert got.count() == 1
