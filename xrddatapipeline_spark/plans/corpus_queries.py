@@ -1670,6 +1670,72 @@ def events_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "fused_grouping_sets_split",
+    """
+    WITH li AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bucket,
+               l_quantity, l_discount
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           coalesce(l_linestatus, '-') AS linestatus,
+           coalesce(qty_bucket, -1) AS qty_bucket,
+           CASE WHEN qty_bucket IS NULL THEN 1 ELSE 2 END AS set_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           sum(l_quantity) AS sum_qty,
+           coalesce(sum(CASE WHEN l_discount >= 0.05 THEN l_quantity END),
+                    0.0) AS sum_qty_discounted
+    FROM li
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag, qty_bucket))
+    """,
+    doc="Driver-oracle anchor for the round-9 A1+A15 fusion pattern "
+        "(plans/image_pipeline.py::integrate_and_spottiness): two DISJOINT "
+        "grouping sets over one scan, conditional sums, and set-id "
+        "dispatch of the combined output — exactly the Expand + partial-"
+        "agg + single-exchange shape the image plan relies on, pinned "
+        "against DuckDB's GROUPING SETS on exact integral sums. The "
+        "set id is derived from key nullness (neither key is ever NULL "
+        "in the data) so it is engine-neutral, unlike grouping_id() bit "
+        "order.",
+    tags=("agg", "corpus", "grouping-sets"),
+)
+def fused_grouping_sets_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus",
+        F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_bucket"),
+        "l_quantity", "l_discount",
+    )
+    fused = (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag", "qty_bucket"]],
+            "l_returnflag", "l_linestatus", "qty_bucket",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("l_discount") >= 0.05, F.col("l_quantity"))
+                ),
+                F.lit(0.0),
+            ).alias("sum_qty_discounted"),
+        )
+    )
+    return fused.select(
+        "l_returnflag",
+        F.coalesce("l_linestatus", F.lit("-")).alias("linestatus"),
+        F.coalesce("qty_bucket", F.lit(-1)).alias("qty_bucket"),
+        F.when(F.col("qty_bucket").isNull(), F.lit(1))
+        .otherwise(F.lit(2)).cast("int").alias("set_id"),
+        "n_rows",
+        "sum_qty",
+        "sum_qty_discounted",
+    )
+
+
+@_register(
     "text_tfidf_top_terms",
     """
     WITH tok AS (

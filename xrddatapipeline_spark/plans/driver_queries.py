@@ -1541,9 +1541,12 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "w3_stride_downsample",
     "w5_circular_gap_scan",
     "w6_sessionize_events",
-    # Flagship §2 anchors, kept hot in the 4 remaining slots (all four
-    # have fresh r08 rows and can yield to new round-9 queries if added)
-    "tpch_q1_pricing",
+    # New round-9 query: driver-oracle anchor for the A1+A15 grouping-sets
+    # fusion pattern (takes the slot tpch_q1_pricing held; q1 keeps its
+    # fresh r08 row and rotates back next round)
+    "fused_grouping_sets_split",
+    # Flagship §2 anchors, kept hot in the 3 remaining slots (all three
+    # have fresh r08 rows and can yield to new round-10 queries if added)
     "a1_integrate_binned_mean",
     "a2_ring_median_mad",
     "dedup_semantic_ivf",
