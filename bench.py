@@ -389,15 +389,20 @@ def _keepup_2880(batch: int = 8) -> dict:
     if os.environ.get("SPARK_GRAFT_KEEPUP_PILOT", "1") != "0":
         t_pilot = time.perf_counter()
         from dataclasses import replace as _replace
+        from pyspark.sql import functions as _F
 
-        pc = _replace(
-            c,
-            size_x=512, size_y=512,
-            center_x=512 * 150.0 / 2000.0, center_y=512 * 150.0 / 2000.0,
-            dataset="pilot",
-        )
-        ppx = _synthetic_pixels(spark, pc, n_images=1).persist(
-            StorageLevel.MEMORY_AND_DISK
+        # SAME controls as the real batches, subsampled rows (round 9):
+        # whole-stage codegen bakes the controls constants (centers,
+        # distance, size) into the generated source, so a pilot built
+        # with 512-size controls compiled DIFFERENT classes than the
+        # 2880^2 plan — the one thing the pilot exists to pre-JIT. A
+        # y < 512 row filter keeps the full-size literals (identical
+        # generated source) at ~18% of the pixels.
+        pc = _replace(c, dataset="pilot")
+        ppx = (
+            _synthetic_pixels(spark, pc, n_images=1)
+            .where(_F.col("y") < 512)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         ppx.count()
         pres = run_image_plan(
