@@ -50,6 +50,12 @@ import os as _os
 
 OUTLIER_HISTOGRAM = _os.environ.get("XRDSPARK_OUTLIER_HISTOGRAM", "0") == "1"
 
+#: (applicationId, shapes, stage-set) keys whose kernel-scratch warmup job
+#: has already been submitted this process — python workers persist across
+#: batches within a session, so one warmup per session covers them all and
+#: repeat submissions only occupy task slots (see run_image_plan).
+_WARMUP_SUBMITTED: set = set()
+
 # classification thresholds — classification.py:849-860 / SURVEY §2.9
 Q_MAX = 0.1
 AZIM_MIN = 3.5
@@ -690,6 +696,16 @@ def run_image_plan(
         # the h-maxima set (~210 MB at full image height; steady-state
         # footprint unchanged — see warmup_hmax_scratch). Fire-and-forget
         # — a failed warmup only loses the overlap.
+        #
+        # ONE warmup job per (session, shape, stage-set) — python workers
+        # persist across batches within a session, so the kernel-side
+        # memsets are idempotent no-ops from batch 2 on (WARMUP_MEMSET_
+        # EVENTS pins that), yet the JOB still occupied 96 task slots per
+        # batch for worker round-trips (profiled at ~240 core-s of pure
+        # wait on a contended host). Skip resubmitting driver-side. On a
+        # real cluster a replaced executor starts cold and pays the
+        # first-touch on its first kernel call — acceptable for a
+        # best-effort overlap optimization.
         import threading
 
         from xrddatapipeline_spark.plans.gradient_stage import _GRAD_HALO
@@ -700,6 +716,10 @@ def run_image_plan(
         )
         _full_shape = (controls.size_y, controls.size_x)
         _warm_bands, _warm_hmax = gradient_stage, h_maxima
+        _warm_key = (
+            _spark.sparkContext.applicationId,
+            _wshape, _full_shape, _warm_bands, _warm_hmax,
+        )
 
         def _warm() -> None:
             try:
@@ -725,7 +745,11 @@ def run_image_plan(
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 pass
 
-        threading.Thread(target=_warm, daemon=True, name="kernel-warmup").start()
+        if _warm_key not in _WARMUP_SUBMITTED:
+            _WARMUP_SUBMITTED.add(_warm_key)
+            threading.Thread(
+                target=_warm, daemon=True, name="kernel-warmup"
+            ).start()
 
     _bt = bool(_os.environ.get("XRDSPARK_BARRIER_TIMING"))
     _bt_last = [_time.perf_counter()]
