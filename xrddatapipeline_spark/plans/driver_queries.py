@@ -1459,97 +1459,95 @@ from xrddatapipeline_spark.plans import corpus_queries  # noqa: E402,F401
 # ``REGISTRY ⊆ current_window ∪ _PREVIOUS_WINDOW`` — so a rotation that
 # would leave any query >2 rounds driver-unchecked fails pytest before the
 # driver ever runs. Next round: set _PREVIOUS_WINDOW to this round's window
-# (CORRECTNESS_r09 keys) and front the complement.
+# (CORRECTNESS_r10 keys) and front the complement.
 # History: r01-r03 covered the 50 earliest-registered; r04 covered the other
 # 41 plus 9 flagship anchors; r05 rotated the r01-r03-only cohort back in
 # (fronted by grad_percentile_candidates, new that round); r06 fronted the
 # r04-only cohort; r07 rotated the r05-only cohort back in plus the four
-# new TPC-H analogs; r08 fronted the r06-only cohort; r09 (this window)
-# rotates the r07-only cohort (46 names) back in plus 4 flagship anchors
-# with fresh r08 rows.
+# new TPC-H analogs; r08 fronted the r06-only cohort; r09 rotated the
+# r07-only cohort (46 names) back in plus 4 flagship anchors with fresh
+# r08 rows; r10 (this window) fronts the r08-only cohort (47 names).
 _PREVIOUS_WINDOW: frozenset[str] = frozenset({
-    # CORRECTNESS_r08.json keys — the driver-checked window last round
-    "a13_gradient_swap", "a1_integrate_binned_mean", "a2_ring_median_mad",
-    "ann_ivf_index_probe", "corpus_clean_filter",
-    "customers_without_orders", "dedup_minhash_pairs", "dedup_semantic_ivf",
-    "dedup_span_hash", "docs_chunk_tokens", "docs_length_deciles",
-    "docs_mixture_token_budget", "docs_percent_rank", "docs_redact_terms",
-    "docs_set_ops", "emb_kmeans_inertia", "emb_kmeans_update",
-    "emb_lang_centroids", "emb_pq_adc_topk", "emb_pq_encode",
-    "events_anomaly_mad", "events_cohort_retention", "events_daily_rollup",
-    "events_funnel_steps", "events_pivot_daily", "events_rollup_grouping",
-    "events_trailing_hour_stats", "j8_asof_signup_join",
-    "j9_range_join_error_burst", "mm_frame_sample", "mm_resize_geometry",
-    "orders_above_global_avg", "orders_rank_ties", "pack_context_windows",
-    "t6_tumbling_window_counts", "text_contamination_check",
-    "text_repetition_score", "text_tfidf_top_terms", "text_unigram_logprob",
-    "tpch_q10ish_returned_topk", "tpch_q14_promo_share",
-    "tpch_q16ish_supplier_cnt", "tpch_q18ish_big_orders", "tpch_q1_pricing",
-    "tpch_q22ish_idle_balance", "tpch_q3ish_order_volume_topk",
-    "tpch_q4ish_exists_semijoin", "tpch_q5ish_regional_volume",
-    "tpch_q6ish_forecast_revenue", "tpch_q7ish_nation_volume",
+    # CORRECTNESS_r09.json keys — the driver-checked window last round
+    "a11_central_band_percentile", "a12_global_percentiles",
+    "a15_fraction_masked_per_bin", "a16_count_distinct",
+    "a18_grad_stats_per_bin", "a1_integrate_binned_mean",
+    "a20_cosine_consecutive", "a2_ring_median_mad",
+    "a5_regionprops_label_stats", "a6_area_filter", "a7_azim_extent_wrap",
+    "a8_percentile_spread", "a9_shape_classifier", "ann_bruteforce_topk",
+    "ann_ivf_topk", "ann_lsh_bucketed", "dedup_clusters_star",
+    "dedup_embedding_cosine", "dedup_exact_hash", "dedup_keep_list",
+    "dedup_minhash_bands", "dedup_near_dup_clusters", "dedup_ngram_jaccard",
+    "dedup_semantic_ivf", "dedup_simhash", "dedup_simhash_pairs",
+    "fused_grouping_sets_split", "grad_percentile_candidates",
+    "j5_diff_pivot", "m1_label_components", "mm_binary_metadata",
+    "mm_decode_features", "p7_correction_chain", "s11_json_props_extract",
+    "sample_stratified_hash", "t6_interval_join_counts",
+    "t6_sliding_window_stats", "text_fingerprint_winnow",
+    "text_langid_ngram", "text_quality_score", "text_token_stats",
+    "text_top_tokens", "tpch_q13ish_custdist",
+    "tpch_q17ish_small_qty_revenue", "tpch_q19ish_disjunctive_revenue",
+    "tpch_q21ish_last_to_ship", "w1_lag_first_pairing",
+    "w3_stride_downsample", "w5_circular_gap_scan", "w6_sessionize_events",
 })
 
 #: The external driver's window size (first N of ``queries()``).
 DRIVER_WINDOW_SIZE: int = 50
 
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # r07-only cohort: driver rows 2 rounds stale after r08, rotate back in
-    "a11_central_band_percentile",
-    "a12_global_percentiles",
-    "a15_fraction_masked_per_bin",
-    "a16_count_distinct",
-    "a18_grad_stats_per_bin",
-    "a20_cosine_consecutive",
-    "a5_regionprops_label_stats",
-    "a6_area_filter",
-    "a7_azim_extent_wrap",
-    "a8_percentile_spread",
-    "a9_shape_classifier",
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_lsh_bucketed",
-    "dedup_clusters_star",
-    "dedup_embedding_cosine",
-    "dedup_exact_hash",
-    "dedup_keep_list",
-    "dedup_minhash_bands",
-    "dedup_near_dup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "grad_percentile_candidates",
-    "j5_diff_pivot",
-    "m1_label_components",
-    "mm_binary_metadata",
-    "mm_decode_features",
-    "p7_correction_chain",
-    "s11_json_props_extract",
-    "sample_stratified_hash",
-    "t6_interval_join_counts",
-    "t6_sliding_window_stats",
-    "text_fingerprint_winnow",
-    "text_langid_ngram",
-    "text_quality_score",
-    "text_token_stats",
-    "text_top_tokens",
-    "tpch_q13ish_custdist",
-    "tpch_q17ish_small_qty_revenue",
-    "tpch_q19ish_disjunctive_revenue",
-    "tpch_q21ish_last_to_ship",
-    "w1_lag_first_pairing",
-    "w3_stride_downsample",
-    "w5_circular_gap_scan",
-    "w6_sessionize_events",
-    # New round-9 query: driver-oracle anchor for the A1+A15 grouping-sets
-    # fusion pattern (takes the slot tpch_q1_pricing held; q1 keeps its
-    # fresh r08 row and rotates back next round)
-    "fused_grouping_sets_split",
+    # r08-only cohort: driver rows 2 rounds stale after r09, rotate back in
+    "a13_gradient_swap",
+    "ann_ivf_index_probe",
+    "corpus_clean_filter",
+    "customers_without_orders",
+    "dedup_minhash_pairs",
+    "dedup_span_hash",
+    "docs_chunk_tokens",
+    "docs_length_deciles",
+    "docs_mixture_token_budget",
+    "docs_percent_rank",
+    "docs_redact_terms",
+    "docs_set_ops",
+    "emb_kmeans_inertia",
+    "emb_kmeans_update",
+    "emb_lang_centroids",
+    "emb_pq_adc_topk",
+    "emb_pq_encode",
+    "events_anomaly_mad",
+    "events_cohort_retention",
+    "events_daily_rollup",
+    "events_funnel_steps",
+    "events_pivot_daily",
+    "events_rollup_grouping",
+    "events_trailing_hour_stats",
+    "j8_asof_signup_join",
+    "j9_range_join_error_burst",
+    "mm_frame_sample",
+    "mm_resize_geometry",
+    "orders_above_global_avg",
+    "orders_rank_ties",
+    "pack_context_windows",
+    "t6_tumbling_window_counts",
+    "text_contamination_check",
+    "text_repetition_score",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "tpch_q10ish_returned_topk",
+    "tpch_q14_promo_share",
+    "tpch_q16ish_supplier_cnt",
+    "tpch_q18ish_big_orders",
+    "tpch_q1_pricing",
+    "tpch_q22ish_idle_balance",
+    "tpch_q3ish_order_volume_topk",
+    "tpch_q4ish_exists_semijoin",
+    "tpch_q5ish_regional_volume",
+    "tpch_q6ish_forecast_revenue",
+    "tpch_q7ish_nation_volume",
     # Flagship §2 anchors, kept hot in the 3 remaining slots (all three
-    # have fresh r08 rows and can yield to new round-10 queries if added)
+    # have fresh r09 rows and can yield to new round-10 queries if added)
     "a1_integrate_binned_mean",
     "a2_ring_median_mad",
-    "dedup_semantic_ivf",
+    "fused_grouping_sets_split",
 )
 
 # Names allowed to be absent from REGISTRY (queries gated behind optional
