@@ -452,3 +452,31 @@ def test_warmup_job_submitted_once_per_session(spark, monkeypatch):
         )
         res.unpersist_all()
     assert len(starts) == 1, f"warmup thread started {len(starts)}x"
+
+
+@pytest.mark.parametrize("grad", [False, True])
+def test_fused_spottiness_matches_direct_formulation(spark, grad):
+    """ADVICE r9: split_spottiness(fused) must equal the direct
+    spottiness_per_qbin(px, om_pixels) — the fused path derives is_om from
+    mask_flags, so this pins the 'flag table pixel set == om set'
+    invariant the fusion rests on, with the gradient stage both off (flag
+    table = labeled pixels) and on (flag table = gradient pixel_flags)."""
+    from xrddatapipeline_spark.plans.image_pipeline import spottiness_per_qbin
+
+    img = make_image(CONTROLS, seq=0)
+    pixels = images_long_df(spark, [("synth", 0, img)])
+    calib = build_calib_pixels(spark, CONTROLS).cache()
+    res = run_image_plan(pixels, calib, CONTROLS, gradient_stage=grad)
+
+    fused = res.spottiness.orderBy("qbin").toPandas()
+    direct = (
+        spottiness_per_qbin(res.pixels, res.om_pixels)
+        .orderBy("qbin")
+        .toPandas()
+    )
+    assert list(fused["qbin"]) == list(direct["qbin"])
+    assert list(fused["n_total"]) == list(direct["n_total"])
+    assert list(fused["n_masked"]) == list(direct["n_masked"])
+    np.testing.assert_allclose(
+        fused["frac_masked"], direct["frac_masked"], atol=1e-12
+    )

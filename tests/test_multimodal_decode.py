@@ -117,3 +117,83 @@ def test_decode_features_real_png_and_fallback(spark):
     fw, fh, fn, fm = _fake_decode(text, "image")
     assert (got.loc[2, "width"], got.loc[2, "height"]) == (fw, fh)
     np.testing.assert_allclose(got.loc[2, "mean_val"], fm, atol=1e-12)
+
+
+class _StubImage:
+    """Minimal Pillow Image stand-in: np.asarray() sees ``arr``."""
+
+    format = "PNG"
+
+    def __init__(self, arr, mode, n_frames=1):
+        self._arr = arr
+        self.mode = mode
+        self.n_frames = n_frames
+        self.height, self.width = arr.shape[:2]
+
+    def __array__(self, dtype=None, copy=None):
+        a = np.asarray(self._arr)
+        return a.astype(dtype) if dtype is not None else a
+
+    def convert(self, mode):
+        assert mode == "L"
+        a = self._arr
+        gray = a if a.ndim == 2 else a[..., :3].mean(axis=2)
+        return _StubImage(gray.astype(np.uint8), "L")
+
+
+def _with_stub_pil(monkeypatch, img):
+    """Install a fake PIL whose Image.open always yields ``img``."""
+    import sys
+    import types
+
+    pil = types.ModuleType("PIL")
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda fp: img
+    pil.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+
+def test_pillow_fast_path_gated_to_pure_reader_modes(monkeypatch):
+    """ADVICE r9 (medium): the Pillow-first raw-lanes path must only run
+    for PNG variants the pure reader also supports (8-bit L/LA/RGB/RGBA,
+    single frame); 16-bit / palette / APNG must fall through."""
+    from xrddatapipeline_spark.operators.multimodal import _real_decode
+
+    rng = np.random.default_rng(7)
+    real = rng.integers(0, 256, size=(6, 8), dtype=np.uint8)
+    payload = make_png(real, 2)
+
+    # 1. Supported mode: fast path runs (result = stub array mean, which we
+    #    deliberately make differ from the payload's true mean).
+    fast = np.full((6, 8, 3), 200, dtype=np.uint8)
+    _with_stub_pil(monkeypatch, _StubImage(fast, "RGB"))
+    got = _real_decode(payload, "image")
+    np.testing.assert_allclose(got[3], 200 / 255.0, atol=1e-12)
+
+    # 2. Palette mode: fast path skipped -> pure reader decodes the real
+    #    payload (stub mean would have been 200/255).
+    _with_stub_pil(monkeypatch, _StubImage(fast, "P"))
+    got = _real_decode(payload, "image")
+    np.testing.assert_allclose(got[3], real.mean() / 255.0, atol=1e-12)
+    assert got[:2] == (8, 6)
+
+    # 3. APNG (n_frames > 1): fast path skipped even in a supported mode.
+    _with_stub_pil(monkeypatch, _StubImage(fast, "RGB", n_frames=3))
+    got = _real_decode(payload, "image")
+    np.testing.assert_allclose(got[3], real.mean() / 255.0, atol=1e-12)
+
+    # 4. 16-bit gray ("I;16"): pure reader rejects the 16-bit payload too,
+    #    so the generic convert('L') Pillow path runs (8-bit result in
+    #    [0,1], never a raw uint16/255 mean ~257).
+    ihdr = struct.pack(">IIBBBBB", 8, 6, 16, 0, 0, 0, 0)
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4
+    )
+    wide = np.full((6, 8), 40000, dtype=np.uint16)
+    _with_stub_pil(monkeypatch, _StubImage(wide, "I;16", n_frames=2))
+    got = _real_decode(deep, "image")
+    w, h, n_frames, mean = got
+    assert (w, h, n_frames) == (8, 6, 2)
+    assert 0.0 <= mean <= 1.0  # convert('L') path, not raw/255

@@ -401,3 +401,31 @@ def test_export_dataset_chis_bytes_match_single_writer(spark, tmp_path):
             export_chi(integrals, image_id, kind, str(single_dir / name))
             bulk_bytes = (bulk_dir / name).read_bytes()
             assert bulk_bytes == (single_dir / name).read_bytes(), name
+
+
+def test_export_dataset_chis_emits_header_only_for_empty_kind(spark, tmp_path):
+    """ADVICE r9: a requested kind absent from the frame still gets a file
+    per image (header-only, byte-identical to export_chi on an empty
+    selection) — the fixed files-per-image contract of the old driver loop."""
+    import pandas as pd
+
+    from xrddatapipeline_spark.sinks import export_dataset_chis
+
+    integrals = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["imgA", "imgA"],
+                "kind": ["base", "base"],
+                "tth_idx": [1, 2],
+                "tth": [1.0, 2.0],
+                "intensity": [10.0, 20.0],
+            }
+        )
+    )
+    bulk_dir = tmp_path / "bulk"
+    paths = export_dataset_chis(integrals, str(bulk_dir), kinds=("base", "om"))
+    assert len(paths) == 2  # base (2 rows) + om (header-only)
+
+    single = tmp_path / "imgA_om_single.chi"
+    export_chi(integrals, "imgA", "om", str(single))
+    assert (bulk_dir / "imgA_om.chi").read_bytes() == single.read_bytes()

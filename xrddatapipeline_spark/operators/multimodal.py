@@ -100,20 +100,20 @@ def _png_unfilter(raw, width: int, height: int, nch: int):
             # information only 1 px/pass on smooth rows (no convergence
             # in 64 passes), and even converged runs were 2x slower than
             # this scalar scan at width 512.
-            width = stride // nch
+            lane_w = stride // nch
             row = [0] * stride
             for lane in range(nch):
                 cl = cur[lane::nch].tolist()
-                pl = prev[lane::nch].tolist() if r else [0] * width
-                o = [0] * width
+                pl = prev[lane::nch].tolist() if r else [0] * lane_w
+                o = [0] * lane_w
                 a = 0
                 if ftype == 3:
-                    for k in range(width):
+                    for k in range(lane_w):
                         a = (cl[k] + (a + pl[k]) // 2) & 0xFF
                         o[k] = a
                 else:
                     c = 0
-                    for k in range(width):
+                    for k in range(lane_w):
                         b = pl[k]
                         p = a + b - c
                         pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -197,13 +197,23 @@ def _real_decode(content: bytes, media_type: str):
     if Image is not None and content.startswith(_PNG_MAGIC):
         try:
             img = Image.open(io.BytesIO(content))
-            # raw lanes (no convert): matches _png_unfilter's mean over
-            # all channels including alpha
-            arr = np.asarray(img, dtype=np.float64)
-            return (
-                int(img.width), int(img.height), 1,
-                float(arr.mean() / 255.0),
-            )
+            # Raw-lanes fast path ONLY for variants the pure reader also
+            # accepts (8-bit L/LA/RGB/RGBA, single frame): for those the
+            # mean over raw lanes matches _png_unfilter's exactly. 16-bit
+            # ("I"/"I;16*"), palette ("P"), and APNG payloads fall through
+            # to the generic convert('L') path below — a raw mean there
+            # would be out of [0,1] (uint16/255), average palette INDICES,
+            # or hide extra frames behind a hardcoded n_frames=1.
+            if (
+                img.format == "PNG"
+                and img.mode in ("L", "LA", "RGB", "RGBA")
+                and int(getattr(img, "n_frames", 1)) == 1
+            ):
+                arr = np.asarray(img, dtype=np.float64)
+                return (
+                    int(img.width), int(img.height), 1,
+                    float(arr.mean() / 255.0),
+                )
         except Exception:  # noqa: BLE001 — fall through to the pure reader
             pass
 

@@ -96,7 +96,14 @@ def export_dataset_chis(
     per (image, kind), a driver-side loop that serializes a bulk export
     into images x kinds scheduler round-trips. out_dir must be visible to
     the executors (local mode / shared filesystem — same contract as
-    `render_mask_tiffs`)."""
+    `render_mask_tiffs`).
+
+    Files-per-image contract: every distinct image_id in `integrals` gets
+    one file per requested kind. applyInPandas only sees groups that have
+    rows, so a kind absent from the frame is topped up driver-side with
+    the header-only file `export_chi` would have written for an empty
+    selection (the image-id list is bounded — images per batch/dataset,
+    never pixel-scale)."""
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
@@ -123,7 +130,24 @@ def export_dataset_chis(
         .applyInPandas(_write_group, "path string")
         .collect()
     )
-    return sorted(r.path for r in rows)
+    written = {r.path for r in rows}
+    # top-up: header-only files for (image, kind) groups with zero rows
+    image_ids = [
+        r.image_id
+        for r in integrals.select("image_id").distinct().collect()
+    ]
+    for image_id in image_ids:
+        for kind in kinds:
+            suffix = "" if kind == "base" else f"_{kind}"
+            path = os.path.join(out_dir_abs, f"{image_id}{suffix}.chi")
+            if path in written:
+                continue
+            with open(path, "w") as f:
+                f.write(f"{image_id}_{kind}\n")
+                f.write("2-Theta Angle (Degrees)\nIntensity\n")
+                f.write("       0\n")
+            written.add(path)
+    return sorted(written)
 
 
 def render_mask_tiffs(
