@@ -160,18 +160,35 @@ def _keepup_2880(batch: int = 8) -> dict:
     acquisition period (any beamline exposure period >= sec_per_image
     keeps the queue drained with one batch in flight).
 
-    Methodology (round 7): this host shows 2-6x same-day wall-clock
-    "weather" on identical binaries, so a single warm batch is noise, not
-    measurement. The steady-state figure is therefore the MEDIAN of
-    ``SPARK_GRAFT_KEEPUP_WARM_REPS`` (default 3) identical warm batches,
-    with the min/max spread published alongside so any cross-round delta
-    can be judged against the same-session variance. Two normalization
-    anchors are also published: ``px_build_sec`` (the fixed-size pixel
-    cache build — same bytes every round, so it calibrates host weather)
-    and ``pilot_sec`` (the 512^2 JIT pilot). An h-maxima A/B
-    (``SPARK_GRAFT_KEEPUP_HOFF_REPS`` warm batches with h_maxima=False,
-    default 2) quantifies the A19 stage's marginal cost per batch in the
-    SAME session, where weather cancels."""
+    Methodology (round 7, interleaving + core-seconds round 10): this host
+    shows 2-6x same-day wall-clock "weather" on identical binaries, so a
+    single warm batch is noise, not measurement. The steady-state figure
+    is the MEDIAN of ``SPARK_GRAFT_KEEPUP_WARM_REPS`` (default 3)
+    identical warm batches, with the min/max spread published alongside so
+    any cross-round delta can be judged against the same-session variance.
+    Two normalization anchors are also published: ``px_build_sec`` (the
+    fixed-size pixel cache build — same bytes every round, so it
+    calibrates host weather) and ``pilot_sec`` (the full-size-controls JIT
+    pilot).
+
+    h-maxima A/B (``SPARK_GRAFT_KEEPUP_HOFF_REPS`` batches with
+    h_maxima=False, default 3): round 9's driver run published
+    h_on/h_off = 2.79 on identical binaries because the arms were ORDERED
+    (all h-on batches first, all h-off last) — a session-long weather ramp
+    biases the median-of-arms ratio arbitrarily. The arms are now
+    INTERLEAVED pairwise with alternating within-pair order
+    (on,off / off,on / on,off ...), so each h-on batch has a temporally
+    adjacent h-off partner and a monotone weather drift cancels in the
+    paired ratio; ``h_on_over_h_off`` is the median of per-pair ratios.
+
+    Primary cross-round metric (round 10): wall medians on this host are
+    not comparable across sessions (measured 814/935/83 core-s on a
+    fixed-work pure-CPU stage across identical batches), so the published
+    block carries ``core_sec_per_image`` — median Σ executorRunTime per
+    warm batch / batch size, from the named-stage REST profiles — as the
+    weather-robust number to compare round over round, next to the wall
+    fields (which answer the keep-up/breakeven question only for THIS
+    session's conditions)."""
     from xrddatapipeline_spark.calib.geometry import ImageControls
     from xrddatapipeline_spark.plans.image_pipeline import (
         cosine_similarity_series,
@@ -387,6 +404,9 @@ def _keepup_2880(batch: int = 8) -> dict:
     # is separate (the in-plan warmup thread).
     pilot_sec = None
     if os.environ.get("SPARK_GRAFT_KEEPUP_PILOT", "1") != "0":
+        pilot_snap = _prof_snap()  # round 10: profile the pilot too —
+        # it is the largest fixed session overhead after the fusion, and
+        # trimming it needs the compile-vs-execute split on record
         t_pilot = time.perf_counter()
         from dataclasses import replace as _replace
         from pyspark.sql import functions as _F
@@ -422,21 +442,37 @@ def _keepup_2880(batch: int = 8) -> dict:
         pres.unpersist_all()
         ppx.unpersist()
         pilot_sec = time.perf_counter() - t_pilot
+        pd = _prof_delta(pilot_snap)
+        if pd is not None:
+            pd["wall_sec"] = round(pilot_sec, 1)
+            batch_profiles.setdefault("pilot", []).append(pd)
     import statistics
 
     cold = one_batch(prof_key="cold")
     warm_reps = max(1, int(os.environ.get("SPARK_GRAFT_KEEPUP_WARM_REPS", "3")))
-    warms = [one_batch(prof_key="warm") for _ in range(warm_reps)]
-    warm = statistics.median(warms)
-    # h-maxima A/B in the SAME session (weather cancels): warm batches with
-    # the A19 stage off quantify its marginal cost per batch.
-    # 3 reps (round 9): with 2, a single weather outlier poisons the
-    # median — one session measured hoff batches 248.4/60.8 s on identical
-    # code, publishing h_on/h_off = 0.55 (nonsense); median-of-3 keeps the
-    # A/B meaningful through one bad batch.
+    # Interleaved h A/B (round 10 — VERDICT r9 #1): ordered arms let a
+    # session-long weather ramp masquerade as a blown h-bar (BENCH_r09
+    # published 2.79 when the uncontended truth was 1.23). Pairwise
+    # interleave with alternating within-pair order: each warm batch gets
+    # a temporally ADJACENT hoff partner, so a monotone drift cancels in
+    # the per-pair ratio. hoff reps default 3 (round 9: a median-of-2 is
+    # poisoned by one weather outlier).
     hoff_reps = int(os.environ.get("SPARK_GRAFT_KEEPUP_HOFF_REPS", "3"))
-    hoffs = [one_batch(h_maxima=False, prof_key="hoff")
-             for _ in range(hoff_reps)]
+    warms: list[float] = []
+    hoffs: list[float] = []
+    arm_order: list[str] = []
+    for i in range(max(warm_reps, hoff_reps)):
+        pair = [("on", True), ("off", False)]
+        if i % 2:
+            pair.reverse()
+        for arm, h_on in pair:
+            if h_on and len(warms) < warm_reps:
+                warms.append(one_batch(prof_key="warm"))
+                arm_order.append("on")
+            elif not h_on and len(hoffs) < hoff_reps:
+                hoffs.append(one_batch(h_maxima=False, prof_key="hoff"))
+                arm_order.append("off")
+    warm = statistics.median(warms)
     hoff = statistics.median(hoffs) if hoffs else None
     pixels.unpersist()
     spark.stop()
@@ -455,9 +491,33 @@ def _keepup_2880(batch: int = 8) -> dict:
         "sec_per_image": round(sec_per_img, 2),
         "images_per_sec": round(batch / warm, 3),
         "breakeven_acquisition_period_sec": round(sec_per_img, 2),
+        "arm_order": "".join("1" if a == "on" else "0" for a in arm_order),
     }
     if pilot_sec is not None:
         out["pilot_sec"] = round(pilot_sec, 2)
+    # Primary cross-round metric: core-seconds per image (Σ executorRunTime
+    # of each warm batch's stages / batch), median over warm reps — weather
+    # cancels in it (the A1+A15 fusion A/B was judged on exactly this
+    # number). Published alongside: the JVM-cpu variant and the core-sec
+    # h A/B ratio. Absent if the REST profile capture failed.
+    def _arm_core(key: str, field: str) -> list[float]:
+        return [p[field] for p in batch_profiles.get(key, []) if field in p]
+
+    warm_run = _arm_core("warm", "run_sec")
+    hoff_run = _arm_core("hoff", "run_sec")
+    if warm_run:
+        out["core_sec_per_image"] = round(
+            statistics.median(warm_run) / batch, 1
+        )
+        warm_cpu = _arm_core("warm", "cpu_sec")
+        if warm_cpu:
+            out["core_cpu_sec_per_image"] = round(
+                statistics.median(warm_cpu) / batch, 1
+            )
+    if warm_run and hoff_run:
+        out["core_h_on_over_h_off"] = round(
+            statistics.median(warm_run) / statistics.median(hoff_run), 3
+        )
     if batch_profiles:
         # Round 8 lesson: embedding the full per-batch REST stage profiles
         # here ballooned the final JSON line past the driver's ~2000-char
@@ -478,14 +538,13 @@ def _keepup_2880(batch: int = 8) -> dict:
         out["hoff_batch_sec"] = round(hoff, 2)
         out["hoff_batches_sec"] = [round(v, 2) for v in hoffs]
         out["hoff_sec_per_image"] = round(hoff / batch, 2)
-        out["h_on_over_h_off"] = round(warm / hoff, 3)
-        # min-based ratio (round 9): the medians compare unlike states —
-        # warm batches run FIRST and ride the session's CPU-weather ramp
-        # (named-stage profiles caught barrier:px, a constant-work pure-CPU
-        # stage, at 814/935/83 core-s across identical batches), while hoff
-        # runs last in the best state. min/min compares best-vs-best, the
-        # weather-robust marginal-cost figure (same JMH logic as the
-        # headline min-of-N).
+        # paired ratio over INTERLEAVED arms (round 10): pair i ran
+        # back-to-back (alternating order), so weather drift cancels per
+        # pair; the median of per-pair ratios is the published A/B number.
+        paired = [w / h for w, h in zip(warms, hoffs)]
+        out["h_on_over_h_off"] = round(statistics.median(paired), 3)
+        # min/min compares best-vs-best (JMH logic), robust to a single
+        # outlier batch in either arm.
         out["h_on_over_h_off_min"] = round(min(warms) / min(hoffs), 3)
         out["sec_per_image_best"] = round(min(warms) / batch, 2)
     return out
@@ -493,14 +552,16 @@ def _keepup_2880(batch: int = 8) -> dict:
 
 #: stdout-tail budget for the published line: the driver captures only a
 #: ~2000-char tail and parses the JSON from it (BENCH_r08 lost the round's
-#: numbers when the line outgrew the capture).
-LINE_BUDGET = 1500
+#: numbers when the line outgrew the capture). 1600 leaves 400 chars of
+#: tail headroom for stray stderr/stdout lines after the JSON.
+LINE_BUDGET = 1600
 
 #: keep-up sub-fields shed (in order) when the line exceeds the budget —
 #: diagnostics first; the headline value/queries/sec_per_image and the h
 #: A/B ratios are never dropped.
 SHEDDABLE = [
     "warm_batches_sec", "hoff_batches_sec", "warm_spread_sec",
+    "arm_order", "core_cpu_sec_per_image",
     "pilot_sec", "px_build_sec", "cold_batch_sec", "profiles_path",
     "breakeven_acquisition_period_sec", "images_per_sec",
 ]

@@ -30,6 +30,9 @@ def _fake_out(n_queries=23, with_keepup=True):
             "hoff_batches_sec": [86.9, 198.3, 64.3],
             "hoff_sec_per_image": 10.87, "h_on_over_h_off": 1.277,
             "h_on_over_h_off_min": 1.226, "sec_per_image_best": 9.85,
+            "arm_order": "100110",
+            "core_sec_per_image": 208.3, "core_cpu_sec_per_image": 102.4,
+            "core_h_on_over_h_off": 1.191,
         }
     return out
 
@@ -54,7 +57,8 @@ def test_oversized_line_sheds_diagnostics_not_metrics():
     k = d["xrd_image_plan_2880"]
     # the metrics the round is graded on are never shed
     for key in ("sec_per_image", "batch_sec", "h_on_over_h_off",
-                "h_on_over_h_off_min", "sec_per_image_best"):
+                "h_on_over_h_off_min", "sec_per_image_best",
+                "core_sec_per_image", "core_h_on_over_h_off"):
         assert key in k, key
     assert d["value"] == 25.95 and len(d["queries"]) == 23
 

@@ -26,6 +26,7 @@ one-shuffle discipline as the rest of the per-image plan.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -142,9 +143,21 @@ def second_gradients(
     )
 
 
+def resolve_band_rows(height: int, n_images: int | None = None) -> int:
+    """Band height for the fused gradient kernel.
+
+    Default 512 (6 bands at 2880^2). ``XRDSPARK_GRAD_BAND_ROWS`` overrides
+    for same-session A/B runs. Kept a plain policy function so the A/B
+    winner can become the default in one place."""
+    env = os.environ.get("XRDSPARK_GRAD_BAND_ROWS")
+    if env:
+        return max(2 * _GRAD_HALO + 1, int(env))
+    return 512
+
+
 def fused_gradient_inputs(
     px: DataFrame, lpx: DataFrame, controls: ImageControls,
-    band_rows: int = 512,
+    band_rows: int | None = None,
     n_images: int | None = None,
 ) -> DataFrame:
     """The banded gradient kernel WITHOUT materializing the dense raster.
@@ -191,6 +204,8 @@ def fused_gradient_inputs(
     h, w = controls.size_y, controls.size_x
     cy = controls.center_y / (controls.pixel_size_y / 1000.0)
     cx = controls.center_x / (controls.pixel_size_x / 1000.0)
+    if band_rows is None:
+        band_rows = resolve_band_rows(h, n_images)
     n_bands = max(1, -(-h // band_rows))
     bh = band_rows
     halo = _GRAD_HALO
