@@ -50,7 +50,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--input", required=True, help="landing dir of TIFFs")
     ap.add_argument("--controls", required=True, help=".imctrl or .poni file")
-    ap.add_argument("--mask", help=".immask file (optional)")
+    ap.add_argument("--mask", help=".immask mask record or .tif predefined"
+                                    " mask raster (optional)")
     ap.add_argument("--out", required=True, help="output table root")
     ap.add_argument("--checkpoint", help="stream checkpoint dir "
                                          "(default: <out>/_checkpoint)")
@@ -84,7 +85,17 @@ def main(argv: list[str] | None = None) -> int:
 
     controls = load_controls(args.controls)
     if args.mask:
-        controls.extra["immask"] = parse_immask(open(args.mask).read())
+        # suffix dispatch as the reference does (cache_creation.py:239-246):
+        # .immask = geometric mask record, .tif = predefined mask raster
+        if args.mask.lower().endswith((".tif", ".tiff")):
+            from xrddatapipeline_spark.sources.tiff import read_tiff_gray
+
+            with open(args.mask, "rb") as f:
+                controls.extra["predef_mask"] = (
+                    read_tiff_gray(f.read()) != 0
+                )
+        else:
+            controls.extra["immask"] = parse_immask(open(args.mask).read())
 
     spark = get_spark(app_name="xrd-pipeline")
     spark.sparkContext.setLogLevel("WARN")

@@ -373,8 +373,12 @@ def _bilevel_tiff(width, height, bits_rows, photometric=1, fill_order=1,
 
 
 def test_bilevel_photometric_and_fill_order():
-    """1-bit decode honors WhiteIsZero (inverted samples) and rejects
-    LSB-first fill order loudly instead of bit-reversing silently."""
+    """1-bit decode returns the STORED bits for BOTH photometric
+    polarities — reference parity: skimage/tifffile return samples
+    uninverted (GSASII_imports.py:82-88), proven by the golden
+    insitu_mask.tif (photometric 0) -> _predef.tif (photometric 1)
+    pair carrying identical payloads. LSB-first fill order is rejected
+    loudly instead of bit-reversing silently."""
     import numpy as np
     import pytest
 
@@ -389,11 +393,42 @@ def test_bilevel_photometric_and_fill_order():
     assert got.dtype == bool and got.shape == (16, 19)
     assert np.array_equal(got, bits)
 
-    inv = read_tiff_gray(_bilevel_tiff(19, 16, padded, photometric=0))
-    assert np.array_equal(inv, ~bits)
+    raw = read_tiff_gray(_bilevel_tiff(19, 16, padded, photometric=0))
+    assert np.array_equal(raw, bits)
 
     with pytest.raises(ValueError, match="fill order"):
         read_tiff_gray(_bilevel_tiff(19, 16, padded, fill_order=2))
+
+
+def test_golden_predef_mask_input_roundtrip():
+    """INPUT-half golden (round 10): the tutorial's real input mask
+    (configs/insitu_mask.tif, photometric-0 bilevel from the beamline
+    toolchain) must decode to the exact bit payload the reference
+    pipeline wrote back as maps/*_predef.tif (cache_creation.py:239-268:
+    predef_mask = read_image(imgmaskname), saved via PIL). This is the
+    one input TIFF that survived .MISSING_LARGE_BLOBS — it proves the S2
+    reader against real beamline-produced bytes end-to-end."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from xrddatapipeline_spark.sources.tiff import read_tiff_gray
+
+    inp = "/root/reference/docs/GuiliangJun25_tutorial/configs/insitu_mask.tif"
+    gold = (
+        "/root/reference/docs/GuiliangJun25_tutorial_output/maps/"
+        "CeO2_coincell_d900-00000_predef.tif"
+    )
+    if not (os.path.exists(inp) and os.path.exists(gold)):
+        pytest.skip("reference tutorial mask files not present")
+    got = read_tiff_gray(open(inp, "rb").read())
+    want = read_tiff_gray(open(gold, "rb").read())
+    assert got.shape == want.shape == (2048, 2048)
+    assert got.dtype == want.dtype == np.bool_
+    assert np.array_equal(got, want)
+    # sanity: a mask, not its complement (1.8% of the detector)
+    assert int(got.sum()) == 75562
 
 
 def test_bilevel_missing_strip_counts():

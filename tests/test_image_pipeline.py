@@ -480,3 +480,52 @@ def test_fused_spottiness_matches_direct_formulation(spark, grad):
     np.testing.assert_allclose(
         fused["frac_masked"], direct["frac_masked"], atol=1e-12
     )
+
+
+def test_base_mask_honors_immask_and_predef_raster(spark):
+    """Round-10 parity fix: controls.extra['immask'] (geometric record)
+    and controls.extra['predef_mask'] (raster, the reference's .tif mask
+    branch, cache_creation.py:239-246) must fold into base_mask — the CLI
+    parsed them but the plan never consumed them."""
+    from dataclasses import replace
+
+    img = make_image(CONTROLS, seq=0)
+    pixels = images_long_df(spark, [("synth", 0, img)])
+    calib = build_calib_pixels(spark, CONTROLS).cache()
+
+    predef = np.zeros((CONTROLS.size_y, CONTROLS.size_x), dtype=bool)
+    predef[40:44, 100:140] = True
+    c2 = replace(
+        CONTROLS,
+        extra={"immask": {"Xlines": [7], "Ylines": [11]},
+               "predef_mask": predef},
+    )
+
+    plain = run_image_plan(pixels, calib, CONTROLS)
+    masked = run_image_plan(pixels, calib, c2)
+    b0 = (
+        plain.pixels.select("y", "x", "base_mask")
+        .toPandas()
+        .set_index(["y", "x"])["base_mask"]
+    )
+    b1 = (
+        masked.pixels.select("y", "x", "base_mask")
+        .toPandas()
+        .set_index(["y", "x"])["base_mask"]
+    )
+    extra = np.zeros_like(predef)
+    extra |= predef
+    extra[7, :] = True  # Xlines mask whole rows
+    extra[:, 11] = True  # Ylines mask whole columns
+    # toPandas order is not guaranteed: rebuild dense rasters by index
+    d0 = np.zeros_like(predef)
+    d0[b0.index.get_level_values(0), b0.index.get_level_values(1)] = (
+        b0.to_numpy()
+    )
+    d1 = np.zeros_like(predef)
+    d1[b1.index.get_level_values(0), b1.index.get_level_values(1)] = (
+        b1.to_numpy()
+    )
+    assert np.array_equal(d1, d0 | extra)
+    plain.unpersist_all()
+    masked.unpersist_all()

@@ -429,3 +429,34 @@ def test_export_dataset_chis_emits_header_only_for_empty_kind(spark, tmp_path):
     single = tmp_path / "imgA_om_single.chi"
     export_chi(integrals, "imgA", "om", str(single))
     assert (bulk_dir / "imgA_om.chi").read_bytes() == single.read_bytes()
+
+
+def test_export_dataset_stats_csvs_bytes_match_single_writer(spark, tmp_path):
+    """Bulk K5 exporter (one applyInPandas job) writes byte-identical CSVs
+    to export_stats_csv on a label-sorted frame."""
+    from xrddatapipeline_spark.plans.image_pipeline import run_image_plan
+    from xrddatapipeline_spark.sinks import (
+        export_dataset_stats_csvs,
+        export_stats_csv,
+    )
+
+    pixels = images_long_df(
+        spark,
+        [("synth", 0, make_image(CONTROLS, seq=0)),
+         ("synth", 1, make_image(CONTROLS, seq=1))],
+    )
+    calib = build_calib_pixels(spark, CONTROLS)
+    res = run_image_plan(pixels, calib, CONTROLS)
+    stats = res.spot_stats.cache()
+
+    bulk_dir = tmp_path / "bulk"
+    paths = export_dataset_stats_csvs(stats, str(bulk_dir))
+    assert len(paths) == 2 and paths == sorted(paths)
+
+    for image_id in ("synth-00000", "synth-00001"):
+        single = tmp_path / f"{image_id}_single.csv"
+        export_stats_csv(
+            stats.orderBy("spot_stat_label"), image_id, str(single)
+        )
+        name = f"{image_id}_spots_stats_df.csv"
+        assert (bulk_dir / name).read_bytes() == single.read_bytes(), name

@@ -87,12 +87,25 @@ def join_calib(
     return pixels.join(c, ["y", "x"])
 
 
-def with_base_mask(px: DataFrame) -> DataFrame:
-    """F1-F3: nonpositive ∨ azimuth-range (∨ geometric predef, added by
-    caller via operators.masks). pipeline.py:148-165."""
-    return px.withColumn(
-        "base_mask", (F.col("intensity") <= 0) | F.col("azim_mask")
-    )
+def with_base_mask(
+    px: DataFrame, controls: ImageControls | None = None
+) -> DataFrame:
+    """F1-F3: nonpositive ∨ azimuth-range ∨ the .immask geometric masks
+    (pipeline.py:148-165). When ``controls.extra["immask"]`` carries a
+    parsed mask record (sources.controls.parse_immask), its OR-composition
+    folds into base_mask as pure column expressions — zero extra
+    exchanges, stays in whole-stage codegen. The predef RASTER branch
+    (a .tif mask, cache_creation.py:239-246) is wired by run_image_plan
+    (it needs a broadcast join, not a predicate)."""
+    mask = (F.col("intensity") <= 0) | F.col("azim_mask")
+    im = (controls.extra or {}).get("immask") if controls is not None else None
+    if im:
+        from xrddatapipeline_spark.operators.masks import (
+            geometric_mask_predicate,
+        )
+
+        mask = mask | geometric_mask_predicate(im, controls)
+    return px.withColumn("base_mask", mask)
 
 
 def outlier_pixels(px: DataFrame, esd_mul: float = 3.0) -> DataFrame:
@@ -857,12 +870,41 @@ def run_image_plan(
     drop_cols = ["tth", "azim_band", "azim_mask", "dataset", "seq"]
     if calib is None:
         drop_cols += ["q", "azim"]
-    px = _bar(_obs(
-        with_base_mask(
-            join_calib(
-                pixels, calib, broadcast=broadcast_calib, controls=controls
+    masked = with_base_mask(
+        join_calib(
+            pixels, calib, broadcast=broadcast_calib, controls=controls
+        ),
+        controls=controls,
+    )
+    # Predef RASTER mask (the reference's .tif mask branch,
+    # cache_creation.py:239-246): a driver-side boolean array in
+    # controls.extra["predef_mask"] joins in as a broadcast sparse
+    # (y, x) set — masked pixels are a tiny fraction of the detector
+    # (the tutorial's insitu mask covers 1.8%), so the build side stays
+    # broadcast-sized; the dense pixel table never shuffles.
+    predef = (controls.extra or {}).get("predef_mask")
+    if predef is not None:
+        import numpy as _np
+        import pandas as _pd
+
+        ys, xs = _np.nonzero(_np.asarray(predef, dtype=bool))
+        pmask = pixels.sparkSession.createDataFrame(
+            _pd.DataFrame(
+                {"y": ys.astype("int32"), "x": xs.astype("int32"),
+                 "is_predef": True}
+            ),
+            schema="y int, x int, is_predef boolean",
+        )
+        masked = (
+            masked.join(F.broadcast(pmask), ["y", "x"], "left")
+            .withColumn(
+                "base_mask",
+                F.col("base_mask") | F.coalesce("is_predef", F.lit(False)),
             )
-        ).drop(*drop_cols),
+            .drop("is_predef")
+        )
+    px = _bar(_obs(
+        masked.drop(*drop_cols),
         "corrections",
         F.count(F.lit(1)).alias("n_px"),
         F.count_if(F.col("base_mask")).alias("n_base_masked"),

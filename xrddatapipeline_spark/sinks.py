@@ -150,6 +150,39 @@ def export_dataset_chis(
     return sorted(written)
 
 
+def export_dataset_stats_csvs(
+    stats: DataFrame,
+    out_dir: str,
+    sort_by: tuple[str, ...] = ("spot_stat_label",),
+) -> list[str]:
+    """Bulk K5: one `<image_id>_spots_stats_df.csv` per image under
+    out_dir, as ONE distributed job (the K2 `export_dataset_chis`
+    pattern) — a bulk caller looping `export_stats_csv` would serialize
+    the export into one filtered collect per image.
+
+    Row order inside a CSV follows ``sort_by`` (the reference's per-image
+    frames are label-ordered); `export_stats_csv` on a pre-sorted frame
+    writes byte-identical files (parity-tested). out_dir must be visible
+    to the executors (local mode / shared filesystem)."""
+    os.makedirs(out_dir, exist_ok=True)
+    out_dir_abs = os.path.abspath(out_dir)
+    cols = [c for c in stats.columns if c != "image_id"]
+
+    def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        image_id = pdf["image_id"].iloc[0]
+        path = os.path.join(out_dir_abs, f"{image_id}_spots_stats_df.csv")
+        body = pdf.sort_values(list(sort_by))[cols]
+        body.to_csv(path, index=False)
+        return pd.DataFrame({"path": [path]})
+
+    rows = (
+        stats.groupBy("image_id")
+        .applyInPandas(_write_group, "path string")
+        .collect()
+    )
+    return sorted(r.path for r in rows)
+
+
 def render_mask_tiffs(
     mask_rows: DataFrame,
     shape: tuple[int, int],

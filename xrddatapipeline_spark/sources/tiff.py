@@ -137,13 +137,23 @@ def read_tiff_gray(data: bytes) -> np.ndarray:
         # bilevel: rows are packed 8 pixels/byte, MSB first (TIFF
         # FillOrder 1, the only value we decode — LSB-first files would
         # otherwise come back silently bit-reversed), each row padded to
-        # a whole byte. PhotometricInterpretation 0 (WhiteIsZero) inverts
-        # the sample meaning — honor it rather than return complemented
-        # masks.
+        # a whole byte.
+        #
+        # PhotometricInterpretation 0 (WhiteIsZero) is deliberately NOT
+        # inverted (round 10): the reference reads mask TIFFs via
+        # skimage.io.imread -> tifffile (GSASII_imports.py:82-88), which
+        # returns the STORED samples uninverted, and the surviving golden
+        # pair proves it end-to-end — the tutorial input
+        # configs/insitu_mask.tif is photometric-0 and the reference's
+        # maps/CeO2_coincell_d900-00000_predef.tif (written from the
+        # read-back mask, cache_creation.py:239-268) is photometric-1
+        # with the IDENTICAL bit payload (75,562 masked pixels; the
+        # spec-inverted reading would mask 98% of the detector).
+        # Photometric 0/1 on bilevel masks is display polarity; the
+        # payload bit is the mask truth the pipeline consumes.
         fill_order = int(tags.get(_TAG_FILL_ORDER, [1])[0])
         if fill_order != 1:
             raise ValueError(f"unsupported TIFF fill order {fill_order}")
-        photometric = int(tags.get(_TAG_PHOTOMETRIC, [1])[0])
         row_bytes = (width + 7) // 8
         counts = tags.get(_TAG_STRIP_COUNTS)
         if counts is None:
@@ -162,8 +172,7 @@ def read_tiff_gray(data: bytes) -> np.ndarray:
         packed = np.frombuffer(
             payload, dtype=np.uint8, count=height * row_bytes
         ).reshape(height, row_bytes)
-        arr = np.unpackbits(packed, axis=1)[:, :width].astype(bool)
-        return ~arr if photometric == 0 else arr
+        return np.unpackbits(packed, axis=1)[:, :width].astype(bool)
 
     dtype = np.dtype(f"{bo}{kind}{bits // 8}")
     counts = tags.get(_TAG_STRIP_COUNTS)
