@@ -416,12 +416,14 @@ def _keepup_2880(batch: int = 8) -> dict:
         # distance, size) into the generated source, so a pilot built
         # with 512-size controls compiled DIFFERENT classes than the
         # 2880^2 plan — the one thing the pilot exists to pre-JIT. A
-        # y < 512 row filter keeps the full-size literals (identical
-        # generated source) at ~18% of the pixels.
+        # y < N row filter keeps the full-size literals (identical
+        # generated source); N defaults to 512 (~18% of the pixels),
+        # SPARK_GRAFT_PILOT_ROWS overrides for A/B probes.
+        pilot_rows = int(os.environ.get("SPARK_GRAFT_PILOT_ROWS", "512"))
         pc = _replace(c, dataset="pilot")
         ppx = (
             _synthetic_pixels(spark, pc, n_images=1)
-            .where(_F.col("y") < 512)
+            .where(_F.col("y") < pilot_rows)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         ppx.count()

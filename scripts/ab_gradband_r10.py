@@ -161,7 +161,10 @@ def main() -> None:
     ppx.unpersist()
     print("pilot done", flush=True)
 
-    for band_rows in [512, 720, 360, 512, 720, 360]:
+    import ast
+    seq = ast.literal_eval(os.environ.get(
+        'AB_GRADBAND_SEQ', '[512, 720, 360, 512, 720, 360]'))
+    for band_rows in seq:
         rec = one_batch(band_rows)
         print(json.dumps(rec), flush=True)
 

@@ -147,8 +147,18 @@ def resolve_band_rows(height: int, n_images: int | None = None) -> int:
     """Band height for the fused gradient kernel.
 
     Default 512 (6 bands at 2880^2). ``XRDSPARK_GRAD_BAND_ROWS`` overrides
-    for same-session A/B runs. Kept a plain policy function so the A/B
-    winner can become the default in one place."""
+    for same-session A/B runs.
+
+    Round-10 A/B (scripts/ab_gradband_r10.py, 8 x 2880^2, two sessions,
+    order-rotated, min-of-3): wave packing does NOT move the steady state
+    — 720 rows (4 bands x 8 images = exactly one 32-core wave) min
+    gf-run 197.0 core-s, 512 (1.5 waves) 189.8, 360 (2 waves) 193.8;
+    batch minimums 94.6 / 80.9 / 79.6 s, within weather. The round-9
+    profile's grad_fused run/cpu = 4.1 (1007/245) was a weather+first-
+    touch artifact: steady-state run/cpu is 189.8/137.5 ~= 1.4, already
+    under the <= 2 bar — the Python kernel time the JVM thread waits on
+    IS the compute, and it's ~60 core-s over 192 tasks once the scratch
+    pool is warm. 512 stays the default."""
     env = os.environ.get("XRDSPARK_GRAD_BAND_ROWS")
     if env:
         return max(2 * _GRAD_HALO + 1, int(env))
