@@ -197,14 +197,28 @@ def _keepup_2880(batch: int = 8) -> dict:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     profile = os.environ.get("XRDSPARK_KEEPUP_PROFILE", "1") != "0"
+    # FAIR job scheduling (round 10): the session prep phase runs two
+    # independent coarse jobs — the 8 x 8.3 Mpx pixel-cache build (pure
+    # JVM CPU) and the pilot chain incl. the python-worker page-fault
+    # warmup (memory-bandwidth-bound, near-zero CPU). Under FIFO the
+    # first job monopolizes all task slots, serializing ~12 s (px) +
+    # ~37 s (pilot, row-count-invariant — measured 39.3/41.9/36.9 s at
+    # pilot rows 512/256/128); FAIR round-robins slots across jobs so
+    # the pilot's idle-slot time backfills with px work. The same mode
+    # lets one_batch's concurrent output jobs share slots instead of
+    # queueing whole-job. SPARK_GRAFT_KEEPUP_SCHED=FIFO reverts for A/B.
+    sched = os.environ.get("SPARK_GRAFT_KEEPUP_SCHED", "FAIR").upper()
+    extra_conf = {"spark.scheduler.mode": sched}
+    if profile:
+        # the UI exists only to serve the per-batch REST stage profiles
+        # (negligible cost; keeps outlier batches diagnosable from the
+        # published BENCH json instead of being one-off mysteries)
+        extra_conf["spark.ui.enabled"] = "true"
     spark = get_spark(
         app_name="xrdspark-keepup",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        # the UI exists only to serve the per-batch REST stage profiles
-        # (negligible cost; keeps outlier batches diagnosable from the
-        # published BENCH json instead of being one-off mysteries)
-        extra_conf={"spark.ui.enabled": "true"} if profile else None,
+        extra_conf=extra_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
     size = 2880
@@ -231,9 +245,11 @@ def _keepup_2880(batch: int = 8) -> dict:
     pixels = _synthetic_pixels(spark, c, n_images=batch).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    t_px = time.perf_counter()
-    pixels.count()
-    px_build_sec = time.perf_counter() - t_px
+
+    def _build_px() -> float:
+        t0 = time.perf_counter()
+        pixels.count()
+        return time.perf_counter() - t0
 
     # calib=None: closed-form calibration columns (codegen trig per row
     # beats broadcasting + probing an 8.3 M-row map table — SCALE.md §1);
@@ -403,10 +419,10 @@ def _keepup_2880(batch: int = 8) -> dict:
     # cold/warm ratios without it). Python kernel-pool page-fault warmup
     # is separate (the in-plan warmup thread).
     pilot_sec = None
-    if os.environ.get("SPARK_GRAFT_KEEPUP_PILOT", "1") != "0":
-        pilot_snap = _prof_snap()  # round 10: profile the pilot too —
-        # it is the largest fixed session overhead after the fusion, and
-        # trimming it needs the compile-vs-execute split on record
+    px_build_sec = None
+    prep_sec = None
+
+    def _run_pilot() -> float:
         t_pilot = time.perf_counter()
         from dataclasses import replace as _replace
         from pyspark.sql import functions as _F
@@ -443,11 +459,31 @@ def _keepup_2880(batch: int = 8) -> dict:
                 f.result()
         pres.unpersist_all()
         ppx.unpersist()
-        pilot_sec = time.perf_counter() - t_pilot
-        pd = _prof_delta(pilot_snap)
-        if pd is not None:
-            pd["wall_sec"] = round(pilot_sec, 1)
-            batch_profiles.setdefault("pilot", []).append(pd)
+        return time.perf_counter() - t_pilot
+
+    # Prep phase: pixel-cache build ∥ pilot (round 10). The pilot is
+    # row-count-INVARIANT (probed at rows 512/256/128: 39.3/41.9/36.9 s
+    # — its wall is the python-worker page-fault warmup, a measured
+    # 10.5 GB of simultaneous first-touch across 32 workers, plus the
+    # ~85-stage sequential barrier-chain scheduling), so trimming rows
+    # is pointless; the win is overlapping it with the px build under
+    # FAIR scheduling (prep_sec vs px_build_sec + pilot_sec shows the
+    # overlap gain; under FIFO the jobs serialize and prep_sec is their
+    # sum).
+    prep_snap = _prof_snap()
+    t_prep = time.perf_counter()
+    if os.environ.get("SPARK_GRAFT_KEEPUP_PILOT", "1") != "0":
+        with ThreadPoolExecutor(max_workers=1) as prep_pool:
+            fpx = prep_pool.submit(_build_px)
+            pilot_sec = _run_pilot()
+            px_build_sec = fpx.result()
+    else:
+        px_build_sec = _build_px()
+    prep_sec = time.perf_counter() - t_prep
+    pdlt = _prof_delta(prep_snap)
+    if pdlt is not None:
+        pdlt["wall_sec"] = round(prep_sec, 1)
+        batch_profiles.setdefault("prep", []).append(pdlt)
     import statistics
 
     cold = one_batch(prof_key="cold")
@@ -497,6 +533,8 @@ def _keepup_2880(batch: int = 8) -> dict:
     }
     if pilot_sec is not None:
         out["pilot_sec"] = round(pilot_sec, 2)
+    if prep_sec is not None:
+        out["prep_sec"] = round(prep_sec, 2)
     # Primary cross-round metric: core-seconds per image (Σ executorRunTime
     # of each warm batch's stages / batch), median over warm reps — weather
     # cancels in it (the A1+A15 fusion A/B was judged on exactly this
@@ -563,7 +601,7 @@ LINE_BUDGET = 1600
 #: A/B ratios are never dropped.
 SHEDDABLE = [
     "warm_batches_sec", "hoff_batches_sec", "warm_spread_sec",
-    "arm_order", "core_cpu_sec_per_image",
+    "arm_order", "core_cpu_sec_per_image", "prep_sec",
     "pilot_sec", "px_build_sec", "cold_batch_sec", "profiles_path",
     "breakeven_acquisition_period_sec", "images_per_sec",
 ]

@@ -25,6 +25,7 @@ def _fake_out(n_queries=23, with_keepup=True):
             "px_build_sec": 9.3, "sec_per_image": 13.88,
             "images_per_sec": 0.072,
             "breakeven_acquisition_period_sec": 13.88, "pilot_sec": 11.9,
+            "prep_sec": 40.2,
             "profiles_path": "/root/repo/BENCH_PROFILES.json",
             "hoff_batch_sec": 86.97,
             "hoff_batches_sec": [86.9, 198.3, 64.3],
