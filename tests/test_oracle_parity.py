@@ -27,6 +27,23 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     assert df.count() >= 0
 
 
+def test_f4_mask_anchor_exercises_every_kind(spark, sf_dir):
+    """The F4 driver anchor must keep discriminating power: every mask
+    kind's count is nonzero and none masks everything — a testdata drift
+    that degenerates a predicate to constant true/false would otherwise
+    still pass parity (both sides constant)."""
+    pdf = (
+        REGISTRY["f4_geometric_mask_counts"]
+        .spark(spark, sf_dir)
+        .toPandas()
+        .sum(numeric_only=True)
+    )
+    for kind in ("n_spot", "n_ring", "n_arc", "n_poly", "n_frame",
+                 "n_thresh", "n_line"):
+        assert 0 < pdf[kind] < pdf["n_pts"], f"{kind}={pdf[kind]}"
+    assert 0 < pdf["n_masked"] < pdf["n_pts"]
+
+
 def test_ordered_registry_window_is_sound():
     """r04 regression: a promised-but-unregistered window name must fail
     loudly, not silently shrink the driver's hash-checked window."""

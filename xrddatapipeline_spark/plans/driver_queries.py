@@ -1441,6 +1441,158 @@ def a13_gradient_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# F4-F9/M9 — geometric mask rasterization as Catalyst predicates
+# ---------------------------------------------------------------------------
+
+#: One mask object of every geometric kind the reference supports
+#: (mask_widget.py:1694-1812, polymask.for). Coordinates are mm on a
+#: 40x40 mm synthetic detector (200 um pixels, 200x200 px lattice).
+_F4_MASKS: dict = {
+    "Points": [[10.0, 10.0, 6.0]],
+    "Rings": [[5.0, 1.0]],
+    "Arcs": [[7.0, [350.0, 20.0], 1.0]],
+    "Polygons": [[[3.1, 2.3], [33.7, 5.2], [29.4, 31.8], [6.2, 27.9]]],
+    "Frames": [[1.3, 1.1], [38.6, 2.4], [37.9, 38.2], [2.2, 36.7]],
+    # thresholds[1] is the active [lo, hi] band (reference convention);
+    # .505 bounds sit between cent-quantized prices, so no comparison ties
+    "Thresholds": [[0.0, 200000.0], [1000.505, 80000.505]],
+    "Xlines": [5],
+    "Ylines": [7],
+}
+
+
+@_register(
+    "f4_geometric_mask_counts",
+    """
+    WITH px AS (
+        SELECT CAST(l_partkey % 200 AS INT) AS x,
+               CAST((l_orderkey * 7 + l_linenumber) % 200 AS INT) AS y,
+               l_quantity * 0.2 AS tth,
+               CAST((l_orderkey + l_partkey) % 360 AS DOUBLE) AS azim,
+               l_extendedprice AS intensity,
+               l_quantity AS qty,
+               l_returnflag AS flag
+        FROM lineitem
+    ), mm AS (
+        SELECT *,
+               (x + 0.5) * 0.2 AS x_mm,
+               (y + 0.5) * 0.2 AS y_mm
+        FROM px
+    ), pred AS (
+        SELECT flag, qty,
+            ((x_mm - 10.0) * (x_mm - 10.0)
+             + (y_mm - 10.0) * (y_mm - 10.0)) <= 9.0 AS m_spot,
+            abs(tth - 5.0) <= 0.5 AS m_ring,
+            (abs(tth - 7.0) <= 0.5
+             AND (azim >= 350.0 OR azim <= 20.0)) AS m_arc,
+            ((CASE WHEN ((2.3 > y_mm) <> (5.2 > y_mm))
+                    AND x_mm < (33.7 - 3.1) * (y_mm - 2.3) / (5.2 - 2.3) + 3.1
+                   THEN 1 ELSE 0 END
+            + CASE WHEN ((5.2 > y_mm) <> (31.8 > y_mm))
+                    AND x_mm < (29.4 - 33.7) * (y_mm - 5.2) / (31.8 - 5.2) + 33.7
+                   THEN 1 ELSE 0 END
+            + CASE WHEN ((31.8 > y_mm) <> (27.9 > y_mm))
+                    AND x_mm < (6.2 - 29.4) * (y_mm - 31.8) / (27.9 - 31.8) + 29.4
+                   THEN 1 ELSE 0 END
+            + CASE WHEN ((27.9 > y_mm) <> (2.3 > y_mm))
+                    AND x_mm < (3.1 - 6.2) * (y_mm - 27.9) / (2.3 - 27.9) + 6.2
+                   THEN 1 ELSE 0 END) % 2) = 1 AS m_poly,
+            NOT (((CASE WHEN ((1.1 > y_mm) <> (2.4 > y_mm))
+                    AND x_mm < (38.6 - 1.3) * (y_mm - 1.1) / (2.4 - 1.1) + 1.3
+                   THEN 1 ELSE 0 END
+            + CASE WHEN ((2.4 > y_mm) <> (38.2 > y_mm))
+                    AND x_mm < (37.9 - 38.6) * (y_mm - 2.4) / (38.2 - 2.4) + 38.6
+                   THEN 1 ELSE 0 END
+            + CASE WHEN ((38.2 > y_mm) <> (36.7 > y_mm))
+                    AND x_mm < (2.2 - 37.9) * (y_mm - 38.2) / (36.7 - 38.2) + 37.9
+                   THEN 1 ELSE 0 END
+            + CASE WHEN ((36.7 > y_mm) <> (1.1 > y_mm))
+                    AND x_mm < (1.3 - 2.2) * (y_mm - 36.7) / (1.1 - 36.7) + 2.2
+                   THEN 1 ELSE 0 END) % 2) = 1) AS m_frame,
+            (intensity < 1000.505 OR intensity > 80000.505) AS m_thresh,
+            (y = 5 OR x = 7) AS m_line
+        FROM mm
+    )
+    SELECT flag,
+           count(*) AS n_pts,
+           CAST(sum(CASE WHEN m_spot THEN 1 ELSE 0 END) AS BIGINT) AS n_spot,
+           CAST(sum(CASE WHEN m_ring THEN 1 ELSE 0 END) AS BIGINT) AS n_ring,
+           CAST(sum(CASE WHEN m_arc THEN 1 ELSE 0 END) AS BIGINT) AS n_arc,
+           CAST(sum(CASE WHEN m_poly THEN 1 ELSE 0 END) AS BIGINT) AS n_poly,
+           CAST(sum(CASE WHEN m_frame THEN 1 ELSE 0 END) AS BIGINT) AS n_frame,
+           CAST(sum(CASE WHEN m_thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_thresh,
+           CAST(sum(CASE WHEN m_line THEN 1 ELSE 0 END) AS BIGINT) AS n_line,
+           CAST(sum(CASE WHEN m_spot OR m_ring OR m_arc OR m_poly OR m_frame
+                          OR m_thresh OR m_line THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_masked,
+           sum(CASE WHEN NOT (m_spot OR m_ring OR m_arc OR m_poly OR m_frame
+                              OR m_thresh OR m_line)
+                    THEN qty ELSE 0.0 END) AS sum_qty_unmasked
+    FROM pred
+    GROUP BY flag
+    """,
+    doc="Geometric mask rasterization as pure Catalyst predicates "
+    "(mask_widget.py:1694-1812, MakeMaskMap GSASII_imports.py:363-424, "
+    "polymask.for crossing-number; SURVEY §2.4 F4-F9/M9). Exercises every "
+    "mask kind individually AND the OR-composition `with_base_mask` folds "
+    "into the image plan (immask wiring, round 10): spot disc in mm, tth "
+    "ring, wraparound arc (P15), even-odd polygon + frame via the "
+    "F.aggregate edge fold, threshold band, x/y lines. The oracle spells "
+    "the crossing-number fold as per-edge CASE arithmetic. Only the spot "
+    "predicate differs in formulation (Column**2 = POWER vs literal "
+    "multiply); its boundary is >=0.02 from any lattice point "
+    "((odd^2+odd^2) mod 8 = 2 != 900 mod 8), so 1-ulp pow rounding cannot "
+    "flip a comparison. Every other predicate is the identical IEEE "
+    "expression on both sides.",
+    tags=("mask", "xrd"),
+)
+def f4_geometric_mask_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.calib.geometry import ImageControls
+    from xrddatapipeline_spark.operators.masks import geometric_mask_predicate
+
+    c = ImageControls(pixel_size_x=200.0, pixel_size_y=200.0,
+                      size_x=200, size_y=200)
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        (F.col("l_partkey") % 200).cast("int").alias("x"),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 200)
+        .cast("int").alias("y"),
+        (F.col("l_quantity") * 0.2).alias("tth"),
+        ((F.col("l_orderkey") + F.col("l_partkey")) % 360)
+        .cast("double").alias("azim"),
+        F.col("l_extendedprice").alias("intensity"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    kinds = {
+        "n_spot": {"Points": _F4_MASKS["Points"]},
+        "n_ring": {"Rings": _F4_MASKS["Rings"]},
+        "n_arc": {"Arcs": _F4_MASKS["Arcs"]},
+        "n_poly": {"Polygons": _F4_MASKS["Polygons"]},
+        "n_frame": {"Frames": _F4_MASKS["Frames"]},
+        "n_thresh": {"Thresholds": _F4_MASKS["Thresholds"]},
+        "n_line": {"Xlines": _F4_MASKS["Xlines"],
+                   "Ylines": _F4_MASKS["Ylines"]},
+    }
+    aggs = [F.count("*").alias("n_pts")]
+    for name, m in kinds.items():
+        aggs.append(
+            F.sum(
+                F.when(geometric_mask_predicate(m, c), 1).otherwise(0)
+            ).alias(name)
+        )
+    composite = geometric_mask_predicate(_F4_MASKS, c)
+    aggs.append(
+        F.sum(F.when(composite, 1).otherwise(0)).alias("n_masked")
+    )
+    aggs.append(
+        F.sum(F.when(~composite, F.col("qty")).otherwise(0.0))
+        .alias("sum_qty_unmasked")
+    )
+    return pts.groupBy("flag").agg(*aggs)
+
+
 # Corpus-scale registry entries (dedup / similarity / text / multimodal)
 # register themselves on import; kept in a sibling module for size.
 from xrddatapipeline_spark.plans import corpus_queries  # noqa: E402,F401
@@ -1543,11 +1695,13 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q5ish_regional_volume",
     "tpch_q6ish_forecast_revenue",
     "tpch_q7ish_nation_volume",
-    # Flagship §2 anchors, kept hot in the 3 remaining slots (all three
-    # have fresh r09 rows and can yield to new round-10 queries if added)
+    # Flagship §2 anchors kept hot (fresh r09 rows), plus the query NEW
+    # this round: the F4-F9 geometric-mask predicate anchor took
+    # fused_grouping_sets_split's slot (its r09 row keeps it within the
+    # staleness bound via _PREVIOUS_WINDOW).
     "a1_integrate_binned_mean",
     "a2_ring_median_mad",
-    "fused_grouping_sets_split",
+    "f4_geometric_mask_counts",
 )
 
 # Names allowed to be absent from REGISTRY (queries gated behind optional
