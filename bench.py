@@ -528,7 +528,6 @@ def _keepup_2880(batch: int = 8) -> dict:
         "px_build_sec": round(px_build_sec, 2),
         "sec_per_image": round(sec_per_img, 2),
         "images_per_sec": round(batch / warm, 3),
-        "breakeven_acquisition_period_sec": round(sec_per_img, 2),
         "arm_order": "".join("1" if a == "on" else "0" for a in arm_order),
     }
     if pilot_sec is not None:
@@ -558,6 +557,33 @@ def _keepup_2880(batch: int = 8) -> dict:
         out["core_h_on_over_h_off"] = round(
             statistics.median(warm_run) / statistics.median(hoff_run), 3
         )
+
+    # Spike-robust paired ratios (round 10, two-session evidence in
+    # STATUS.md): a host-weather excursion hits ONE arm of ONE pair (a
+    # 257-s hoff beside a 77-s warm; a 3046-core-s warm beside a 1368),
+    # so with 3 pairs the plain per-pair median is poisoned whenever two
+    # different pairs each contain a spike. The work per batch is fixed,
+    # so a batch whose measure exceeds 1.5x its arm's minimum is weather,
+    # not plan: drop pairs containing one and take the median of the
+    # clean rest (falls back to None -> field omitted if nothing
+    # survives; the unfiltered medians above are always published).
+    def _robust_paired(ws: list[float], hs: list[float]) -> float | None:
+        if not ws or not hs:
+            return None
+        wmin, hmin = min(ws), min(hs)
+        clean = [
+            w / h
+            for w, h in zip(ws, hs)
+            if w <= 1.5 * wmin and h <= 1.5 * hmin
+        ]
+        return statistics.median(clean) if clean else None
+
+    h_rb = _robust_paired(warms, hoffs)
+    if h_rb is not None:
+        out["h_robust"] = round(h_rb, 3)
+    core_rb = _robust_paired(warm_run, hoff_run)
+    if core_rb is not None:
+        out["core_h_robust"] = round(core_rb, 3)
     if batch_profiles:
         # Round 8 lesson: embedding the full per-batch REST stage profiles
         # here ballooned the final JSON line past the driver's ~2000-char
@@ -603,7 +629,7 @@ SHEDDABLE = [
     "warm_batches_sec", "hoff_batches_sec", "warm_spread_sec",
     "arm_order", "core_cpu_sec_per_image", "prep_sec",
     "pilot_sec", "px_build_sec", "cold_batch_sec", "profiles_path",
-    "breakeven_acquisition_period_sec", "images_per_sec",
+    "images_per_sec",
 ]
 
 

@@ -24,7 +24,7 @@ def _fake_out(n_queries=23, with_keepup=True):
             "warm_spread_sec": [78.8, 146.7], "cold_batch_sec": 128.3,
             "px_build_sec": 9.3, "sec_per_image": 13.88,
             "images_per_sec": 0.072,
-            "breakeven_acquisition_period_sec": 13.88, "pilot_sec": 11.9,
+            "pilot_sec": 11.9,
             "prep_sec": 40.2,
             "profiles_path": "/root/repo/BENCH_PROFILES.json",
             "hoff_batch_sec": 86.97,
@@ -34,6 +34,7 @@ def _fake_out(n_queries=23, with_keepup=True):
             "arm_order": "100110",
             "core_sec_per_image": 208.3, "core_cpu_sec_per_image": 102.4,
             "core_h_on_over_h_off": 1.191,
+            "h_robust": 1.194, "core_h_robust": 1.14,
         }
     return out
 
@@ -59,7 +60,8 @@ def test_oversized_line_sheds_diagnostics_not_metrics():
     # the metrics the round is graded on are never shed
     for key in ("sec_per_image", "batch_sec", "h_on_over_h_off",
                 "h_on_over_h_off_min", "sec_per_image_best",
-                "core_sec_per_image", "core_h_on_over_h_off"):
+                "core_sec_per_image", "core_h_on_over_h_off",
+                "h_robust", "core_h_robust"):
         assert key in k, key
     assert d["value"] == 25.95 and len(d["queries"]) == 23
 

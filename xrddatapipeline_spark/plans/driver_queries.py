@@ -1593,6 +1593,71 @@ def f4_geometric_mask_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.groupBy("flag").agg(*aggs)
 
 
+# ---------------------------------------------------------------------------
+# P14 + tth_bin_center — azimuth banding and bin-center reconstruction
+# ---------------------------------------------------------------------------
+
+@_register(
+    "p14_azim_band_profile",
+    """
+    WITH px AS (
+        SELECT ((l_orderkey * 13 + l_partkey) % 3600) / 10.0 AS azim,
+               l_quantity * 0.2 AS tth,
+               l_quantity AS qty
+        FROM lineitem
+    ), b AS (
+        SELECT CAST(floor(azim / 2.5) AS INT) AS band,
+               CASE WHEN tth < 1.0 OR tth >= 9.0 THEN 0
+                    ELSE CAST(floor((tth - 1.0) / 0.2) + 1 AS INT)
+               END AS tbin,
+               qty
+        FROM px
+    )
+    SELECT band,
+           count(*) AS n_px,
+           sum(qty) AS sum_qty,
+           count(DISTINCT tbin) AS n_tth_bins,
+           min(1.0 + (CAST(tbin AS DOUBLE) - 0.5) * 0.2) AS min_center,
+           max(1.0 + (CAST(tbin AS DOUBLE) - 0.5) * 0.2) AS max_center
+    FROM b
+    GROUP BY band
+    """,
+    doc="Azimuth banding + 2theta bin-center reconstruction "
+    "(cache_creation.py:88-91 get_azimbands, :44-49 bin centers; SURVEY "
+    "§2.3 P12/P14). Exercises azim_band, tth_bin_index's clamp-to-0 "
+    "routing, and tth_bin_center; min/max of centers are exact order "
+    "statistics over identically-computed doubles, so the hash is "
+    "tie-proof.",
+    tags=("functions", "xrd"),
+)
+def p14_azim_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.functions.binning import (
+        azim_band,
+        tth_bin_center,
+        tth_bin_index,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    px = li.select(
+        (((F.col("l_orderkey") * 13 + F.col("l_partkey")) % 3600) / 10.0)
+        .alias("azim"),
+        (F.col("l_quantity") * 0.2).alias("tth"),
+        F.col("l_quantity").alias("qty"),
+    )
+    binned = px.select(
+        azim_band("azim", 2.5).alias("band"),
+        tth_bin_index("tth", 1.0, 9.0, 40).alias("tbin"),
+        "qty",
+    )
+    return binned.groupBy("band").agg(
+        F.count("*").alias("n_px"),
+        F.sum("qty").alias("sum_qty"),
+        F.countDistinct("tbin").alias("n_tth_bins"),
+        F.min(tth_bin_center(F.col("tbin"), 1.0, 9.0, 40)).alias("min_center"),
+        F.max(tth_bin_center(F.col("tbin"), 1.0, 9.0, 40)).alias("max_center"),
+    )
+
+
 # Corpus-scale registry entries (dedup / similarity / text / multimodal)
 # register themselves on import; kept in a sibling module for size.
 from xrddatapipeline_spark.plans import corpus_queries  # noqa: E402,F401
@@ -1695,13 +1760,14 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q5ish_regional_volume",
     "tpch_q6ish_forecast_revenue",
     "tpch_q7ish_nation_volume",
-    # Flagship §2 anchors kept hot (fresh r09 rows), plus the query NEW
-    # this round: the F4-F9 geometric-mask predicate anchor took
-    # fused_grouping_sets_split's slot (its r09 row keeps it within the
+    # One flagship §2 anchor kept hot (fresh r09 row), plus the queries
+    # NEW this round: the F4-F9 geometric-mask predicate anchor and the
+    # P14 azimuth-band anchor took fused_grouping_sets_split's and
+    # a2_ring_median_mad's slots (their r09 rows keep them within the
     # staleness bound via _PREVIOUS_WINDOW).
     "a1_integrate_binned_mean",
-    "a2_ring_median_mad",
     "f4_geometric_mask_counts",
+    "p14_azim_band_profile",
 )
 
 # Names allowed to be absent from REGISTRY (queries gated behind optional
