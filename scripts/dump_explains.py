@@ -83,7 +83,15 @@ SHOWCASE = [
      "broadcasts whichever side size stats say is small (orders at test "
      "SF; the post-HAVING aggregate at scale); global top-100 via "
      "TakeOrderedAndProject, no full sort"),
+    ("f4_geometric_mask_counts",
+     "every geometric mask kind (spot/ring/arc/polygon/frame/threshold/"
+     "lines) as pure Catalyst predicates: one pruned 6-column scan, one "
+     "exchange (the groupBy), zero Python — the crossing-number polygon "
+     "test is an F.aggregate fold over a literal edge array"),
 ]
+
+#: separates generated plan dumps from hand-written analysis below it
+HAND_MARKER = "<!-- HAND-WRITTEN BELOW: preserved by dump_explains.py -->"
 
 INTERESTING = re.compile(
     r"PushedFilters: \[[^\]]*[A-Za-z][^\]]*\]|ReadSchema|BroadcastHashJoin"
@@ -133,9 +141,23 @@ def main() -> None:
             "```",
             "",
         ]
+    # Everything after the marker is HAND-WRITTEN analysis (kernel-feed
+    # plan walkthroughs, stage economics) — preserve it across regens
+    # (round 10: a regen without this silently dropped four sections).
+    tail = ""
+    try:
+        with open("EXPLAIN.md") as f:
+            old = f.read()
+        if HAND_MARKER in old:
+            tail = old[old.index(HAND_MARKER):]
+    except OSError:
+        pass
+    if not tail:
+        tail = HAND_MARKER + "\n"
     with open("EXPLAIN.md", "w") as f:
-        f.write("\n".join(out))
-    print(f"wrote EXPLAIN.md ({len(SHOWCASE)} plans)")
+        f.write("\n".join(out) + tail)
+    print(f"wrote EXPLAIN.md ({len(SHOWCASE)} plans, hand tail "
+          f"{len(tail.splitlines())} lines)")
     spark.stop()
 
 
