@@ -1,0 +1,98 @@
+"""Persisted content-hash store for incremental (cross-batch) exact dedup.
+
+The reference dedups within one processing session; a 100 TB training-
+data pipeline dedups every NEW ingestion batch against the ALL-TIME seen
+corpus. This is the exact-dedup analog of the materialized IVF index
+(operators/similarity.py save_ivf_index / ivf_index_probe): the seen-set
+is a durable parquet table, and the per-batch probe is bounded by the
+batch, not the history.
+
+Store layout and the scale posture:
+
+- PARTITIONED BY ``hp`` — the first two hex chars of the md5 (256
+  directories). A probe prunes the store scan to the batch's own
+  prefixes (a driver-side bounded collect, <= 256 values, folded into a
+  Hive partition IN-filter — plan-asserted in tests/test_dedup_store.py).
+- parquet bloom filter written on ``content_hash`` inside every file
+  (``parquet.bloom.filter.enabled#content_hash``), so engines that push
+  hash literals into the scan skip row groups within a partition.
+- ``mode="append"`` is continuous ingestion: each processed batch's
+  hashes append into the same prefix directories.
+- At warehouse scale the store would additionally be BUCKETED BY
+  content_hash (bucket-local anti-join, no store shuffle); partitioned
+  parquet is the env-portable stand-in, same posture as the K4 delta
+  fallback (tables.py resolve_table_format).
+
+The probe is a LEFT ANTI join on the full hash: output = batch rows
+whose content was never seen. Batch-INTERNAL duplicates are out of
+scope by design — run dedup_exact_hash on the batch first, exactly as
+the corpus pipeline composes them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: two hex chars = 8 bits = 256 store partitions
+HASH_PREFIX_CHARS = 2
+
+#: read-side schema pinned explicitly: partition-value type inference
+#: would coerce an all-numeric prefix sample ("07" -> 7) and break both
+#: the prefix IN-filter and the join key dtype on small stores
+_STORE_SCHEMA = "content_hash string, hp string"
+
+
+def _with_hash(df: DataFrame, text_col: str) -> DataFrame:
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    return df.withColumn("content_hash", h).withColumn(
+        "hp", F.substring("content_hash", 1, HASH_PREFIX_CHARS)
+    )
+
+
+def save_dedup_store(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Write (or append) the corpus's content-hash set to ``path``.
+
+    One distinct-exchange on the hash; the write fans out by prefix
+    directory. Appending does NOT re-deduplicate against rows already in
+    the store — the probe's anti-join semantics are unaffected by
+    duplicate store rows, so ingestion never pays a read-modify-write.
+    """
+    store = (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"))
+        .distinct()
+        .withColumn("hp", F.substring("content_hash", 1, HASH_PREFIX_CHARS))
+    )
+    (
+        store.write.mode(mode)
+        .partitionBy("hp")
+        .option("parquet.bloom.filter.enabled#content_hash", "true")
+        .parquet(path)
+    )
+
+
+def dedup_store_probe(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch rows whose content hash is NOT in the store at ``path``.
+
+    The store scan is pruned to the batch's prefix partitions before the
+    anti-join: the driver-side collect is bounded by the partition
+    fan-out (<= 256 rows), never by batch or store size.
+    """
+    b = _with_hash(batch, text_col)
+    prefixes = [r[0] for r in b.select("hp").distinct().collect()]
+    store = (
+        spark.read.schema(_STORE_SCHEMA)
+        .parquet(path)
+        .where(F.col("hp").isin(prefixes))
+    )
+    return b.join(store, ["hp", "content_hash"], "left_anti").drop("hp")

@@ -144,6 +144,66 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_store_probe",
+    """
+    WITH store AS (
+        SELECT DISTINCT md5(text) AS content_hash
+        FROM documents WHERE doc_id % 3 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, md5(text) AS content_hash
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT b.doc_id, b.content_hash
+    FROM batch b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM store s WHERE s.content_hash = b.content_hash
+    )
+    """,
+    doc="Incremental dedup against a PERSISTED all-time hash store "
+        "(operators/dedup_store.py): the store (docs with id%3<>0) is "
+        "written as parquet partitioned by 8-bit hash prefix with a "
+        "parquet bloom on content_hash, then a re-crawl batch (odd ids, "
+        "partially overlapping) anti-joins it with the store scan pruned "
+        "to the batch's prefix partitions. Survivors are exactly the "
+        "never-seen docs (odd ids divisible by 3). Proves the parquet "
+        "round-trip + pruning path; the exact-dedup analog of "
+        "ann_ivf_index_probe. Scale: probe cost is bounded by the batch "
+        "and the store partitions it touches, never all-time history.",
+    tags=("dedup", "corpus", "index"),
+)
+def dedup_store_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from xrddatapipeline_spark.operators.dedup_store import (
+        dedup_store_probe,
+        save_dedup_store,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # per-invocation scratch path with the same rolling-window lifecycle
+    # as ann_ivf_index_probe (the returned DataFrame lazily READS the
+    # store, so it must outlive this call; the window bounds disk use)
+    dirs = getattr(dedup_store_probe_query, "_scratch_dirs", None)
+    if dirs is None:
+        dirs = dedup_store_probe_query._scratch_dirs = []
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True) for d in dirs]
+        )
+    while len(dirs) >= _IVF_SCRATCH_KEEP:
+        shutil.rmtree(dirs.pop(0), ignore_errors=True)
+    path = tempfile.mkdtemp(prefix="xrdspark_dedup_store_")
+    dirs.append(path)
+    save_dedup_store(docs.where(F.col("doc_id") % 3 != 0), path)
+    survivors = dedup_store_probe(
+        spark, path, docs.where(F.col("doc_id") % 2 == 1)
+    )
+    return survivors.select("doc_id", "content_hash")
+
+
+@_register(
     "dedup_minhash_bands",
     "WITH " + SQL_MINHASH_BUCKETS + "SELECT doc_id, band, bucket FROM buckets",
     doc="MinHash(32 seeds) + LSH banding (8 bands x 4 rows): per-doc band "

@@ -1760,14 +1760,14 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "tpch_q5ish_regional_volume",
     "tpch_q6ish_forecast_revenue",
     "tpch_q7ish_nation_volume",
-    # One flagship §2 anchor kept hot (fresh r09 row), plus the queries
-    # NEW this round: the F4-F9 geometric-mask predicate anchor and the
-    # P14 azimuth-band anchor took fused_grouping_sets_split's and
-    # a2_ring_median_mad's slots (their r09 rows keep them within the
-    # staleness bound via _PREVIOUS_WINDOW).
-    "a1_integrate_binned_mean",
+    # Queries NEW this round take the 3 hot-anchor slots (the displaced
+    # anchors — a1, a2, fused_grouping_sets_split — all have fresh r09
+    # rows, keeping them within the staleness bound via
+    # _PREVIOUS_WINDOW): the F4-F9 geometric-mask predicate anchor, the
+    # P14 azimuth-band anchor, and the persisted-hash-store dedup probe.
     "f4_geometric_mask_counts",
     "p14_azim_band_profile",
+    "dedup_store_probe",
 )
 
 # Names allowed to be absent from REGISTRY (queries gated behind optional
