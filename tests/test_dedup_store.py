@@ -79,6 +79,88 @@ def test_probe_scan_prunes_to_batch_prefix_partitions(spark, tmp_path):
     assert "content_hash" in read and "text" not in read
 
 
+def test_store_backed_sink_dedups_across_batches_and_replays(spark, tmp_path):
+    """foreachBatch sink: cross-batch dedup via the persisted store, and
+    an at-least-once REPLAY of a committed batch reproduces its own
+    survivors instead of anti-joining against its own hashes."""
+    from xrddatapipeline_spark.streaming.dedup import store_backed_dedup_sink
+
+    store = str(tmp_path / "store")
+    outdir = str(tmp_path / "out")
+    sink = store_backed_dedup_sink(store, outdir, lineage="ckpt-a")
+
+    b0 = _docs(spark, [(1, "alpha"), (2, "beta")])
+    sink(b0, 0)
+    b1 = _docs(spark, [(3, "beta"), (4, "gamma")])  # beta seen in batch 0
+    sink(b1, 1)
+    out = spark.read.schema(
+        "doc_id long, text string, content_hash string"
+    ).parquet(outdir)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 4]
+    # replay batch 1 (post-commit): same survivors, no silent loss
+    sink(b1, 1)
+    out2 = spark.read.schema(
+        "doc_id long, text string, content_hash string"
+    ).parquet(outdir)
+    assert sorted(r.doc_id for r in out2.collect()) == [1, 2, 4]
+    # a LATER batch still sees batch 1's hashes as seen
+    sink(_docs(spark, [(5, "gamma"), (6, "delta")]), 2)
+    out3 = spark.read.schema(
+        "doc_id long, text string, content_hash string"
+    ).parquet(outdir)
+    assert sorted(r.doc_id for r in out3.collect()) == [1, 2, 4, 6]
+
+
+def test_store_backed_sink_end_to_end_stream(spark, tmp_path):
+    """Wire the sink into a real availableNow file stream across two
+    INDEPENDENT queries (fresh checkpoint each, so batch ids restart at
+    0 — the lineage key keeps their store tags apart): the store, not
+    streaming state, carries the seen-set across them."""
+    import json
+    import os
+
+    from xrddatapipeline_spark.streaming.dedup import store_backed_dedup_sink
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    store = str(tmp_path / "store")
+
+    def _run(name):
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(indir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                store_backed_dedup_sink(
+                    store, str(tmp_path / f"out/{name}"), lineage=name
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / f"ck/{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(indir / "a.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "one"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "two"}) + "\n")
+    _run("q1")
+    # second query re-ingests "two" plus a new doc: despite its batch id
+    # also being 0, q1's bid=0 store rows stay visible (other lineage) —
+    # only the genuinely new doc survives
+    with open(indir / "b.json", "w") as f:
+        f.write(json.dumps({"doc_id": 3, "text": "two"}) + "\n")
+        f.write(json.dumps({"doc_id": 4, "text": "three"}) + "\n")
+    for fname in os.listdir(indir):
+        if fname == "a.json":
+            os.remove(indir / fname)
+    _run("q2")
+    out = spark.read.schema(
+        "doc_id long, text string, content_hash string"
+    ).option("recursiveFileLookup", "true").parquet(str(tmp_path / "out"))
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 4]
+
+
 def test_store_partition_values_read_back_as_strings(spark, tmp_path):
     """Regression guard for partition-value type inference: a store whose
     sampled prefixes are all-numeric ("07", "12") must still read back as

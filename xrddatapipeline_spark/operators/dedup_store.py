@@ -39,8 +39,12 @@ HASH_PREFIX_CHARS = 2
 
 #: read-side schema pinned explicitly: partition-value type inference
 #: would coerce an all-numeric prefix sample ("07" -> 7) and break both
-#: the prefix IN-filter and the join key dtype on small stores
-_STORE_SCHEMA = "content_hash string, hp string"
+#: the prefix IN-filter and the join key dtype on small stores.
+#: ``lineage``/``bid`` (streaming ingestion provenance: which query
+#: lineage's which micro-batch appended the row) read as NULL for files
+#: written without them — batch-mode and streaming-mode appends coexist
+#: in one store.
+_STORE_SCHEMA = "content_hash string, lineage string, bid long, hp string"
 
 
 def _with_hash(df: DataFrame, text_col: str) -> DataFrame:
@@ -55,6 +59,8 @@ def save_dedup_store(
     path: str,
     text_col: str = "text",
     mode: str = "overwrite",
+    bid: int | None = None,
+    lineage: str | None = None,
 ) -> None:
     """Write (or append) the corpus's content-hash set to ``path``.
 
@@ -62,12 +68,23 @@ def save_dedup_store(
     directory. Appending does NOT re-deduplicate against rows already in
     the store — the probe's anti-join semantics are unaffected by
     duplicate store rows, so ingestion never pays a read-modify-write.
+
+    ``lineage``+``bid`` tag the written rows with the ingesting query
+    lineage and micro-batch id so a REPLAYED streaming batch can probe
+    the store as it looked before its own (possibly committed) append —
+    see streaming.dedup.store_backed_dedup_sink. Batch ids restart at 0
+    for a fresh-checkpoint query, so bid alone cannot identify "my own
+    append"; the pair can.
     """
     store = (
         docs.select(F.md5(F.col(text_col)).alias("content_hash"))
         .distinct()
         .withColumn("hp", F.substring("content_hash", 1, HASH_PREFIX_CHARS))
     )
+    if bid is not None:
+        store = store.withColumn("bid", F.lit(int(bid)).cast("long"))
+    if lineage is not None:
+        store = store.withColumn("lineage", F.lit(str(lineage)))
     (
         store.write.mode(mode)
         .partitionBy("hp")
@@ -81,12 +98,21 @@ def dedup_store_probe(
     path: str,
     batch: DataFrame,
     text_col: str = "text",
+    exclude_bid: int | None = None,
+    lineage: str | None = None,
 ) -> DataFrame:
     """Batch rows whose content hash is NOT in the store at ``path``.
 
     The store scan is pruned to the batch's prefix partitions before the
     anti-join: the driver-side collect is bounded by the partition
     fan-out (<= 256 rows), never by batch or store size.
+
+    ``exclude_bid`` + ``lineage`` ignore store rows written BY this very
+    (query lineage, micro-batch) — a replayed streaming batch whose
+    append already committed would otherwise anti-join against its own
+    hashes and emit nothing: silent data loss on retry. Rows from other
+    lineages, other batches, or batch-mode appends (null tags) are
+    always visible.
     """
     b = _with_hash(batch, text_col)
     prefixes = [r[0] for r in b.select("hp").distinct().collect()]
@@ -95,4 +121,11 @@ def dedup_store_probe(
         .parquet(path)
         .where(F.col("hp").isin(prefixes))
     )
+    if exclude_bid is not None:
+        mine = (F.col("bid") == int(exclude_bid)) & (
+            F.col("lineage") == str(lineage)
+            if lineage is not None
+            else F.col("lineage").isNull()
+        )
+        store = store.where(~F.coalesce(mine, F.lit(False)))
     return b.join(store, ["hp", "content_hash"], "left_anti").drop("hp")

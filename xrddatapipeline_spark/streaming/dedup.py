@@ -42,3 +42,76 @@ def dedup_stream(
     return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def store_backed_dedup_sink(
+    store_path: str,
+    survivors_path: str,
+    lineage: str,
+    text_col: str = "text",
+):
+    """``foreachBatch`` sink: dedup every micro-batch against the
+    PERSISTED all-time hash store, not just in-flight streaming state.
+
+    This is the "batch dedup pass downstream" the dedup_stream docstring
+    defers re-ingests beyond the watermark horizon to — composed into
+    the stream itself (operators/dedup_store.py carries the store layout
+    and the 100 TB pruning posture). Per micro-batch:
+
+    1. probe: anti-join the batch against the store, EXCLUDING rows the
+       store already holds from this very (lineage, batch id);
+    2. emit survivors to ``survivors_path/bid=<id>/`` with
+       mode("overwrite") — per-batch-directory idempotence;
+    3. append the survivors' hashes to the store tagged
+       (lineage, batch id).
+
+    ``lineage`` must be STABLE across restarts of the same checkpointed
+    query (the checkpoint path is the natural choice) and DISTINCT
+    between queries: micro-batch ids restart at 0 under a fresh
+    checkpoint, so bid alone cannot identify "my own append". Each
+    query lineage also needs its own ``survivors_path`` (its bid=N
+    directories would collide otherwise).
+
+    Replay safety (foreachBatch is at-least-once): if the query dies
+    after step 3 and replays the batch, the (lineage, bid) exclusion
+    makes the probe see the store exactly as the first attempt did, so
+    the replay recomputes the SAME survivors and overwrites the same
+    directory — without it the replayed batch would anti-join against
+    its own committed hashes and silently emit nothing. Duplicate store
+    rows from a replayed step 3 are harmless (anti-join semantics).
+
+    Use with ``writeStream.foreachBatch(store_backed_dedup_sink(...))``.
+    """
+    from pyspark.errors import AnalysisException
+
+    from xrddatapipeline_spark.operators.dedup_store import (
+        dedup_store_probe,
+        save_dedup_store,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            survivors = dedup_store_probe(
+                spark, store_path, batch_df, text_col=text_col,
+                exclude_bid=batch_id, lineage=lineage,
+            ).localCheckpoint(eager=True)
+            # eager checkpoint: the survivors feed BOTH writes below, and
+            # the second must not re-probe a store the first's append is
+            # about to change out from under it
+        except AnalysisException:
+            # first batch ever: no store directory yet
+            from xrddatapipeline_spark.operators.dedup_store import _with_hash
+
+            survivors = _with_hash(batch_df, text_col).drop(
+                "hp"
+            ).localCheckpoint(eager=True)
+        survivors.write.mode("overwrite").parquet(
+            f"{survivors_path}/bid={batch_id}"
+        )
+        save_dedup_store(
+            survivors, store_path, text_col=text_col, mode="append",
+            bid=batch_id, lineage=lineage,
+        )
+
+    return _sink
