@@ -542,6 +542,14 @@ def _keepup_2880(batch: int = 8) -> dict:
     def _arm_core(key: str, field: str) -> list[float]:
         return [p[field] for p in batch_profiles.get(key, []) if field in p]
 
+    def _arm_core_pos(key: str, field: str) -> list[float | None]:
+        # POSITIONAL variant for pairing: a missing REST capture yields
+        # None in place, so zip() keeps warm[i] next to its temporally
+        # adjacent hoff[i] instead of silently shifting every later pair
+        # onto a cross-round partner (which would reintroduce exactly
+        # the drift confound the paired ratio exists to cancel)
+        return [p.get(field) for p in batch_profiles.get(key, [])]
+
     warm_run = _arm_core("warm", "run_sec")
     hoff_run = _arm_core("hoff", "run_sec")
     if warm_run:
@@ -567,13 +575,21 @@ def _keepup_2880(batch: int = 8) -> dict:
     # not plan: drop pairs containing one and take the median of the
     # clean rest (falls back to None -> field omitted if nothing
     # survives; the unfiltered medians above are always published).
-    def _robust_paired(ws: list[float], hs: list[float]) -> float | None:
-        if not ws or not hs:
+    def _robust_paired(
+        ws: list[float | None], hs: list[float | None]
+    ) -> float | None:
+        # pairs are positional (warm[i] ran adjacent to hoff[i]); None
+        # entries (failed REST capture) drop their pair, never shift it
+        pairs = [
+            (w, h) for w, h in zip(ws, hs) if w is not None and h is not None
+        ]
+        if not pairs:
             return None
-        wmin, hmin = min(ws), min(hs)
+        wmin = min(w for w, _ in pairs)
+        hmin = min(h for _, h in pairs)
         clean = [
             w / h
-            for w, h in zip(ws, hs)
+            for w, h in pairs
             if w <= 1.5 * wmin and h <= 1.5 * hmin
         ]
         return statistics.median(clean) if clean else None
@@ -581,7 +597,9 @@ def _keepup_2880(batch: int = 8) -> dict:
     h_rb = _robust_paired(warms, hoffs)
     if h_rb is not None:
         out["h_robust"] = round(h_rb, 3)
-    core_rb = _robust_paired(warm_run, hoff_run)
+    core_rb = _robust_paired(
+        _arm_core_pos("warm", "run_sec"), _arm_core_pos("hoff", "run_sec")
+    )
     if core_rb is not None:
         out["core_h_robust"] = round(core_rb, 3)
     if batch_profiles:

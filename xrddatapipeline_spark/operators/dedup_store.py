@@ -48,6 +48,11 @@ _STORE_SCHEMA = "content_hash string, lineage string, bid long, hp string"
 
 
 def _with_hash(df: DataFrame, text_col: str) -> DataFrame:
+    """Attach content_hash + hp; a no-op if both are already present
+    (lets a caller hash + checkpoint ONCE and feed several consumers —
+    the probe would otherwise re-read and re-hash the source per use)."""
+    if "content_hash" in df.columns and "hp" in df.columns:
+        return df
     h = F.md5(F.col(text_col)).alias("content_hash")
     return df.withColumn("content_hash", h).withColumn(
         "hp", F.substring("content_hash", 1, HASH_PREFIX_CHARS)
@@ -68,6 +73,16 @@ def save_dedup_store(
     directory. Appending does NOT re-deduplicate against rows already in
     the store — the probe's anti-join semantics are unaffected by
     duplicate store rows, so ingestion never pays a read-modify-write.
+    NULL-text rows are dropped (a NULL hash can never match an anti-join
+    key, so storing it is dead weight — see dedup_store_probe on NULL
+    semantics).
+
+    SINGLE WRITER at a time: concurrent ``mode="append"`` jobs into one
+    parquet directory race on the shared ``_temporary`` staging dir
+    (FileOutputCommitter) and can silently drop each other's files. At
+    warehouse scale use a transactional table format (Delta) for the
+    store; with plain parquet, serialize appends — one ingestion query
+    per store.
 
     ``lineage``+``bid`` tag the written rows with the ingesting query
     lineage and micro-batch id so a REPLAYED streaming batch can probe
@@ -76,8 +91,13 @@ def save_dedup_store(
     for a fresh-checkpoint query, so bid alone cannot identify "my own
     append"; the pair can.
     """
+    hashed = (
+        docs.select(F.col("content_hash"))
+        if "content_hash" in docs.columns
+        else docs.select(F.md5(F.col(text_col)).alias("content_hash"))
+    )
     store = (
-        docs.select(F.md5(F.col(text_col)).alias("content_hash"))
+        hashed.where(F.col("content_hash").isNotNull())
         .distinct()
         .withColumn("hp", F.substring("content_hash", 1, HASH_PREFIX_CHARS))
     )
@@ -113,6 +133,10 @@ def dedup_store_probe(
     hashes and emit nothing: silent data loss on retry. Rows from other
     lineages, other batches, or batch-mode appends (null tags) are
     always visible.
+
+    NULL-text rows always survive (a NULL anti-join key matches
+    nothing), unlike dedup_exact_hash's groupBy where NULLs collapse to
+    one group — normalize or filter NULL text upstream if that matters.
     """
     b = _with_hash(batch, text_col)
     prefixes = [r[0] for r in b.select("hp").distinct().collect()]

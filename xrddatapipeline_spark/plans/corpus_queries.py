@@ -173,29 +173,13 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "corpus", "index"),
 )
 def dedup_store_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
-    import shutil
-    import tempfile
-
     from xrddatapipeline_spark.operators.dedup_store import (
         dedup_store_probe,
         save_dedup_store,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    # per-invocation scratch path with the same rolling-window lifecycle
-    # as ann_ivf_index_probe (the returned DataFrame lazily READS the
-    # store, so it must outlive this call; the window bounds disk use)
-    dirs = getattr(dedup_store_probe_query, "_scratch_dirs", None)
-    if dirs is None:
-        dirs = dedup_store_probe_query._scratch_dirs = []
-        atexit.register(
-            lambda: [shutil.rmtree(d, ignore_errors=True) for d in dirs]
-        )
-    while len(dirs) >= _IVF_SCRATCH_KEEP:
-        shutil.rmtree(dirs.pop(0), ignore_errors=True)
-    path = tempfile.mkdtemp(prefix="xrdspark_dedup_store_")
-    dirs.append(path)
+    path = _rolling_scratch(dedup_store_probe_query, "xrdspark_dedup_store_")
     save_dedup_store(docs.where(F.col("doc_id") % 3 != 0), path)
     survivors = dedup_store_probe(
         spark, path, docs.where(F.col("doc_id") % 2 == 1)
@@ -737,8 +721,39 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _IVF_CELLS = 8
-#: live scratch-index window for ann_ivf_index_probe (see its cleanup note)
+#: live scratch-artifact window per owner query (see _rolling_scratch)
 _IVF_SCRATCH_KEEP = 8
+
+
+def _rolling_scratch(owner, prefix: str) -> str:
+    """Per-invocation scratch dir with a rolling-window lifecycle, shared
+    by the materialized-index queries (IVF index, dedup store).
+
+    The returned DataFrame of such a query lazily READS the written
+    artifact, so the dir must outlive the call; the newest
+    ``_IVF_SCRATCH_KEEP`` dirs per owner stay live (older ones are
+    reclaimed on entry) and one atexit sweep removes the remainder. The
+    window is 8 (round 8): the driver/bench pattern holds only
+    current+previous, but an ad-hoc caller building several probes
+    before materializing the first must not have its artifact deleted
+    under it. Per-invocation paths also keep concurrent runs from
+    clobbering each other (round-4 ADVICE).
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    dirs = getattr(owner, "_scratch_dirs", None)
+    if dirs is None:
+        dirs = owner._scratch_dirs = []
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True) for d in dirs]
+        )
+    while len(dirs) >= _IVF_SCRATCH_KEEP:
+        shutil.rmtree(dirs.pop(0), ignore_errors=True)
+    path = tempfile.mkdtemp(prefix=prefix)
+    dirs.append(path)
+    return path
 
 SQL_IVF = f"""
 cents AS (
@@ -859,37 +874,11 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "corpus", "embedding", "ivf", "index"),
 )
 def ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
-    import shutil
-    import tempfile
-
     emb = _t(spark, sf_dir, "embeddings")
-    # per-invocation scratch dir (round-4 ADVICE: a fixed world-shared
-    # path let concurrent runs clobber each other's index mid-probe); in
-    # production the index is a durable table path owned by the caller —
-    # save_ivf_index/ivf_index_probe take any URI.
-    #
-    # Cleanup (round-5 ADVICE: dirs accumulated unboundedly): the returned
-    # DataFrame lazily READS the index, so rmtree here would break the
-    # probe before the caller materializes it. The last
-    # ``_IVF_SCRATCH_KEEP`` invocations' dirs stay live and older ones
-    # are reclaimed on entry; one atexit sweep removes whatever remains.
-    # The window is 8 (round-8, was 2): the driver/bench pattern only
-    # ever holds current+previous, but an ad-hoc caller building several
-    # probes before materializing the first would have had its index
-    # deleted under it — 8 unmaterialized concurrent probes bounds that
-    # failure well past any observed usage while keeping disk use at
-    # most 8 oracle-scale indexes (~MBs).
-    dirs = getattr(ann_ivf_index_probe, "_scratch_dirs", None)
-    if dirs is None:
-        dirs = ann_ivf_index_probe._scratch_dirs = []
-        atexit.register(
-            lambda: [shutil.rmtree(d, ignore_errors=True) for d in dirs]
-        )
-    while len(dirs) >= _IVF_SCRATCH_KEEP:
-        shutil.rmtree(dirs.pop(0), ignore_errors=True)
-    path = tempfile.mkdtemp(prefix="xrdspark_ivf_index_")
-    dirs.append(path)
+    # scratch lifecycle in _rolling_scratch; in production the index is
+    # a durable table path owned by the caller — save_ivf_index /
+    # ivf_index_probe take any URI
+    path = _rolling_scratch(ann_ivf_index_probe, "xrdspark_ivf_index_")
     sim.save_ivf_index(emb, path, num_cells=_IVF_CELLS)
     return sim.ivf_index_probe(
         spark, path, emb.where(F.col("vec_id") < 8), k=3, nprobe=2

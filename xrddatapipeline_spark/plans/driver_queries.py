@@ -1468,49 +1468,57 @@ _F4_MASKS: dict = {
     WITH px AS (
         SELECT CAST(l_partkey % 200 AS INT) AS x,
                CAST((l_orderkey * 7 + l_linenumber) % 200 AS INT) AS y,
-               l_quantity * 0.2 AS tth,
+               l_quantity * 0.2e0 AS tth,
                CAST((l_orderkey + l_partkey) % 360 AS DOUBLE) AS azim,
                l_extendedprice AS intensity,
                l_quantity AS qty,
                l_returnflag AS flag
         FROM lineitem
     ), mm AS (
+        -- e0 suffixes are load-bearing: DuckDB evaluates plain decimal
+        -- literals in EXACT decimal arithmetic (int + 0.5, 33.7 - 3.1),
+        -- so pixel centers landing exactly on a mask edge (e.g. (6,5) ->
+        -- (1.3, 1.1) = the frame vertex) and near-edge crossing tests
+        -- flip strict comparisons vs Spark's doubles. Scientific
+        -- notation forces DOUBLE, making every operation the identical
+        -- IEEE op on both engines (0 divergent rows at sf0.01 but 12 at
+        -- sf0.1 before this).
         SELECT *,
-               (x + 0.5) * 0.2 AS x_mm,
-               (y + 0.5) * 0.2 AS y_mm
+               (CAST(x AS DOUBLE) + 0.5e0) * 0.2e0 AS x_mm,
+               (CAST(y AS DOUBLE) + 0.5e0) * 0.2e0 AS y_mm
         FROM px
     ), pred AS (
         SELECT flag, qty,
-            ((x_mm - 10.0) * (x_mm - 10.0)
-             + (y_mm - 10.0) * (y_mm - 10.0)) <= 9.0 AS m_spot,
-            abs(tth - 5.0) <= 0.5 AS m_ring,
-            (abs(tth - 7.0) <= 0.5
-             AND (azim >= 350.0 OR azim <= 20.0)) AS m_arc,
-            ((CASE WHEN ((2.3 > y_mm) <> (5.2 > y_mm))
-                    AND x_mm < (33.7 - 3.1) * (y_mm - 2.3) / (5.2 - 2.3) + 3.1
+            ((x_mm - 10.0e0) * (x_mm - 10.0e0)
+             + (y_mm - 10.0e0) * (y_mm - 10.0e0)) <= 9.0e0 AS m_spot,
+            abs(tth - 5.0e0) <= 0.5e0 AS m_ring,
+            (abs(tth - 7.0e0) <= 0.5e0
+             AND (azim >= 350.0e0 OR azim <= 20.0e0)) AS m_arc,
+            ((CASE WHEN ((2.3e0 > y_mm) <> (5.2e0 > y_mm))
+                    AND x_mm < (33.7e0 - 3.1e0) * (y_mm - 2.3e0) / (5.2e0 - 2.3e0) + 3.1e0
                    THEN 1 ELSE 0 END
-            + CASE WHEN ((5.2 > y_mm) <> (31.8 > y_mm))
-                    AND x_mm < (29.4 - 33.7) * (y_mm - 5.2) / (31.8 - 5.2) + 33.7
+            + CASE WHEN ((5.2e0 > y_mm) <> (31.8e0 > y_mm))
+                    AND x_mm < (29.4e0 - 33.7e0) * (y_mm - 5.2e0) / (31.8e0 - 5.2e0) + 33.7e0
                    THEN 1 ELSE 0 END
-            + CASE WHEN ((31.8 > y_mm) <> (27.9 > y_mm))
-                    AND x_mm < (6.2 - 29.4) * (y_mm - 31.8) / (27.9 - 31.8) + 29.4
+            + CASE WHEN ((31.8e0 > y_mm) <> (27.9e0 > y_mm))
+                    AND x_mm < (6.2e0 - 29.4e0) * (y_mm - 31.8e0) / (27.9e0 - 31.8e0) + 29.4e0
                    THEN 1 ELSE 0 END
-            + CASE WHEN ((27.9 > y_mm) <> (2.3 > y_mm))
-                    AND x_mm < (3.1 - 6.2) * (y_mm - 27.9) / (2.3 - 27.9) + 6.2
+            + CASE WHEN ((27.9e0 > y_mm) <> (2.3e0 > y_mm))
+                    AND x_mm < (3.1e0 - 6.2e0) * (y_mm - 27.9e0) / (2.3e0 - 27.9e0) + 6.2e0
                    THEN 1 ELSE 0 END) % 2) = 1 AS m_poly,
-            NOT (((CASE WHEN ((1.1 > y_mm) <> (2.4 > y_mm))
-                    AND x_mm < (38.6 - 1.3) * (y_mm - 1.1) / (2.4 - 1.1) + 1.3
+            NOT (((CASE WHEN ((1.1e0 > y_mm) <> (2.4e0 > y_mm))
+                    AND x_mm < (38.6e0 - 1.3e0) * (y_mm - 1.1e0) / (2.4e0 - 1.1e0) + 1.3e0
                    THEN 1 ELSE 0 END
-            + CASE WHEN ((2.4 > y_mm) <> (38.2 > y_mm))
-                    AND x_mm < (37.9 - 38.6) * (y_mm - 2.4) / (38.2 - 2.4) + 38.6
+            + CASE WHEN ((2.4e0 > y_mm) <> (38.2e0 > y_mm))
+                    AND x_mm < (37.9e0 - 38.6e0) * (y_mm - 2.4e0) / (38.2e0 - 2.4e0) + 38.6e0
                    THEN 1 ELSE 0 END
-            + CASE WHEN ((38.2 > y_mm) <> (36.7 > y_mm))
-                    AND x_mm < (2.2 - 37.9) * (y_mm - 38.2) / (36.7 - 38.2) + 37.9
+            + CASE WHEN ((38.2e0 > y_mm) <> (36.7e0 > y_mm))
+                    AND x_mm < (2.2e0 - 37.9e0) * (y_mm - 38.2e0) / (36.7e0 - 38.2e0) + 37.9e0
                    THEN 1 ELSE 0 END
-            + CASE WHEN ((36.7 > y_mm) <> (1.1 > y_mm))
-                    AND x_mm < (1.3 - 2.2) * (y_mm - 36.7) / (1.1 - 36.7) + 2.2
+            + CASE WHEN ((36.7e0 > y_mm) <> (1.1e0 > y_mm))
+                    AND x_mm < (1.3e0 - 2.2e0) * (y_mm - 36.7e0) / (1.1e0 - 36.7e0) + 2.2e0
                    THEN 1 ELSE 0 END) % 2) = 1) AS m_frame,
-            (intensity < 1000.505 OR intensity > 80000.505) AS m_thresh,
+            (intensity < 1000.505e0 OR intensity > 80000.505e0) AS m_thresh,
             (y = 5 OR x = 7) AS m_line
         FROM mm
     )

@@ -70,7 +70,10 @@ def store_backed_dedup_sink(
     between queries: micro-batch ids restart at 0 under a fresh
     checkpoint, so bid alone cannot identify "my own append". Each
     query lineage also needs its own ``survivors_path`` (its bid=N
-    directories would collide otherwise).
+    directories would collide otherwise). Queries sharing a store must
+    run SEQUENTIALLY, not concurrently: parquet appends race on the
+    shared FileOutputCommitter staging dir (see save_dedup_store) — a
+    transactional store format (Delta) is the concurrent-writer path.
 
     Replay safety (foreachBatch is at-least-once): if the query dies
     after step 3 and replays the batch, the (lineage, bid) exclusion
@@ -90,22 +93,30 @@ def store_backed_dedup_sink(
     )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from xrddatapipeline_spark.operators.dedup_store import _with_hash
+
         spark = batch_df.sparkSession
+        # hash + checkpoint ONCE: the probe needs the batch twice (prefix
+        # collect, anti-join) and the two writes below re-consume the
+        # survivors — without the barrier every use re-reads and
+        # re-hashes the source micro-batch
+        b = _with_hash(batch_df, text_col).localCheckpoint(eager=True)
         try:
             survivors = dedup_store_probe(
-                spark, store_path, batch_df, text_col=text_col,
+                spark, store_path, b, text_col=text_col,
                 exclude_bid=batch_id, lineage=lineage,
             ).localCheckpoint(eager=True)
-            # eager checkpoint: the survivors feed BOTH writes below, and
-            # the second must not re-probe a store the first's append is
-            # about to change out from under it
-        except AnalysisException:
-            # first batch ever: no store directory yet
-            from xrddatapipeline_spark.operators.dedup_store import _with_hash
-
-            survivors = _with_hash(batch_df, text_col).drop(
-                "hp"
-            ).localCheckpoint(eager=True)
+            # eager: the survivors feed BOTH writes below, and the second
+            # must not re-probe a store the first's append is about to
+            # change out from under it
+        except AnalysisException as e:
+            # ONLY the genuine bootstrap case (no store directory yet)
+            # may fall through to "everything survives" — any other
+            # analysis failure (store path deleted mid-stream, wrong
+            # mount) must surface, not silently disable dedup
+            if "PATH_NOT_FOUND" not in (e.getErrorClass() or ""):
+                raise
+            survivors = b.drop("hp")
         survivors.write.mode("overwrite").parquet(
             f"{survivors_path}/bid={batch_id}"
         )
