@@ -1691,7 +1691,9 @@ from xrddatapipeline_spark.plans import corpus_queries  # noqa: E402,F401
 # r04-only cohort; r07 rotated the r05-only cohort back in plus the four
 # new TPC-H analogs; r08 fronted the r06-only cohort; r09 rotated the
 # r07-only cohort (46 names) back in plus 4 flagship anchors with fresh
-# r08 rows; r10 (this window) fronts the r08-only cohort (47 names).
+# r08 rows; r10 (this window) fronts the r08-only cohort (47 names)
+# plus the three queries NEW in round 10 (f4/p14/dedup_store_probe —
+# they MUST stay in-window until they have a CORRECTNESS row).
 _PREVIOUS_WINDOW: frozenset[str] = frozenset({
     # CORRECTNESS_r09.json keys — the driver-checked window last round
     "a11_central_band_percentile", "a12_global_percentiles",
