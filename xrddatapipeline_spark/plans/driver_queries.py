@@ -276,34 +276,69 @@ def a2_ring_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A5/A6 — regionprops-style label aggregates + area filter
+# A17/A5 — per-spot-label stats through the real operator + area filter
 # ---------------------------------------------------------------------------
 
 @_register(
-    "a5_regionprops_label_stats",
+    "a17_spot_stats",
     """
-    SELECT l_suppkey AS label,
+    WITH lpx AS (
+        SELECT CAST(l_orderkey % 3 AS INT) AS image_id,
+               CAST(l_partkey % 8 AS INT) AS label,
+               l_quantity / 10.0e0 AS q,
+               CAST(l_partkey % 40 AS INT) AS qbin,
+               l_partkey % 1000 + l_quantity AS intensity
+        FROM lineitem WHERE l_orderkey % 7 < 3
+    )
+    SELECT image_id,
+           label AS spot_stat_label,
            count(*) AS area,
-           min(l_quantity) AS intensity_min,
-           max(l_quantity) AS intensity_max,
-           avg(l_quantity) AS intensity_mean,
-           sum(l_quantity) AS intensity_sum
-    FROM lineitem
-    GROUP BY l_suppkey
+           median(q) AS medianQ,
+           CAST(floor(median(qbin)) AS INT) AS Qbin,
+           sum(intensity) AS intensity_sum,
+           max(intensity) AS intensity_max,
+           avg(intensity) AS intensity_mean,
+           max(CASE WHEN label % 3 = 2 THEN 1 ELSE 0 END) AS on_arc
+    FROM lpx
+    GROUP BY image_id, label
     """,
-    doc="skimage regionprops_table as groupBy (classification.py:152-157; "
-    "SURVEY §2.6 A5).",
+    doc="A17 spot-stats table through the REAL spot_stats operator "
+    "(image_pipeline.py:397; reference spottiness.py:30-46): per-label "
+    "area / exact medianQ / truncated median Qbin / sum-max-mean "
+    "intensity / on_arc flag, over synthetic labeled pixels derived from "
+    "lineitem (the a13_gradient_swap trick). Subsumes the retired "
+    "a5_regionprops_label_stats anchor (a vanilla groupBy that exercised "
+    "no operator code; A5 regionprops aggregates — area/sum/max/mean per "
+    "label — are asserted here through spot_stats, plus a6_area_filter). "
+    "Parity notes: intensity is an integral-valued double so sums are "
+    "order-independent and exact; q uses a 10.0e0 double literal (DuckDB "
+    "decimal-literal trap, see f4/bc75994); Qbin floors the median before "
+    "CAST because Spark's double->int cast truncates while DuckDB's "
+    "rounds. Validated at sf0.001/0.01/0.1.",
     tags=("agg", "xrd"),
 )
-def a5_regionprops_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_suppkey").alias("label")).agg(
-        F.count("*").alias("area"),
-        F.min("l_quantity").alias("intensity_min"),
-        F.max("l_quantity").alias("intensity_max"),
-        F.avg("l_quantity").alias("intensity_mean"),
-        F.sum("l_quantity").alias("intensity_sum"),
+def a17_spot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.plans.image_pipeline import spot_stats
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 7 < 3)
+    lpx = li.select(
+        (F.col("l_orderkey") % 3).cast("int").alias("image_id"),
+        (F.col("l_partkey") % 8).cast("int").alias("label"),
+        (F.col("l_quantity") / 10.0).alias("q"),
+        (F.col("l_partkey") % 40).cast("int").alias("qbin"),
+        (F.col("l_partkey") % 1000 + F.col("l_quantity")).alias("intensity"),
     )
+    label_table = (
+        lpx.select("image_id", "label")
+        .distinct()
+        .withColumn(
+            "classifier",
+            F.when(F.col("label") % 3 == 2, F.lit(2)).otherwise(F.lit(1)),
+        )
+    )
+    # lpx carries intensity/qbin (the classify_clusters fast path), so the
+    # dense-pixel probe branch is skipped; px is passed for signature only.
+    return spot_stats(lpx, label_table, px=lpx)
 
 
 @_register(
@@ -1609,14 +1644,18 @@ def f4_geometric_mask_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p14_azim_band_profile",
     """
     WITH px AS (
-        SELECT ((l_orderkey * 13 + l_partkey) % 3600) / 10.0 AS azim,
-               l_quantity * 0.2 AS tth,
+        -- e0 suffixes force DOUBLE literals (DuckDB parses plain decimal
+        -- literals as DECIMAL and does exact decimal arithmetic — diverges
+        -- from Spark doubles at bin edges if the column were ever DECIMAL;
+        -- the f4/bc75994 discipline, applied here per round-10 ADVICE)
+        SELECT ((l_orderkey * 13 + l_partkey) % 3600) / 10.0e0 AS azim,
+               l_quantity * 0.2e0 AS tth,
                l_quantity AS qty
         FROM lineitem
     ), b AS (
-        SELECT CAST(floor(azim / 2.5) AS INT) AS band,
-               CASE WHEN tth < 1.0 OR tth >= 9.0 THEN 0
-                    ELSE CAST(floor((tth - 1.0) / 0.2) + 1 AS INT)
+        SELECT CAST(floor(azim / 2.5e0) AS INT) AS band,
+               CASE WHEN tth < 1.0e0 OR tth >= 9.0e0 THEN 0
+                    ELSE CAST(floor((tth - 1.0e0) / 0.2e0) + 1 AS INT)
                END AS tbin,
                qty
         FROM px
@@ -1625,8 +1664,8 @@ def f4_geometric_mask_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_px,
            sum(qty) AS sum_qty,
            count(DISTINCT tbin) AS n_tth_bins,
-           min(1.0 + (CAST(tbin AS DOUBLE) - 0.5) * 0.2) AS min_center,
-           max(1.0 + (CAST(tbin AS DOUBLE) - 0.5) * 0.2) AS max_center
+           min(1.0e0 + (CAST(tbin AS DOUBLE) - 0.5e0) * 0.2e0) AS min_center,
+           max(1.0e0 + (CAST(tbin AS DOUBLE) - 0.5e0) * 0.2e0) AS max_center
     FROM b
     GROUP BY band
     """,
@@ -1691,93 +1730,96 @@ from xrddatapipeline_spark.plans import corpus_queries  # noqa: E402,F401
 # r04-only cohort; r07 rotated the r05-only cohort back in plus the four
 # new TPC-H analogs; r08 fronted the r06-only cohort; r09 rotated the
 # r07-only cohort (46 names) back in plus 4 flagship anchors with fresh
-# r08 rows; r10 (this window) fronts the r08-only cohort (47 names)
-# plus the three queries NEW in round 10 (f4/p14/dedup_store_probe —
-# they MUST stay in-window until they have a CORRECTNESS row).
+# r08 rows; r10 fronted the r08-only cohort (47 names) plus the three
+# queries NEW in round 10 (f4/p14/dedup_store_probe); r11 (this window)
+# rotates the r09-only cohort back in. That cohort is exactly 50 names —
+# the registry hit 100 with a 50/round window, so adding the new
+# a17_spot_stats anchor required freeing a slot: the vanilla-groupBy
+# a5_regionprops_label_stats was RETIRED (its assertion surface — per-label
+# area/sum/max/mean — is a strict subset of what a17 asserts through the
+# real spot_stats operator; see a17's doc), keeping the 2-round staleness
+# bound intact at 100 registered queries.
 _PREVIOUS_WINDOW: frozenset[str] = frozenset({
-    # CORRECTNESS_r09.json keys — the driver-checked window last round
-    "a11_central_band_percentile", "a12_global_percentiles",
-    "a15_fraction_masked_per_bin", "a16_count_distinct",
-    "a18_grad_stats_per_bin", "a1_integrate_binned_mean",
-    "a20_cosine_consecutive", "a2_ring_median_mad",
-    "a5_regionprops_label_stats", "a6_area_filter", "a7_azim_extent_wrap",
-    "a8_percentile_spread", "a9_shape_classifier", "ann_bruteforce_topk",
-    "ann_ivf_topk", "ann_lsh_bucketed", "dedup_clusters_star",
-    "dedup_embedding_cosine", "dedup_exact_hash", "dedup_keep_list",
-    "dedup_minhash_bands", "dedup_near_dup_clusters", "dedup_ngram_jaccard",
-    "dedup_semantic_ivf", "dedup_simhash", "dedup_simhash_pairs",
-    "fused_grouping_sets_split", "grad_percentile_candidates",
-    "j5_diff_pivot", "m1_label_components", "mm_binary_metadata",
-    "mm_decode_features", "p7_correction_chain", "s11_json_props_extract",
-    "sample_stratified_hash", "t6_interval_join_counts",
-    "t6_sliding_window_stats", "text_fingerprint_winnow",
-    "text_langid_ngram", "text_quality_score", "text_token_stats",
-    "text_top_tokens", "tpch_q13ish_custdist",
-    "tpch_q17ish_small_qty_revenue", "tpch_q19ish_disjunctive_revenue",
-    "tpch_q21ish_last_to_ship", "w1_lag_first_pairing",
-    "w3_stride_downsample", "w5_circular_gap_scan", "w6_sessionize_events",
+    # CORRECTNESS_r10.json keys — the driver-checked window last round
+    "a13_gradient_swap", "ann_ivf_index_probe", "corpus_clean_filter",
+    "customers_without_orders", "dedup_minhash_pairs", "dedup_span_hash",
+    "dedup_store_probe", "docs_chunk_tokens", "docs_length_deciles",
+    "docs_mixture_token_budget", "docs_percent_rank", "docs_redact_terms",
+    "docs_set_ops", "emb_kmeans_inertia", "emb_kmeans_update",
+    "emb_lang_centroids", "emb_pq_adc_topk", "emb_pq_encode",
+    "events_anomaly_mad", "events_cohort_retention", "events_daily_rollup",
+    "events_funnel_steps", "events_pivot_daily", "events_rollup_grouping",
+    "events_trailing_hour_stats", "f4_geometric_mask_counts",
+    "j8_asof_signup_join", "j9_range_join_error_burst", "mm_frame_sample",
+    "mm_resize_geometry", "orders_above_global_avg", "orders_rank_ties",
+    "p14_azim_band_profile", "pack_context_windows",
+    "t6_tumbling_window_counts", "text_contamination_check",
+    "text_repetition_score", "text_tfidf_top_terms", "text_unigram_logprob",
+    "tpch_q10ish_returned_topk", "tpch_q14_promo_share",
+    "tpch_q16ish_supplier_cnt", "tpch_q18ish_big_orders", "tpch_q1_pricing",
+    "tpch_q22ish_idle_balance", "tpch_q3ish_order_volume_topk",
+    "tpch_q4ish_exists_semijoin", "tpch_q5ish_regional_volume",
+    "tpch_q6ish_forecast_revenue", "tpch_q7ish_nation_volume",
 })
 
 #: The external driver's window size (first N of ``queries()``).
 DRIVER_WINDOW_SIZE: int = 50
 
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # r08-only cohort: driver rows 2 rounds stale after r09, rotate back in
-    "a13_gradient_swap",
-    "ann_ivf_index_probe",
-    "corpus_clean_filter",
-    "customers_without_orders",
-    "dedup_minhash_pairs",
-    "dedup_span_hash",
-    "docs_chunk_tokens",
-    "docs_length_deciles",
-    "docs_mixture_token_budget",
-    "docs_percent_rank",
-    "docs_redact_terms",
-    "docs_set_ops",
-    "emb_kmeans_inertia",
-    "emb_kmeans_update",
-    "emb_lang_centroids",
-    "emb_pq_adc_topk",
-    "emb_pq_encode",
-    "events_anomaly_mad",
-    "events_cohort_retention",
-    "events_daily_rollup",
-    "events_funnel_steps",
-    "events_pivot_daily",
-    "events_rollup_grouping",
-    "events_trailing_hour_stats",
-    "j8_asof_signup_join",
-    "j9_range_join_error_burst",
-    "mm_frame_sample",
-    "mm_resize_geometry",
-    "orders_above_global_avg",
-    "orders_rank_ties",
-    "pack_context_windows",
-    "t6_tumbling_window_counts",
-    "text_contamination_check",
-    "text_repetition_score",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    "tpch_q10ish_returned_topk",
-    "tpch_q14_promo_share",
-    "tpch_q16ish_supplier_cnt",
-    "tpch_q18ish_big_orders",
-    "tpch_q1_pricing",
-    "tpch_q22ish_idle_balance",
-    "tpch_q3ish_order_volume_topk",
-    "tpch_q4ish_exists_semijoin",
-    "tpch_q5ish_regional_volume",
-    "tpch_q6ish_forecast_revenue",
-    "tpch_q7ish_nation_volume",
-    # Queries NEW this round take the 3 hot-anchor slots (the displaced
-    # anchors — a1, a2, fused_grouping_sets_split — all have fresh r09
-    # rows, keeping them within the staleness bound via
-    # _PREVIOUS_WINDOW): the F4-F9 geometric-mask predicate anchor, the
-    # P14 azimuth-band anchor, and the persisted-hash-store dedup probe.
-    "f4_geometric_mask_counts",
-    "p14_azim_band_profile",
-    "dedup_store_probe",
+    # r09-only cohort: driver rows 2 rounds stale after r10, rotate back in
+    "a11_central_band_percentile",
+    "a12_global_percentiles",
+    "a15_fraction_masked_per_bin",
+    "a16_count_distinct",
+    "a18_grad_stats_per_bin",
+    "a1_integrate_binned_mean",
+    "a20_cosine_consecutive",
+    "a2_ring_median_mad",
+    "a6_area_filter",
+    "a7_azim_extent_wrap",
+    "a8_percentile_spread",
+    "a9_shape_classifier",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
+    "dedup_clusters_star",
+    "dedup_embedding_cosine",
+    "dedup_exact_hash",
+    "dedup_keep_list",
+    "dedup_minhash_bands",
+    "dedup_near_dup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_ivf",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "fused_grouping_sets_split",
+    "grad_percentile_candidates",
+    "j5_diff_pivot",
+    "m1_label_components",
+    "mm_binary_metadata",
+    "mm_decode_features",
+    "p7_correction_chain",
+    "s11_json_props_extract",
+    "sample_stratified_hash",
+    "t6_interval_join_counts",
+    "t6_sliding_window_stats",
+    "text_fingerprint_winnow",
+    "text_langid_ngram",
+    "text_quality_score",
+    "text_token_stats",
+    "text_top_tokens",
+    "tpch_q13ish_custdist",
+    "tpch_q17ish_small_qty_revenue",
+    "tpch_q19ish_disjunctive_revenue",
+    "tpch_q21ish_last_to_ship",
+    "w1_lag_first_pairing",
+    "w3_stride_downsample",
+    "w5_circular_gap_scan",
+    "w6_sessionize_events",
+    # NEW in round 11, takes the slot freed by retiring the vanilla-groupBy
+    # a5_regionprops_label_stats (see the rotation-history comment): the
+    # A17 spot-stats anchor driving the real spot_stats operator.
+    "a17_spot_stats",
 )
 
 # Names allowed to be absent from REGISTRY (queries gated behind optional
