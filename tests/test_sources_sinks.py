@@ -302,7 +302,8 @@ def test_geometric_masks_match_numpy(spark):
     x_mm = (xs + 0.5) * c.pixel_size_x / 1000.0
     y_mm = (ys + 0.5) * c.pixel_size_y / 1000.0
     want = np.zeros_like(x_mm, dtype=bool)
-    want |= (x_mm - 10.0) ** 2 + (y_mm - 12.0) ** 2 <= 0.25
+    # strict < matches np.ma.masked_less (GSASII_imports.py:412)
+    want |= (x_mm - 10.0) ** 2 + (y_mm - 12.0) ** 2 < 0.25
     want |= np.abs(maps["tth"] - 5.0) <= 0.1
     want |= (np.abs(maps["tth"] - 7.0) <= 0.15) & (maps["azim"] >= 40) & (maps["azim"] <= 75)
     # polygon [1,1]-[5,5] box via matplotlib-free even-odd test

@@ -7,7 +7,9 @@ GSASII_imports.py:363-424, polymask.for) into dense boolean rasters, in
 boolean *expression* over the calib-joined pixel table — whole-stage
 codegen'd, no UDF, no blocking (partitioning subsumes it, SURVEY §4):
 
-- spot  [x, y, d] mm        -> (x_mm-X)^2 + (y_mm-Y)^2 <= (d/2)^2
+- spot  [x, y, d] mm        -> (x_mm-X)^2 + (y_mm-Y)^2 < (d/2)^2
+  (strict <, matching np.ma.masked_less in MakeMaskMap
+  GSASII_imports.py:412 — exact-boundary pixels stay UNmasked)
 - ring  [tth, w]            -> |tth - c| <= w/2
 - arc   [tth, [a0,a1], w]   -> ring ∧ circular-azimuth membership (P15)
 - polygon [[x,y]...] mm     -> even-odd crossing number, expressed as a
@@ -90,7 +92,7 @@ def geometric_mask_predicate(masks: dict[str, Any], c: ImageControls) -> Column:
     for spot in masks.get("Points", []):
         sx, sy, d = float(spot[0]), float(spot[1]), float(spot[2])
         preds.append(
-            (x_mm - sx) ** 2 + (y_mm - sy) ** 2 <= (d / 2.0) ** 2
+            (x_mm - sx) ** 2 + (y_mm - sy) ** 2 < (d / 2.0) ** 2
         )
     for ring in masks.get("Rings", []):
         ct, w = float(ring[0]), float(ring[1])

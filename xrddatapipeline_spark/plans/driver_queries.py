@@ -1525,7 +1525,7 @@ _F4_MASKS: dict = {
     ), pred AS (
         SELECT flag, qty,
             ((x_mm - 10.0e0) * (x_mm - 10.0e0)
-             + (y_mm - 10.0e0) * (y_mm - 10.0e0)) <= 9.0e0 AS m_spot,
+             + (y_mm - 10.0e0) * (y_mm - 10.0e0)) < 9.0e0 AS m_spot,
             abs(tth - 5.0e0) <= 0.5e0 AS m_ring,
             (abs(tth - 7.0e0) <= 0.5e0
              AND (azim >= 350.0e0 OR azim <= 20.0e0)) AS m_arc,
