@@ -181,6 +181,32 @@ def _keepup_2880(batch: int = 8) -> dict:
     adjacent h-off partner and a monotone weather drift cancels in the
     paired ratio; ``h_on_over_h_off`` is the median of per-pair ratios.
 
+    Split-arm h A/B (round 11 — the PRIMARY h metric, ``h_split_arm``):
+    two rounds running, whole-batch arms published over-bar ratios (r9
+    2.79, r10 1.394/1.561) that stage-level fixed-work profiles refuted —
+    this host's weather excursions span WHOLE batches (multi-minute), so
+    even temporally adjacent whole-batch pairs land in different weather.
+    The split-arm design runs both arms INSIDE one batch: the batch's
+    images are split in half (images are independent; every stage except
+    A19 is per-image), one half runs the full plan WITH h-maxima, the
+    other half WITHOUT, concurrently in the same wall-clock window, each
+    arm tagged with its own ``spark.jobGroup.id`` so the REST jobs API
+    attributes every stage to its arm exactly. Weather multiplies both
+    arms' core-seconds by the same factor and cancels in the ratio.
+    ``SPARK_GRAFT_KEEPUP_SPLIT_REPS`` (default 2) split batches alternate
+    WHICH half carries h-on (the synthetic halves differ slightly in spot
+    content), and ``h_split_arm`` is the geometric mean of per-batch
+    core-second ratios — the geomean of (lowHalf-on/highHalf-off) and
+    (highHalf-on/lowHalf-off) cancels the halves' work asymmetry exactly.
+    Each arm's ``barrier:px`` core-seconds are published as the
+    within-batch weather check (identical fixed work per half).
+
+    Per-batch weather index (round 11): every whole-batch profile carries
+    ``px_core_sec`` (the ``barrier:px`` stages' core-seconds — identical
+    fixed work in every cold/warm/hoff batch) and ``weather_index``
+    (px_core_sec / session min), so a poisoned batch is identifiable from
+    the published profiles instead of needing cross-session forensics.
+
     Primary cross-round metric (round 10): wall medians on this host are
     not comparable across sessions (measured 814/935/83 core-s on a
     fixed-work pure-CPU stage across identical batches), so the published
@@ -212,8 +238,13 @@ def _keepup_2880(batch: int = 8) -> dict:
     if profile:
         # the UI exists only to serve the per-batch REST stage profiles
         # (negligible cost; keeps outlier batches diagnosable from the
-        # published BENCH json instead of being one-off mysteries)
+        # published BENCH json instead of being one-off mysteries).
+        # Retention raised: a full session is prep + cold + 3 warm +
+        # 3 hoff + 2 split-arm batches at ~85 stages each — the 1000-stage
+        # default would evict early-batch stages out of the REST deltas.
         extra_conf["spark.ui.enabled"] = "true"
+        extra_conf["spark.ui.retainedJobs"] = "4000"
+        extra_conf["spark.ui.retainedStages"] = "4000"
     spark = get_spark(
         app_name="xrdspark-keepup",
         master=f"local[{cpus}]",
@@ -221,10 +252,15 @@ def _keepup_2880(batch: int = 8) -> dict:
         extra_conf=extra_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    size = 2880
+    # SPARK_GRAFT_KEEPUP_SIZE exists for fast smoke iteration on the
+    # harness itself (split-arm attribution, profile capture); published
+    # rounds always run the reference config (2880, and img_size in the
+    # output line makes any deviation visible). Distance scales with size
+    # so the ring geometry stays the reference's.
+    size = int(os.environ.get("SPARK_GRAFT_KEEPUP_SIZE", "2880"))
     c = ImageControls(
         wavelength=0.24087,
-        distance=959.0,
+        distance=959.0 * size / 2880.0,
         center_x=size * 150.0 / 2000.0,
         center_y=size * 150.0 / 2000.0,
         pixel_size_x=150.0,
@@ -310,7 +346,18 @@ def _keepup_2880(batch: int = 8) -> dict:
                 - before["gc_ms"]
             ) / 1000.0
             new.sort(key=lambda s: s.get("executorRunTime", 0), reverse=True)
+            # fixed-work weather anchor: the barrier:px cache build does
+            # identical work in every cold/warm/hoff batch, so its
+            # core-seconds calibrate host weather per batch (the round-10
+            # judge proved arm inflation with exactly this stage: 508 vs
+            # 145-157 core-s across batches of identical work)
+            px_core = sum(
+                s.get("executorRunTime", 0)
+                for s in new
+                if s["name"].splitlines()[0].startswith("barrier:px")
+            ) / 1000.0
             return {
+                "px_core_sec": round(px_core, 1),
                 "gc_sec": round(gc_sec, 1),
                 "run_sec": round(
                     sum(s.get("executorRunTime", 0) for s in new) / 1000, 1
@@ -336,16 +383,38 @@ def _keepup_2880(batch: int = 8) -> dict:
 
     batch_profiles: dict[str, list] = {}
 
-    def _noop_write(o, label: str | None = None) -> None:
+    def _jobs_snap() -> "set[int] | None":
+        # jobId set for split-arm attribution: the /jobs endpoint is the
+        # only REST surface that carries jobGroup -> stageIds, letting
+        # concurrent arms' stages be separated exactly.
+        if not profile:
+            return None
+        try:
+            return {j["jobId"] for j in _rest("jobs")}
+        except Exception:
+            return None
+
+    def _noop_write(
+        o, label: str | None = None, group: str | None = None
+    ) -> None:
         # name the output job's stages in the REST profile (callSite.short
-        # is thread-local, and each output job runs on its own pool thread)
+        # is thread-local, and each output job runs on its own pool thread).
+        # `group` tags the job's spark.jobGroup.id for split-arm stage
+        # attribution — set INSIDE the task because pool threads do not
+        # reliably inherit the submitting thread's local properties
+        # (py4j pinned threads map 1:1 to fresh JVM threads).
+        sc = spark.sparkContext
         if label:
-            spark.sparkContext.setLocalProperty("callSite.short", label)
+            sc.setLocalProperty("callSite.short", label)
+        if group:
+            sc.setLocalProperty("spark.jobGroup.id", group)
         try:
             o.write.format("noop").mode("overwrite").save()
         finally:
             if label:
-                spark.sparkContext.setLocalProperty("callSite.short", None)
+                sc.setLocalProperty("callSite.short", None)
+            if group:
+                sc.setLocalProperty("spark.jobGroup.id", None)
 
     def one_batch(h_maxima: bool = True, prof_key: str | None = None) -> float:
         snap = _prof_snap() if prof_key else None
@@ -392,9 +461,17 @@ def _keepup_2880(batch: int = 8) -> dict:
         res.unpersist_all()
         if prof_key is not None:
             d = _prof_delta(snap)
-            if d is not None:
-                d["wall_sec"] = round(elapsed, 1)
-                batch_profiles.setdefault(prof_key, []).append(d)
+            if d is None:
+                # placeholder keeps list POSITIONS aligned with the wall
+                # lists (round-10 ADVICE): a silently skipped capture would
+                # shift every later profile, pairing warm[i] with a
+                # temporally distant hoff[i] in the positional ratios —
+                # the exact drift confound the pairing exists to cancel.
+                # _arm_core's `field in p` filter and _arm_core_pos's
+                # p.get() both treat it as a missing measurement in place.
+                d = {}
+            d["wall_sec"] = round(elapsed, 1)
+            batch_profiles.setdefault(prof_key, []).append(d)
         return elapsed
 
     # The keep-up criterion is STEADY-STATE queue drain (the reference's
@@ -512,6 +589,129 @@ def _keepup_2880(batch: int = 8) -> dict:
                 arm_order.append("off")
     warm = statistics.median(warms)
     hoff = statistics.median(hoffs) if hoffs else None
+
+    # ------------------------------------------------------------------
+    # Split-arm h A/B (round 11 — see the docstring): both arms inside
+    # ONE batch, so whole-batch weather multiplies both arms' core-seconds
+    # identically and cancels in the ratio. Requires the REST profile
+    # (wall time cannot attribute concurrent arms).
+    # ------------------------------------------------------------------
+    def split_batch(rep: int) -> "dict | None":
+        from pyspark.sql import functions as F
+
+        jobs_before = _jobs_snap()
+        snap = _prof_snap()
+        if jobs_before is None or snap is None:
+            return None
+        half = batch // 2
+        low_on = rep % 2 == 0
+        walls: dict[str, float] = {}
+
+        def run_arm(group: str, h_on: bool, low_half: bool) -> None:
+            sc = spark.sparkContext
+            # arm thread: tag every job submitted from here (the eager
+            # barrier chain inside run_image_plan runs on THIS thread)
+            sc.setLocalProperty("spark.jobGroup.id", group)
+            try:
+                cond = (
+                    F.col("seq") < half if low_half else F.col("seq") >= half
+                )
+                hpx = pixels.where(cond)
+                t0 = time.perf_counter()
+                res = run_image_plan(
+                    hpx, None, c, gradient_stage=True, barrier=barrier,
+                    n_images=half, h_maxima=h_on,
+                )
+                outs = [
+                    (res.integrals, "out:integrals"),
+                    (res.spot_stats, "out:spot_stats"),
+                    (res.spottiness, "out:spottiness"),
+                    (res.outliers, "out:outliers"),
+                    (cosine_similarity_series(hpx), "out:csim"),
+                ]
+                if res.h_maxima is not None:
+                    outs.append((res.h_maxima, "out:h_maxima"))
+                if res.gradient is not None:
+                    outs.append((res.gradient.on_arc_labels, "out:grad_arcs"))
+                with ThreadPoolExecutor(max_workers=4) as p:
+                    futs = [
+                        p.submit(_noop_write, o, lbl, group)
+                        for o, lbl in outs
+                    ]
+                    for f in futs:
+                        f.result()
+                walls[group] = round(time.perf_counter() - t0, 1)
+                res.unpersist_all()
+            finally:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+
+        with ThreadPoolExecutor(max_workers=2) as arms:
+            fa = arms.submit(run_arm, "split:on", True, low_on)
+            fb = arms.submit(run_arm, "split:off", False, not low_on)
+            fa.result()
+            fb.result()
+        try:
+            jobs = _rest("jobs")
+            stages = _rest("stages?status=complete")
+        except Exception:
+            return None
+        gstages: dict[str, set] = {"split:on": set(), "split:off": set()}
+        for j in jobs:
+            g = j.get("jobGroup")
+            if j["jobId"] not in jobs_before and g in gstages:
+                gstages[g].update(j.get("stageIds", []))
+        # a stage listed under both groups (shouldn't happen — the arms'
+        # lineages are disjoint) is excluded from both sums rather than
+        # double-counted
+        both = gstages["split:on"] & gstages["split:off"]
+        new_stages = [
+            s for s in stages
+            if (s["stageId"], s["attemptId"]) not in snap["done"]
+        ]
+
+        def arm_sum(g: str) -> tuple:
+            run = cpu = px = 0.0
+            for s in new_stages:
+                sid = s["stageId"]
+                if sid in gstages[g] and sid not in both:
+                    run += s.get("executorRunTime", 0) / 1000.0
+                    cpu += s.get("executorCpuTime", 0) / 1e9
+                    if s["name"].splitlines()[0].startswith("barrier:px"):
+                        px += s.get("executorRunTime", 0) / 1000.0
+            return run, cpu, px
+
+        on_run, on_cpu, on_px = arm_sum("split:on")
+        off_run, off_cpu, off_px = arm_sum("split:off")
+        if not (on_run > 0 and off_run > 0):
+            return None
+        d = {
+            "rep": rep,
+            "on_half": "low" if low_on else "high",
+            "on_run_sec": round(on_run, 1),
+            "off_run_sec": round(off_run, 1),
+            "on_cpu_sec": round(on_cpu, 1),
+            "off_cpu_sec": round(off_cpu, 1),
+            # within-batch weather check: identical fixed work per half
+            "on_px_core_sec": round(on_px, 1),
+            "off_px_core_sec": round(off_px, 1),
+            "wall_on_sec": walls.get("split:on"),
+            "wall_off_sec": walls.get("split:off"),
+            "ratio_run": round(on_run / off_run, 3),
+            "ratio_cpu": (
+                round(on_cpu / off_cpu, 3) if off_cpu > 0 else None
+            ),
+            "ambiguous_stages": len(both),
+        }
+        batch_profiles.setdefault("split", []).append(d)
+        return d
+
+    split_reps = int(os.environ.get("SPARK_GRAFT_KEEPUP_SPLIT_REPS", "2"))
+    splits: list[dict] = []
+    for i in range(split_reps):
+        r = split_batch(i)
+        if r is not None:
+            splits.append(r)
+
     pixels.unpersist()
     spark.stop()
     sec_per_img = warm / batch
@@ -602,6 +802,49 @@ def _keepup_2880(batch: int = 8) -> dict:
     )
     if core_rb is not None:
         out["core_h_robust"] = round(core_rb, 3)
+
+    # PRIMARY h metric (round 11): within-batch split-arm ratio — weather
+    # cancels exactly (both arms share every wall-clock second), and the
+    # geometric mean over alternating-half reps cancels the halves' work
+    # asymmetry. ratio_run is the published number; the cpu variant is the
+    # contention-immune cross-check.
+    if splits:
+        import math
+
+        ratios = [s["ratio_run"] for s in splits]
+        out["h_split_arm"] = round(
+            math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
+        )
+        cpur = [s["ratio_cpu"] for s in splits if s.get("ratio_cpu")]
+        if cpur:
+            out["h_split_arm_cpu"] = round(
+                math.exp(sum(math.log(r) for r in cpur) / len(cpur)), 3
+            )
+        out["h_split_arm_batches"] = ratios
+
+    # per-batch weather index over the whole batches (identical fixed px
+    # work): px_core_sec / session min. Annotated into the profiles so a
+    # poisoned batch is identifiable from the sidecar alone.
+    px_all = [
+        p["px_core_sec"]
+        for k in ("cold", "warm", "hoff")
+        for p in batch_profiles.get(k, [])
+        if p.get("px_core_sec")
+    ]
+    if px_all:
+        px_min = min(px_all)
+        for k in ("cold", "warm", "hoff"):
+            for p in batch_profiles.get(k, []):
+                if p.get("px_core_sec"):
+                    p["weather_index"] = round(p["px_core_sec"] / px_min, 2)
+        out["weather_warm"] = [
+            p.get("weather_index")
+            for p in batch_profiles.get("warm", [])
+        ]
+        out["weather_hoff"] = [
+            p.get("weather_index")
+            for p in batch_profiles.get("hoff", [])
+        ]
     if batch_profiles:
         # Round 8 lesson: embedding the full per-batch REST stage profiles
         # here ballooned the final JSON line past the driver's ~2000-char
@@ -609,12 +852,25 @@ def _keepup_2880(batch: int = 8) -> dict:
         # "parsed": null and the headline numbers were lost. The profiles
         # are diagnostics, not the metric: they go to a sidecar file and
         # the published line carries only the path.
+        # sessions keyed by run tag (round 11): bench.py, the A/B scripts
+        # and probe runs all used to overwrite the same sidecar — the
+        # driver's r10-session profiles were lost to the judge's rerun.
+        # Each run now appends its own session under a unique tag.
         prof_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_PROFILES.json"
         )
+        tag = os.environ.get("SPARK_GRAFT_BENCH_TAG") or time.strftime(
+            "%Y-%m-%dT%H:%M:%S"
+        )
         try:
+            try:
+                with open(prof_path) as f:
+                    old = json.load(f)
+            except (OSError, ValueError):
+                old = None
+            sessions = _merge_profile_sessions(old, tag, batch_profiles)
             with open(prof_path, "w") as f:
-                json.dump(batch_profiles, f, indent=1)
+                json.dump(sessions, f, indent=1)
             out["profiles_path"] = prof_path
         except OSError as e:
             print(f"profile sidecar write failed: {e!r}", file=sys.stderr)
@@ -634,6 +890,33 @@ def _keepup_2880(batch: int = 8) -> dict:
     return out
 
 
+def _merge_profile_sessions(
+    old, tag: str, profiles: dict, keep: int = 20
+) -> dict:
+    """Merge this run's batch profiles into the sidecar's session map
+    without clobbering prior runs (round-11 VERDICT #3).
+
+    `old` is the previously persisted JSON (or None). The legacy layout —
+    a single session's dict of batch-kind -> list — is wrapped under a
+    "legacy" key. Tags are de-duplicated ("+"-suffixed) so two runs in the
+    same second both survive; only the most recent `keep` sessions are
+    retained so the sidecar stays diff-reviewable."""
+    sessions: dict = {}
+    if isinstance(old, dict) and old:
+        if all(isinstance(v, dict) for v in old.values()):
+            sessions = dict(old)
+        else:
+            # legacy single-session layout (kind -> list of profiles)
+            sessions = {"legacy": old}
+    while tag in sessions:
+        tag += "+"
+    sessions[tag] = profiles
+    if len(sessions) > keep:
+        names = list(sessions)[-keep:]
+        sessions = {k: sessions[k] for k in names}
+    return sessions
+
+
 #: stdout-tail budget for the published line: the driver captures only a
 #: ~2000-char tail and parses the JSON from it (BENCH_r08 lost the round's
 #: numbers when the line outgrew the capture). 1600 leaves 400 chars of
@@ -642,8 +925,9 @@ LINE_BUDGET = 1600
 
 #: keep-up sub-fields shed (in order) when the line exceeds the budget —
 #: diagnostics first; the headline value/queries/sec_per_image and the h
-#: A/B ratios are never dropped.
+#: A/B ratios (h_split_arm above all) are never dropped.
 SHEDDABLE = [
+    "weather_warm", "weather_hoff", "h_split_arm_batches",
     "warm_batches_sec", "hoff_batches_sec", "warm_spread_sec",
     "arm_order", "core_cpu_sec_per_image", "prep_sec",
     "pilot_sec", "px_build_sec", "cold_batch_sec", "profiles_path",

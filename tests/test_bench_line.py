@@ -35,18 +35,29 @@ def _fake_out(n_queries=23, with_keepup=True):
             "core_sec_per_image": 208.3, "core_cpu_sec_per_image": 102.4,
             "core_h_on_over_h_off": 1.191,
             "h_robust": 1.194, "core_h_robust": 1.14,
+            "h_split_arm": 1.187, "h_split_arm_cpu": 1.153,
+            "h_split_arm_batches": [1.213, 1.162],
+            "weather_warm": [1.0, 2.31, 1.12],
+            "weather_hoff": [1.05, 1.0, 3.41],
         }
     return out
 
 
-def test_realistic_line_fits_budget_without_shedding():
+def test_realistic_line_fits_budget_shedding_only_sidecar_lists():
     out = _fake_out()
     line = bench.compact_line(out)
     assert len(line) <= bench.LINE_BUDGET
     d = json.loads(line)
-    # nothing shed: every diagnostic survives at realistic sizes
-    for k in bench.SHEDDABLE:
-        assert k in d["xrd_image_plan_2880"], k
+    k = d["xrd_image_plan_2880"]
+    # at realistic sizes only the per-batch diagnostic LISTS may shed —
+    # they are duplicated in the BENCH_PROFILES sidecar; every scalar
+    # diagnostic survives
+    for key in ("arm_order", "core_cpu_sec_per_image", "prep_sec",
+                "pilot_sec", "px_build_sec", "cold_batch_sec",
+                "profiles_path", "images_per_sec"):
+        assert key in k, key
+    for key in ("h_split_arm", "h_split_arm_cpu"):
+        assert key in k, key
 
 
 def test_oversized_line_sheds_diagnostics_not_metrics():
@@ -61,9 +72,37 @@ def test_oversized_line_sheds_diagnostics_not_metrics():
     for key in ("sec_per_image", "batch_sec", "h_on_over_h_off",
                 "h_on_over_h_off_min", "sec_per_image_best",
                 "core_sec_per_image", "core_h_on_over_h_off",
-                "h_robust", "core_h_robust"):
+                "h_robust", "core_h_robust",
+                "h_split_arm", "h_split_arm_cpu"):
         assert key in k, key
     assert d["value"] == 25.95 and len(d["queries"]) == 23
+
+
+def test_profile_sessions_no_clobber():
+    """Two runs leave both sessions in the sidecar (round-11 VERDICT #3)."""
+    s1 = bench._merge_profile_sessions(None, "r1", {"warm": [{"wall_sec": 1}]})
+    assert set(s1) == {"r1"}
+    s2 = bench._merge_profile_sessions(s1, "r2", {"hoff": [{"wall_sec": 2}]})
+    assert set(s2) == {"r1", "r2"}
+    assert s2["r1"]["warm"] == [{"wall_sec": 1}]
+    # same-tag collision: second run survives under a suffixed tag
+    s3 = bench._merge_profile_sessions(s2, "r2", {"warm": []})
+    assert set(s3) == {"r1", "r2", "r2+"}
+
+
+def test_profile_sessions_wraps_legacy_layout():
+    legacy = {"prep": [{"wall_sec": 40.0}], "warm": [{"wall_sec": 90.0}]}
+    merged = bench._merge_profile_sessions(legacy, "new", {"warm": []})
+    assert set(merged) == {"legacy", "new"}
+    assert merged["legacy"]["warm"] == [{"wall_sec": 90.0}]
+
+
+def test_profile_sessions_retention_cap():
+    sessions = None
+    for i in range(25):
+        sessions = bench._merge_profile_sessions(sessions, f"t{i:02d}", {})
+    assert len(sessions) == 20
+    assert "t24" in sessions and "t04" not in sessions
 
 
 def test_extreme_case_rounds_queries_last():

@@ -178,3 +178,56 @@ def test_store_partition_values_read_back_as_strings(spark, tmp_path):
     save_dedup_store(_docs(spark, rows), path)
     # re-probing the same rows must see ALL of them (zero survivors)
     assert dedup_store_probe(spark, path, _docs(spark, rows)).count() == 0
+
+
+def test_canonical_ingest_chain_e2e(spark, tmp_path):
+    """The canonical ingestion chain (round-11 VERDICT #6), end to end:
+    NULL normalization -> exact batch-internal -> store probe -> store
+    append, then minhash near-dup over the survivors. Two batches share
+    one store; the near-dup stage finds the one near-duplicate pair that
+    exact hashing cannot."""
+    from xrddatapipeline_spark.operators import text as tx
+    from xrddatapipeline_spark.operators.dedup_store import dedup_ingest_batch
+
+    path = str(tmp_path / "store")
+    stem = ("the miller grinds wheat beside the river bank at dawn while "
+            "swallows circle the old stone tower and the ferryman waits "
+            "for travellers bound across the water to the market town")
+    # one differing word in 40+ -> shingle jaccard ~0.85 (>= the 0.8 bar),
+    # far above it for exact hashing to catch (which is the point)
+    long_a = f"{stem} under a pale jumping sky"
+    long_b = f"{stem} under a pale leaping sky"
+    b1 = _docs(spark, [
+        (1, "alpha"), (2, "alpha"),        # internal exact dup -> keep id 1
+        (3, "beta"), (4, None),            # NULL drops at normalization
+    ])
+    s1 = dedup_ingest_batch(spark, path, b1, lineage="crawl", bid=0)
+    assert sorted(r.doc_id for r in s1.collect()) == [1, 3]
+
+    b2 = _docs(spark, [
+        (10, "beta"),                      # seen in batch 1 -> store drops it
+        (11, long_a), (12, long_b),        # near-dups: BOTH survive exact
+        (13, long_a),                      # exact dup of 11 -> internal drops
+        (14, None),                        # NULL drops
+    ])
+    s2 = dedup_ingest_batch(spark, path, b2, lineage="crawl", bid=1)
+    got = sorted(r.doc_id for r in s2.collect())
+    assert got == [11, 12]
+
+    # near-dup stage over the batch survivors (exact hashes can't relate
+    # long_a/long_b; the store keeps only exact hashes, so this runs
+    # batch-internally by design — see dedup_ingest_batch docstring)
+    sh = tx.word_shingles(s2).persist()
+    pairs = tx.shingle_jaccard(
+        sh, pairs=tx.lsh_candidate_pairs(tx.minhash_buckets(sh, 32, 4))
+    ).where(F.col("jaccard") >= 0.8)
+    assert [(r.doc_a, r.doc_b) for r in pairs.collect()] == [(11, 12)]
+    sh.unpersist()
+
+    # replay safety: retrying batch 1 with the same (lineage, bid) sees
+    # the store as the first attempt did and recomputes identical
+    # survivors (its own committed append is excluded; batch 2's is not)
+    r1 = dedup_ingest_batch(
+        spark, path, b1, lineage="crawl", bid=0, update_store=False
+    )
+    assert sorted(r.doc_id for r in r1.collect()) == [1, 3]

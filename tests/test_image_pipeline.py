@@ -529,3 +529,23 @@ def test_base_mask_honors_immask_and_predef_raster(spark):
     assert np.array_equal(d1, d0 | extra)
     plain.unpersist_all()
     masked.unpersist_all()
+
+
+def test_warmup_missing_component_tracking():
+    """h_maxima=False after an h-on warmup submits NOTHING (round 11):
+    components are tracked per (session, shape), not per flag tuple."""
+    from xrddatapipeline_spark.plans.image_pipeline import _warmup_missing
+
+    base = ("app-1", (520, 2880), (2880, 2880))
+    submitted: set = set()
+    first = _warmup_missing(base, bands=True, hmax=True, submitted=submitted)
+    assert first == {"bands", "hmax"}
+    submitted.update((base, p) for p in first)
+    # the h-off plan's needs are a subset of what's already warm
+    assert _warmup_missing(base, True, False, submitted) == frozenset()
+    # a new session (different base) starts cold again
+    base2 = ("app-2", (520, 2880), (2880, 2880))
+    assert _warmup_missing(base2, True, False, submitted) == {"bands"}
+    # hmax-only after bands-only warms just the missing component
+    submitted2 = {(base2, "bands")}
+    assert _warmup_missing(base2, True, True, submitted2) == {"hmax"}

@@ -153,3 +153,78 @@ def dedup_store_probe(
         )
         store = store.where(~F.coalesce(mine, F.lit(False)))
     return b.join(store, ["hp", "content_hash"], "left_anti").drop("hp")
+
+
+def dedup_ingest_batch(
+    spark: SparkSession,
+    store_path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lineage: str | None = None,
+    bid: int | None = None,
+    update_store: bool = True,
+) -> DataFrame:
+    """The canonical batch-ingestion dedup chain, composed:
+
+        1. NULL normalization   (drop NULL text)
+        2. exact, batch-internal (one canonical row per content hash)
+        3. store probe, cross-batch (anti-join the persisted seen-set)
+        4. store append          (survivors' hashes, tagged)
+        -> returned survivors feed the NEAR-DUP stages caller-side
+           (minhash bands -> jaccard verify, or semantic IVF)
+
+    NULL normalization comes FIRST because the two exact stages disagree
+    on NULL text: ``dedup_exact_hash``'s groupBy collapses all NULLs to
+    one group, while the probe's anti-join key matches nothing so every
+    NULL survives — composing them without normalizing would make the
+    output depend on stage order. NULL text is not trainable content;
+    the chain drops it.
+
+    The batch-internal stage keeps the MIN ``id_col`` row per hash
+    (deterministic, unlike ``dropDuplicates``) with the same single
+    high-entropy hash shuffle as ``dedup_exact_hash``. The probe stage
+    is prefix-pruned (see ``dedup_store_probe``); a missing store
+    directory is the bootstrap case — everything survives. Passing the
+    same ``(lineage, bid)`` on a retried batch makes the retry see the
+    store as the first attempt did and recompute identical survivors
+    (``streaming.dedup.store_backed_dedup_sink`` is this sequence as a
+    foreachBatch sink).
+
+    Near-dup detection is deliberately NOT folded in: the store keeps
+    only exact hashes, so near-dup relations do not survive the store
+    boundary; the canonical chain applies minhash/semantic passes to the
+    returned batch survivors, where the band inverted-index join stays
+    bounded by the batch.
+
+    Returns the surviving rows with ``content_hash`` attached.
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window
+
+    b = _with_hash(batch.where(F.col(text_col).isNotNull()), text_col)
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    internal = (
+        b.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    try:
+        survivors = dedup_store_probe(
+            spark, store_path, internal, text_col=text_col,
+            exclude_bid=bid, lineage=lineage,
+        )
+    except AnalysisException as e:
+        # bootstrap only — any other analysis failure must surface
+        if "PATH_NOT_FOUND" not in (e.getErrorClass() or ""):
+            raise
+        survivors = internal.drop("hp")
+    if update_store:
+        # barrier: the append below changes the store the survivors'
+        # lazy plan reads — materialize before mutating
+        survivors = survivors.localCheckpoint(eager=True)
+        save_dedup_store(
+            survivors, store_path, text_col=text_col, mode="append",
+            bid=bid, lineage=lineage,
+        )
+    return survivors

@@ -56,6 +56,25 @@ OUTLIER_HISTOGRAM = _os.environ.get("XRDSPARK_OUTLIER_HISTOGRAM", "0") == "1"
 #: repeat submissions only occupy task slots (see run_image_plan).
 _WARMUP_SUBMITTED: set = set()
 
+
+def _warmup_missing(
+    base, bands: bool, hmax: bool, submitted: set
+) -> frozenset:
+    """Scratch-warmup components still needed for `base` (session, shapes).
+
+    Tracked per COMPONENT so a plan variant that needs a subset of an
+    already-warmed set (e.g. h_maxima=False after an h-on call) submits
+    nothing instead of a redundant bands-only job (round 11 — the no-op
+    job still cost ~96 task slots of worker round-trips per session)."""
+    needed = set()
+    if bands:
+        needed.add("bands")
+    if hmax:
+        needed.add("hmax")
+    return frozenset(
+        p for p in needed if (base, p) not in submitted
+    )
+
 # classification thresholds — classification.py:849-860 / SURVEY §2.9
 Q_MAX = 0.1
 AZIM_MIN = 3.5
@@ -728,10 +747,17 @@ def run_image_plan(
             min(controls.size_y, 512 + 2 * _GRAD_HALO), controls.size_x
         )
         _full_shape = (controls.size_y, controls.size_x)
-        _warm_bands, _warm_hmax = gradient_stage, h_maxima
-        _warm_key = (
-            _spark.sparkContext.applicationId,
-            _wshape, _full_shape, _warm_bands, _warm_hmax,
+        # warmed COMPONENTS are tracked per (session, shape), not per
+        # (bands, hmax) flag tuple (round 11): an h_maxima=False call
+        # after an h-on one used to resubmit a bands-only warmup job —
+        # a kernel-side no-op (memsets are idempotent) that still
+        # occupied ~96 task slots of worker round-trips in the first
+        # h-off batch. Now only the MISSING components get a job.
+        _warm_base = (
+            _spark.sparkContext.applicationId, _wshape, _full_shape,
+        )
+        _missing = _warmup_missing(
+            _warm_base, gradient_stage, h_maxima, _WARMUP_SUBMITTED
         )
 
         def _warm() -> None:
@@ -744,9 +770,9 @@ def run_image_plan(
                     from xrddatapipeline_spark.operators import kernels as _K
 
                     touched = 0
-                    if _warm_bands:
+                    if "bands" in _missing:
                         touched += _K.warmup_band_scratch(_wshape)
-                    if _warm_hmax:
+                    if "hmax" in _missing:
                         touched += _K.warmup_hmax_scratch(_full_shape)
                     for _ in it:
                         pass
@@ -758,8 +784,8 @@ def run_image_plan(
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 pass
 
-        if _warm_key not in _WARMUP_SUBMITTED:
-            _WARMUP_SUBMITTED.add(_warm_key)
+        if _missing:
+            _WARMUP_SUBMITTED.update((_warm_base, p) for p in _missing)
             threading.Thread(
                 target=_warm, daemon=True, name="kernel-warmup"
             ).start()
