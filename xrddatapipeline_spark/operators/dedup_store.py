@@ -84,6 +84,19 @@ def save_dedup_store(
     store; with plain parquet, serialize appends — one ingestion query
     per store.
 
+    Considered and REJECTED (round 11): per-writer staging subdirs with
+    a post-write rename into place. On a POSIX filesystem the renames
+    are atomic per file, but (a) a reader can still observe a PARTIAL
+    append (files land one rename at a time — no all-or-nothing commit,
+    so a probe racing an append sees a half-written batch and emits
+    rows a second probe would not), (b) on object stores rename is
+    copy+delete, neither atomic nor cheap, and (c) fixing (a) needs a
+    manifest whose own update must be atomic and conflict-checked —
+    which is precisely a transaction log, i.e. reimplementing Delta
+    badly. The honest posture is the documented single-writer rule with
+    Delta as the concurrent path, not a rename protocol that only
+    narrows the race window.
+
     ``lineage``+``bid`` tag the written rows with the ingesting query
     lineage and micro-batch id so a REPLAYED streaming batch can probe
     the store as it looked before its own (possibly committed) append —

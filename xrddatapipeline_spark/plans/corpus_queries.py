@@ -169,7 +169,13 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "never-seen docs (odd ids divisible by 3). Proves the parquet "
         "round-trip + pruning path; the exact-dedup analog of "
         "ann_ivf_index_probe. Scale: probe cost is bounded by the batch "
-        "and the store partitions it touches, never all-time history.",
+        "and the store partitions it touches, never all-time history. "
+        "COMPOSITION NOTE: this probe and dedup_exact_hash disagree on "
+        "NULL text (anti-join keys match nothing, so NULLs all survive "
+        "here; the groupBy collapses them to one group) — a pipeline "
+        "running both must normalize NULLs upstream, which is exactly "
+        "what the canonical chain operators/dedup_store.py::"
+        "dedup_ingest_batch pins (drop NULL text first).",
     tags=("dedup", "corpus", "index"),
 )
 def dedup_store_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
