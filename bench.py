@@ -513,10 +513,28 @@ def _keepup_2880(batch: int = 8) -> dict:
         # generated source); N defaults to 512 (~18% of the pixels),
         # SPARK_GRAFT_PILOT_ROWS overrides for A/B probes.
         pilot_rows = int(os.environ.get("SPARK_GRAFT_PILOT_ROWS", "512"))
+        # Pilot coalesce knob (round-11 A/B, REJECTED as a default): the
+        # theory was that the pilot's wall is stage-count bound and every
+        # narrow stage over the cached pilot frame launches one task per
+        # cached partition, so coalescing the scan side to 8 would trim
+        # scheduling + worker round-trips (shuffle stages already
+        # coalesce under AQE; partition count doesn't change the
+        # generated code the pilot exists to pre-JIT). Measured 2x2
+        # interleaved fresh-process probes (tags r11-pilotparts-* in
+        # BENCH_PROFILES.json): walls 67.5/118.1 s at parts=8 vs
+        # 84.8/64.1 s at parts=32 on a weather-poisoned day — the
+        # within-variant spread (67->118) dwarfs any between-variant
+        # signal and prep cpu-seconds are flat (363/288 vs 309/274), so
+        # the default stays 32 and the knob remains for calmer-day
+        # probes. The row-count probe (r10: 39/42/37 s at 512/256/128)
+        # already showed the floor is page-fault warmup + sequential
+        # barrier-chain scheduling, not per-stage task count.
+        pilot_parts = int(os.environ.get("SPARK_GRAFT_PILOT_PARTS", "32"))
         pc = _replace(c, dataset="pilot")
         ppx = (
             _synthetic_pixels(spark, pc, n_images=1)
             .where(_F.col("y") < pilot_rows)
+            .coalesce(pilot_parts)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         ppx.count()
@@ -809,17 +827,11 @@ def _keepup_2880(batch: int = 8) -> dict:
     # asymmetry. ratio_run is the published number; the cpu variant is the
     # contention-immune cross-check.
     if splits:
-        import math
-
         ratios = [s["ratio_run"] for s in splits]
-        out["h_split_arm"] = round(
-            math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
-        )
+        out["h_split_arm"] = _geomean(ratios)
         cpur = [s["ratio_cpu"] for s in splits if s.get("ratio_cpu")]
         if cpur:
-            out["h_split_arm_cpu"] = round(
-                math.exp(sum(math.log(r) for r in cpur) / len(cpur)), 3
-            )
+            out["h_split_arm_cpu"] = _geomean(cpur)
         out["h_split_arm_batches"] = ratios
 
     # per-batch weather index over the whole batches (identical fixed px
@@ -890,6 +902,18 @@ def _keepup_2880(batch: int = 8) -> dict:
     return out
 
 
+def _geomean(ratios: "list[float]") -> float:
+    """Geometric mean, rounded — the right combiner for the split-arm
+    ratios: with alternating halves, geomean((A_on/B_off), (B_on/A_off))
+    = sqrt((A_on*B_on)/(A_off*B_off)) — the halves' per-half work
+    asymmetry cancels exactly, which an arithmetic mean does not."""
+    import math
+
+    return round(
+        math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
+    )
+
+
 def _merge_profile_sessions(
     old, tag: str, profiles: dict, keep: int = 20
 ) -> dict:
@@ -928,8 +952,9 @@ LINE_BUDGET = 1600
 #: A/B ratios (h_split_arm above all) are never dropped.
 SHEDDABLE = [
     "weather_warm", "weather_hoff", "h_split_arm_batches",
-    "warm_batches_sec", "hoff_batches_sec", "warm_spread_sec",
-    "arm_order", "core_cpu_sec_per_image", "prep_sec",
+    "hoff_batches_sec", "warm_spread_sec", "arm_order",
+    "warm_batches_sec",
+    "core_cpu_sec_per_image", "prep_sec",
     "pilot_sec", "px_build_sec", "cold_batch_sec", "profiles_path",
     "images_per_sec",
 ]

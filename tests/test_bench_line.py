@@ -112,3 +112,22 @@ def test_extreme_case_rounds_queries_last():
     d = json.loads(line)
     # last resort reached: query values rounded to 2 decimals
     assert all(v == 1.23 for v in d["queries"].values())
+
+
+def test_geomean_cancels_half_asymmetry():
+    """With alternating halves, geomean((A_on/B_off),(B_on/A_off)) depends
+    only on the true h cost, not on which half is heavier: A twice B's
+    work, h multiplies cost by 1.2 -> geomean is exactly 1.2."""
+    a_on, b_off = 2.0 * 1.2, 1.0
+    b_on, a_off = 1.0 * 1.2, 2.0
+    assert bench._geomean([a_on / b_off, b_on / a_off]) == 1.2
+    # arithmetic mean would NOT: (2.4 + 0.6)/2 = 1.5
+    assert (a_on / b_off + b_on / a_off) / 2 != 1.2
+
+
+def test_realistic_shed_keeps_warm_batches():
+    """warm_batches_sec (quoted in every round's verdict) outlives the
+    sidecar-duplicated lists in the shed order."""
+    out = _fake_out()
+    d = json.loads(bench.compact_line(out))
+    assert "warm_batches_sec" in d["xrd_image_plan_2880"]
