@@ -673,60 +673,44 @@ def _keepup_2880(batch: int = 8) -> dict:
             stages = _rest("stages?status=complete")
         except Exception:
             return None
-        gstages: dict[str, set] = {"split:on": set(), "split:off": set()}
-        for j in jobs:
-            g = j.get("jobGroup")
-            if j["jobId"] not in jobs_before and g in gstages:
-                gstages[g].update(j.get("stageIds", []))
-        # a stage listed under both groups (shouldn't happen — the arms'
-        # lineages are disjoint) is excluded from both sums rather than
-        # double-counted
-        both = gstages["split:on"] & gstages["split:off"]
-        new_stages = [
-            s for s in stages
-            if (s["stageId"], s["attemptId"]) not in snap["done"]
-        ]
-
-        def arm_sum(g: str) -> tuple:
-            run = cpu = px = 0.0
-            for s in new_stages:
-                sid = s["stageId"]
-                if sid in gstages[g] and sid not in both:
-                    run += s.get("executorRunTime", 0) / 1000.0
-                    cpu += s.get("executorCpuTime", 0) / 1e9
-                    if s["name"].splitlines()[0].startswith("barrier:px"):
-                        px += s.get("executorRunTime", 0) / 1000.0
-            return run, cpu, px
-
-        on_run, on_cpu, on_px = arm_sum("split:on")
-        off_run, off_cpu, off_px = arm_sum("split:off")
-        if not (on_run > 0 and off_run > 0):
+        arms_sum = _attribute_split_stages(
+            jobs, stages, jobs_before, snap["done"]
+        )
+        if arms_sum is None:
             return None
+        on, off = arms_sum["split:on"], arms_sum["split:off"]
         d = {
             "rep": rep,
             "on_half": "low" if low_on else "high",
-            "on_run_sec": round(on_run, 1),
-            "off_run_sec": round(off_run, 1),
-            "on_cpu_sec": round(on_cpu, 1),
-            "off_cpu_sec": round(off_cpu, 1),
+            "on_run_sec": round(on["run"], 1),
+            "off_run_sec": round(off["run"], 1),
+            "on_cpu_sec": round(on["cpu"], 1),
+            "off_cpu_sec": round(off["cpu"], 1),
             # within-batch weather check: identical fixed work per half
-            "on_px_core_sec": round(on_px, 1),
-            "off_px_core_sec": round(off_px, 1),
+            "on_px_core_sec": round(on["px"], 1),
+            "off_px_core_sec": round(off["px"], 1),
             "wall_on_sec": walls.get("split:on"),
             "wall_off_sec": walls.get("split:off"),
-            "ratio_run": round(on_run / off_run, 3),
+            "ratio_run": round(on["run"] / off["run"], 3),
             "ratio_cpu": (
-                round(on_cpu / off_cpu, 3) if off_cpu > 0 else None
+                round(on["cpu"] / off["cpu"], 3) if off["cpu"] > 0 else None
             ),
-            "ambiguous_stages": len(both),
+            "ambiguous_stages": arms_sum["ambiguous"],
         }
         batch_profiles.setdefault("split", []).append(d)
         return d
 
     split_reps = int(os.environ.get("SPARK_GRAFT_KEEPUP_SPLIT_REPS", "2"))
     splits: list[dict] = []
+    # a split-batch failure must not lose the whole keep-up block (the
+    # wall/core metrics above are already measured) — degrade to fewer
+    # or zero split points instead
     for i in range(split_reps):
-        r = split_batch(i)
+        try:
+            r = split_batch(i)
+        except Exception as e:  # noqa: BLE001 — degrade, don't lose keepup
+            print(f"split batch {i} failed: {e!r}", file=sys.stderr)
+            r = None
         if r is not None:
             splits.append(r)
 
@@ -899,6 +883,44 @@ def _keepup_2880(batch: int = 8) -> dict:
         # outlier batch in either arm.
         out["h_on_over_h_off_min"] = round(min(warms) / min(hoffs), 3)
         out["sec_per_image_best"] = round(min(warms) / batch, 2)
+    return out
+
+
+def _attribute_split_stages(
+    jobs: list, stages: list, jobs_before: set, done: set
+) -> "dict[str, dict] | None":
+    """Attribute this split batch's completed stages to their arms.
+
+    Pure function over REST payloads (unit-tested without Spark): new
+    jobs' jobGroup -> stageIds maps each arm to its stage set; a stage
+    listed under BOTH groups (should never happen — the arms' lineages
+    are disjoint) is excluded from both sums rather than double-counted,
+    and its count is surfaced as ``ambiguous``. Returns per-arm
+    run/cpu/px core-seconds, or None if either arm got no stages
+    (failed capture — the caller drops the batch, never guesses)."""
+    groups: dict[str, set] = {"split:on": set(), "split:off": set()}
+    for j in jobs:
+        g = j.get("jobGroup")
+        if j["jobId"] not in jobs_before and g in groups:
+            groups[g].update(j.get("stageIds", []))
+    both = groups["split:on"] & groups["split:off"]
+    new_stages = [
+        s for s in stages if (s["stageId"], s["attemptId"]) not in done
+    ]
+    out: dict[str, dict] = {}
+    for g, sids in groups.items():
+        run = cpu = px = 0.0
+        for s in new_stages:
+            sid = s["stageId"]
+            if sid in sids and sid not in both:
+                run += s.get("executorRunTime", 0) / 1000.0
+                cpu += s.get("executorCpuTime", 0) / 1e9
+                if s["name"].splitlines()[0].startswith("barrier:px"):
+                    px += s.get("executorRunTime", 0) / 1000.0
+        out[g] = {"run": run, "cpu": cpu, "px": px}
+    if not (out["split:on"]["run"] > 0 and out["split:off"]["run"] > 0):
+        return None
+    out["ambiguous"] = len(both)  # type: ignore[assignment]
     return out
 
 

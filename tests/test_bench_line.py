@@ -131,3 +131,50 @@ def test_realistic_shed_keeps_warm_batches():
     out = _fake_out()
     d = json.loads(bench.compact_line(out))
     assert "warm_batches_sec" in d["xrd_image_plan_2880"]
+
+
+def _stage(sid, run_ms, name="barrier:foo", cpu_ns=0, attempt=0):
+    return {"stageId": sid, "attemptId": attempt, "name": name,
+            "executorRunTime": run_ms, "executorCpuTime": cpu_ns}
+
+
+def test_split_attribution_by_job_group():
+    jobs = [
+        {"jobId": 1, "jobGroup": "split:on", "stageIds": [10, 11]},
+        {"jobId": 2, "jobGroup": "split:off", "stageIds": [20]},
+        {"jobId": 0, "jobGroup": "split:on", "stageIds": [5]},   # pre-batch
+        {"jobId": 3, "jobGroup": None, "stageIds": [30]},        # untagged
+    ]
+    stages = [
+        _stage(10, 4000, "barrier:px", cpu_ns=2e9),
+        _stage(11, 1000, "out:h_maxima"),
+        _stage(20, 5000, "barrier:px"),
+        _stage(5, 9000),   # pre-batch stage: jobId 0 filtered out
+        _stage(30, 7000),  # untagged job's stage: ignored
+    ]
+    got = bench._attribute_split_stages(jobs, stages, {0}, set())
+    assert got["split:on"] == {"run": 5.0, "cpu": 2.0, "px": 4.0}
+    assert got["split:off"] == {"run": 5.0, "cpu": 0.0, "px": 5.0}
+    assert got["ambiguous"] == 0
+
+
+def test_split_attribution_excludes_ambiguous_and_done():
+    jobs = [
+        {"jobId": 1, "jobGroup": "split:on", "stageIds": [10, 99]},
+        {"jobId": 2, "jobGroup": "split:off", "stageIds": [20, 99]},
+    ]
+    stages = [
+        _stage(10, 1000), _stage(20, 2000),
+        _stage(99, 50000),            # listed by BOTH arms -> excluded
+        _stage(10, 8000, attempt=1),  # already in done -> excluded
+    ]
+    got = bench._attribute_split_stages(jobs, stages, set(), {(10, 1)})
+    assert got["split:on"]["run"] == 1.0
+    assert got["split:off"]["run"] == 2.0
+    assert got["ambiguous"] == 1
+
+
+def test_split_attribution_rejects_empty_arm():
+    jobs = [{"jobId": 1, "jobGroup": "split:on", "stageIds": [10]}]
+    stages = [_stage(10, 1000)]
+    assert bench._attribute_split_stages(jobs, stages, set(), set()) is None
