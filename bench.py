@@ -696,6 +696,8 @@ def _keepup_2880(batch: int = 8) -> dict:
                 round(on["cpu"] / off["cpu"], 3) if off["cpu"] > 0 else None
             ),
             "ambiguous_stages": arms_sum["ambiguous"],
+            "on_top": on["top"],
+            "off_top": off["top"],
         }
         batch_profiles.setdefault("split", []).append(d)
         return d
@@ -910,6 +912,7 @@ def _attribute_split_stages(
     out: dict[str, dict] = {}
     for g, sids in groups.items():
         run = cpu = px = 0.0
+        mine = []
         for s in new_stages:
             sid = s["stageId"]
             if sid in sids and sid not in both:
@@ -917,7 +920,22 @@ def _attribute_split_stages(
                 cpu += s.get("executorCpuTime", 0) / 1e9
                 if s["name"].splitlines()[0].startswith("barrier:px"):
                     px += s.get("executorRunTime", 0) / 1000.0
-        out[g] = {"run": run, "cpu": cpu, "px": px}
+                mine.append(s)
+        # per-arm top stages: when the arms' ratio moves between sessions
+        # (the A19 marginal cost is host-state sensitive — round-11
+        # record2), this shows WHERE the surcharge sits without a rerun
+        mine.sort(key=lambda s: s.get("executorRunTime", 0), reverse=True)
+        out[g] = {
+            "run": run, "cpu": cpu, "px": px,
+            "top": [
+                [
+                    s["name"].splitlines()[0][:40],
+                    round(s.get("executorRunTime", 0) / 1000, 1),
+                    round(s.get("executorCpuTime", 0) / 1e9, 1),
+                ]
+                for s in mine[:5]
+            ],
+        }
     if not (out["split:on"]["run"] > 0 and out["split:off"]["run"] > 0):
         return None
     out["ambiguous"] = len(both)  # type: ignore[assignment]

@@ -153,9 +153,13 @@ def test_split_attribution_by_job_group():
         _stage(30, 7000),  # untagged job's stage: ignored
     ]
     got = bench._attribute_split_stages(jobs, stages, {0}, set())
-    assert got["split:on"] == {"run": 5.0, "cpu": 2.0, "px": 4.0}
-    assert got["split:off"] == {"run": 5.0, "cpu": 0.0, "px": 5.0}
+    on, off = got["split:on"], got["split:off"]
+    assert (on["run"], on["cpu"], on["px"]) == (5.0, 2.0, 4.0)
+    assert (off["run"], off["cpu"], off["px"]) == (5.0, 0.0, 5.0)
     assert got["ambiguous"] == 0
+    # per-arm top stages, run-time ordered
+    assert on["top"] == [["barrier:px", 4.0, 2.0], ["out:h_maxima", 1.0, 0.0]]
+    assert off["top"] == [["barrier:px", 5.0, 0.0]]
 
 
 def test_split_attribution_excludes_ambiguous_and_done():
