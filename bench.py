@@ -702,7 +702,13 @@ def _keepup_2880(batch: int = 8) -> dict:
         batch_profiles.setdefault("split", []).append(d)
         return d
 
-    split_reps = int(os.environ.get("SPARK_GRAFT_KEEPUP_SPLIT_REPS", "2"))
+    # default 3 (round 11): a memory-stall excursion landing on the h
+    # kernel can push ONE batch's ratio to ~1.5 (see STATUS — the same
+    # job measured 181.6 vs 39.0 core-s on identical images); with two
+    # reps one such batch dominates the geomean, with three it is
+    # averaged against two clean points and the sidecar's on_top/off_top
+    # identifies it either way
+    split_reps = int(os.environ.get("SPARK_GRAFT_KEEPUP_SPLIT_REPS", "3"))
     splits: list[dict] = []
     # a split-batch failure must not lose the whole keep-up block (the
     # wall/core metrics above are already measured) — degrade to fewer
