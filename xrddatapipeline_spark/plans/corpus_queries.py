@@ -144,51 +144,85 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "dedup_store_probe",
+    "dedup_ingest_chain",
     """
-    WITH store AS (
-        SELECT DISTINCT md5(text) AS content_hash
-        FROM documents WHERE doc_id % 3 <> 0
+    WITH batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, CAST(NULL AS VARCHAR)
+        FROM documents WHERE doc_id % 25 = 0
     ),
-    batch AS (
+    nn AS (
         SELECT doc_id, md5(text) AS content_hash
-        FROM documents WHERE doc_id % 2 = 1
+        FROM batch WHERE text IS NOT NULL
+    ),
+    canon AS (
+        SELECT doc_id, content_hash FROM (
+            SELECT doc_id, content_hash,
+                   row_number() OVER (
+                       PARTITION BY content_hash ORDER BY doc_id) AS rn
+            FROM nn
+        ) WHERE rn = 1
+    ),
+    store AS (
+        SELECT DISTINCT md5(text) AS content_hash
+        FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
     )
-    SELECT b.doc_id, b.content_hash
-    FROM batch b
+    SELECT c.doc_id, c.content_hash
+    FROM canon c
     WHERE NOT EXISTS (
-        SELECT 1 FROM store s WHERE s.content_hash = b.content_hash
+        SELECT 1 FROM store s WHERE s.content_hash = c.content_hash
     )
     """,
-    doc="Incremental dedup against a PERSISTED all-time hash store "
-        "(operators/dedup_store.py): the store (docs with id%3<>0) is "
-        "written as parquet partitioned by 8-bit hash prefix with a "
-        "parquet bloom on content_hash, then a re-crawl batch (odd ids, "
-        "partially overlapping) anti-joins it with the store scan pruned "
-        "to the batch's prefix partitions. Survivors are exactly the "
-        "never-seen docs (odd ids divisible by 3). Proves the parquet "
-        "round-trip + pruning path; the exact-dedup analog of "
-        "ann_ivf_index_probe. Scale: probe cost is bounded by the batch "
-        "and the store partitions it touches, never all-time history. "
-        "COMPOSITION NOTE: this probe and dedup_exact_hash disagree on "
-        "NULL text (anti-join keys match nothing, so NULLs all survive "
-        "here; the groupBy collapses them to one group) — a pipeline "
-        "running both must normalize NULLs upstream, which is exactly "
-        "what the canonical chain operators/dedup_store.py::"
-        "dedup_ingest_batch pins (drop NULL text first).",
+    doc="Drives operators/dedup_store.py::dedup_ingest_batch END-TO-END — "
+        "the canonical composed ingestion chain (NULL normalization -> "
+        "exact batch-internal min-id survivor -> prefix-pruned store "
+        "probe -> tagged store append), not a re-spelled SQL twin. The "
+        "store fixture (docs with id%3=0) is persisted via "
+        "save_dedup_store (parquet PARTITIONED BY 8-bit hash prefix, "
+        "bloom on content_hash); the probed batch is CONSTRUCTED to "
+        "exercise every stage: even-id originals, +1e6-shifted exact "
+        "copies of the id%10 docs (batch-internal dupes — the min-id "
+        "originals must win), and +2e6-shifted NULL-text rows (dropped "
+        "by the chain's NULL-first normalization). The oracle re-derives "
+        "the survivor set declaratively in DuckDB over the same parquet. "
+        "Replaces the retired dedup_store_probe anchor, whose surface "
+        "(store round-trip + prefix-pruned anti-join) is a strict subset "
+        "of this chain's stage 3. Scale: one high-entropy hash shuffle "
+        "for the internal stage; probe cost bounded by the batch's "
+        "prefix partitions, never all-time history; the one barrier "
+        "(localCheckpoint before the append mutates what the lazy "
+        "survivors read) is load-bearing and documented in the operator.",
     tags=("dedup", "corpus", "index"),
 )
-def dedup_store_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ingest_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xrddatapipeline_spark.operators.dedup_store import (
-        dedup_store_probe,
+        dedup_ingest_batch,
         save_dedup_store,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    path = _rolling_scratch(dedup_store_probe_query, "xrdspark_dedup_store_")
-    save_dedup_store(docs.where(F.col("doc_id") % 3 != 0), path)
-    survivors = dedup_store_probe(
-        spark, path, docs.where(F.col("doc_id") % 2 == 1)
+    path = _rolling_scratch(dedup_ingest_chain, "xrdspark_dedup_ingest_")
+    save_dedup_store(docs.where(F.col("doc_id") % 3 == 0), path)
+    batch = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 25 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.lit(None).cast("string").alias("text"),
+            )
+        )
+    )
+    survivors = dedup_ingest_batch(
+        spark, path, batch, lineage="anchor", bid=0
     )
     return survivors.select("doc_id", "content_hash")
 
@@ -2199,45 +2233,15 @@ def tpch_q4ish_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "customers_without_orders",
-    """
-    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
-           min(c_custkey) AS sample_custkey
-    FROM customer c
-    WHERE NOT EXISTS (
-        SELECT 1 FROM orders o
-        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
-    )
-    GROUP BY c_mktsegment
-    """,
-    doc="NOT EXISTS as a left-anti hash join: customers with no big "
-        "(>300k) order, by segment. The dual of the semi-join; with the "
-        "orders side filtered then reduced to distinct custkeys it "
-        "broadcasts at dimension scale and the customer table is never "
-        "shuffled before the anti-join.",
-    tags=("join", "relational", "subquery"),
-)
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    keys = (
-        _t(spark, sf_dir, "orders")
-        .where(F.col("o_totalprice") > 300000)
-        .select("o_custkey")
-        .distinct()
-    )
-    return (
-        # keys is customer-cardinality (distinct o_custkey) — anti-join
-        # strategy left to AQE rather than a forced broadcast
-        cust.join(
-            keys, cust.c_custkey == keys.o_custkey, "left_anti"
-        )
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count("*").cast("long").alias("n_customers"),
-            F.min("c_custkey").alias("sample_custkey"),
-        )
-    )
+# RETIRED (round 12): customers_without_orders — NOT EXISTS as a
+# left-anti hash join (filtered orders -> distinct keys -> anti-join ->
+# groupBy count). Its assertion surface is a strict subset of
+# tpch_q22ish_idle_balance, which exercises the SAME decorrelated
+# NOT-EXISTS/left-anti path on the same (customer, orders) pair PLUS a
+# scalar-subquery threshold and exact integer-cents aggregation; the
+# only extra column here was a min() sample key, asserted by dozens of
+# other anchors. Slot freed for the dedup_ingest_chain real-operator
+# anchor (the a17 retirement pattern, round-11 verdict Next #4).
 
 
 @_register(

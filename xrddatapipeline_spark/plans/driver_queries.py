@@ -678,6 +678,89 @@ def w3_stride_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "w3_contour_stride_view",
+    """
+    WITH src AS (
+        SELECT 'ev-' || CAST(event_id % 240 AS VARCHAR) AS image_id,
+               CAST(event_id % 240 AS INT) AS seq,
+               CAST((event_id // 240) % 60 AS INT) AS tth_idx,
+               value AS intensity
+        FROM events
+        WHERE event_id % 7 <> 0
+    ),
+    f AS (SELECT * FROM src WHERE seq BETWEEN 8 AND 230),
+    imgs AS (SELECT DISTINCT image_id, seq FROM f),
+    n AS (SELECT count(*) AS c FROM imgs),
+    k AS (
+        SELECT min(kk) AS k FROM (
+            SELECT CAST(power(2, g) AS BIGINT) AS kk, c
+            FROM generate_series(0, 30) AS t(g), n
+        ) WHERE c // kk <= 24
+    ),
+    kept AS (
+        SELECT image_id, seq FROM (
+            SELECT image_id, seq,
+                   row_number() OVER (ORDER BY seq) - 1 AS rn
+            FROM imgs
+        ), k WHERE rn % k.k = 0
+    ),
+    arr AS (
+        SELECT f.image_id, f.seq,
+               list(f.intensity ORDER BY f.tth_idx, f.intensity) AS ints
+        FROM f JOIN kept USING (image_id, seq)
+        GROUP BY f.image_id, f.seq
+    )
+    SELECT image_id, seq,
+           CAST(generate_subscripts(ints, 1) - 1 AS INT) AS pos,
+           unnest(ints) AS intensity
+    FROM arr
+    """,
+    doc="Drives plans/readback.py::contour_matrix — the REAL W2/W3/W4 "
+        "contour/waterfall view function (auto-doubling stride k until "
+        "the kept-line count fits max_lines, contour.py:208-251; seq "
+        "range slice; per-image ordered intensity array) — on an "
+        "integrals-shaped frame derived deterministically from events "
+        "(image_id 'ev-<event_id%240>', tth_idx (event_id//240)%60, a "
+        "'base'/'om' kind split on event_id%7 so the kind filter is "
+        "exercised). 223 images survive the [8,230] range, so the "
+        "stride doubles 1->16 to fit max_lines=24 — the loop body runs, "
+        "not just its exit. The returned array column is posexploded to "
+        "(pos, intensity) scalar rows so the oracle asserts full array "
+        "CONTENT AND ORDER (DuckDB generate_subscripts/unnest over "
+        "list(... ORDER BY tth_idx, intensity)). Complements "
+        "w3_stride_downsample, which anchors only the stride formula; "
+        "this anchors the view function itself (round-11 verdict Next "
+        "#4b). Scale: the distinct/count and kept-set window run over "
+        "one row per image (bounded by the contour's line budget), "
+        "never over pixels; the per-image array agg is one keyed "
+        "shuffle.",
+    tags=("window", "xrd", "readback"),
+)
+def w3_contour_stride_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.plans.readback import contour_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        F.when(F.col("event_id") % 7 == 0, F.lit("base"))
+        .otherwise(F.lit("om"))
+        .alias("kind"),
+        F.concat(
+            F.lit("ev-"), (F.col("event_id") % 240).cast("string")
+        ).alias("image_id"),
+        (F.expr("event_id div 240") % 60).cast("int").alias("tth_idx"),
+        F.col("value").alias("intensity"),
+    )
+    view = contour_matrix(
+        src, kind="om", max_lines=24, seq_min=8, seq_max=230, step=1
+    )
+    return view.select(
+        "image_id",
+        "seq",
+        F.posexplode("intensities").alias("pos", "intensity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # W5 — circular gap-scan (azimuth wraparound extent)
 # ---------------------------------------------------------------------------
@@ -1731,95 +1814,102 @@ from xrddatapipeline_spark.plans import corpus_queries  # noqa: E402,F401
 # new TPC-H analogs; r08 fronted the r06-only cohort; r09 rotated the
 # r07-only cohort (46 names) back in plus 4 flagship anchors with fresh
 # r08 rows; r10 fronted the r08-only cohort (47 names) plus the three
-# queries NEW in round 10 (f4/p14/dedup_store_probe); r11 (this window)
-# rotates the r09-only cohort back in. That cohort is exactly 50 names —
-# the registry hit 100 with a 50/round window, so adding the new
-# a17_spot_stats anchor required freeing a slot: the vanilla-groupBy
-# a5_regionprops_label_stats was RETIRED (its assertion surface — per-label
-# area/sum/max/mean — is a strict subset of what a17 asserts through the
-# real spot_stats operator; see a17's doc), keeping the 2-round staleness
-# bound intact at 100 registered queries.
+# queries NEW in round 10 (f4/p14/dedup_store_probe); r11 rotated the
+# r09-only cohort back in plus the new a17_spot_stats anchor (slot freed
+# by RETIRING the vanilla a5_regionprops_label_stats, whose surface is a
+# strict subset of a17's — the retirement pattern for a full registry);
+# r12 (this window) fronts the r10-only cohort with TWO slots freed the
+# same way: dedup_store_probe retired (surface ⊂ the new
+# dedup_ingest_chain anchor's stage 3 — see its doc) and
+# customers_without_orders retired (anti-join surface ⊂
+# tpch_q22ish_idle_balance, which stays in this window), making room for
+# the two round-12 real-operator anchors dedup_ingest_chain and
+# w3_contour_stride_view. Registry stays at 100; 2-round staleness bound
+# intact.
 _PREVIOUS_WINDOW: frozenset[str] = frozenset({
-    # CORRECTNESS_r10.json keys — the driver-checked window last round
-    "a13_gradient_swap", "ann_ivf_index_probe", "corpus_clean_filter",
-    "customers_without_orders", "dedup_minhash_pairs", "dedup_span_hash",
-    "dedup_store_probe", "docs_chunk_tokens", "docs_length_deciles",
-    "docs_mixture_token_budget", "docs_percent_rank", "docs_redact_terms",
-    "docs_set_ops", "emb_kmeans_inertia", "emb_kmeans_update",
-    "emb_lang_centroids", "emb_pq_adc_topk", "emb_pq_encode",
-    "events_anomaly_mad", "events_cohort_retention", "events_daily_rollup",
-    "events_funnel_steps", "events_pivot_daily", "events_rollup_grouping",
-    "events_trailing_hour_stats", "f4_geometric_mask_counts",
-    "j8_asof_signup_join", "j9_range_join_error_burst", "mm_frame_sample",
-    "mm_resize_geometry", "orders_above_global_avg", "orders_rank_ties",
-    "p14_azim_band_profile", "pack_context_windows",
-    "t6_tumbling_window_counts", "text_contamination_check",
-    "text_repetition_score", "text_tfidf_top_terms", "text_unigram_logprob",
-    "tpch_q10ish_returned_topk", "tpch_q14_promo_share",
-    "tpch_q16ish_supplier_cnt", "tpch_q18ish_big_orders", "tpch_q1_pricing",
-    "tpch_q22ish_idle_balance", "tpch_q3ish_order_volume_topk",
-    "tpch_q4ish_exists_semijoin", "tpch_q5ish_regional_volume",
-    "tpch_q6ish_forecast_revenue", "tpch_q7ish_nation_volume",
+    # CORRECTNESS_r11.json keys — the driver-checked window last round
+    "a11_central_band_percentile", "a12_global_percentiles",
+    "a15_fraction_masked_per_bin", "a16_count_distinct", "a17_spot_stats",
+    "a18_grad_stats_per_bin", "a1_integrate_binned_mean",
+    "a20_cosine_consecutive", "a2_ring_median_mad", "a6_area_filter",
+    "a7_azim_extent_wrap", "a8_percentile_spread", "a9_shape_classifier",
+    "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_bucketed",
+    "dedup_clusters_star", "dedup_embedding_cosine", "dedup_exact_hash",
+    "dedup_keep_list", "dedup_minhash_bands", "dedup_near_dup_clusters",
+    "dedup_ngram_jaccard", "dedup_semantic_ivf", "dedup_simhash",
+    "dedup_simhash_pairs", "fused_grouping_sets_split",
+    "grad_percentile_candidates", "j5_diff_pivot", "m1_label_components",
+    "mm_binary_metadata", "mm_decode_features", "p7_correction_chain",
+    "s11_json_props_extract", "sample_stratified_hash",
+    "t6_interval_join_counts", "t6_sliding_window_stats",
+    "text_fingerprint_winnow", "text_langid_ngram", "text_quality_score",
+    "text_token_stats", "text_top_tokens", "tpch_q13ish_custdist",
+    "tpch_q17ish_small_qty_revenue", "tpch_q19ish_disjunctive_revenue",
+    "tpch_q21ish_last_to_ship", "w1_lag_first_pairing",
+    "w3_stride_downsample", "w5_circular_gap_scan", "w6_sessionize_events",
 })
 
 #: The external driver's window size (first N of ``queries()``).
 DRIVER_WINDOW_SIZE: int = 50
 
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # r09-only cohort: driver rows 2 rounds stale after r10, rotate back in
-    "a11_central_band_percentile",
-    "a12_global_percentiles",
-    "a15_fraction_masked_per_bin",
-    "a16_count_distinct",
-    "a18_grad_stats_per_bin",
-    "a1_integrate_binned_mean",
-    "a20_cosine_consecutive",
-    "a2_ring_median_mad",
-    "a6_area_filter",
-    "a7_azim_extent_wrap",
-    "a8_percentile_spread",
-    "a9_shape_classifier",
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_lsh_bucketed",
-    "dedup_clusters_star",
-    "dedup_embedding_cosine",
-    "dedup_exact_hash",
-    "dedup_keep_list",
-    "dedup_minhash_bands",
-    "dedup_near_dup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_ivf",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "fused_grouping_sets_split",
-    "grad_percentile_candidates",
-    "j5_diff_pivot",
-    "m1_label_components",
-    "mm_binary_metadata",
-    "mm_decode_features",
-    "p7_correction_chain",
-    "s11_json_props_extract",
-    "sample_stratified_hash",
-    "t6_interval_join_counts",
-    "t6_sliding_window_stats",
-    "text_fingerprint_winnow",
-    "text_langid_ngram",
-    "text_quality_score",
-    "text_token_stats",
-    "text_top_tokens",
-    "tpch_q13ish_custdist",
-    "tpch_q17ish_small_qty_revenue",
-    "tpch_q19ish_disjunctive_revenue",
-    "tpch_q21ish_last_to_ship",
-    "w1_lag_first_pairing",
-    "w3_stride_downsample",
-    "w5_circular_gap_scan",
-    "w6_sessionize_events",
-    # NEW in round 11, takes the slot freed by retiring the vanilla-groupBy
-    # a5_regionprops_label_stats (see the rotation-history comment): the
-    # A17 spot-stats anchor driving the real spot_stats operator.
-    "a17_spot_stats",
+    # r10-only cohort: driver rows 2 rounds stale after r11, rotate back
+    # in (minus the two round-12 retirements — see the rotation-history
+    # comment above)
+    "a13_gradient_swap",
+    "ann_ivf_index_probe",
+    "corpus_clean_filter",
+    "dedup_minhash_pairs",
+    "dedup_span_hash",
+    "docs_chunk_tokens",
+    "docs_length_deciles",
+    "docs_mixture_token_budget",
+    "docs_percent_rank",
+    "docs_redact_terms",
+    "docs_set_ops",
+    "emb_kmeans_inertia",
+    "emb_kmeans_update",
+    "emb_lang_centroids",
+    "emb_pq_adc_topk",
+    "emb_pq_encode",
+    "events_anomaly_mad",
+    "events_cohort_retention",
+    "events_daily_rollup",
+    "events_funnel_steps",
+    "events_pivot_daily",
+    "events_rollup_grouping",
+    "events_trailing_hour_stats",
+    "f4_geometric_mask_counts",
+    "j8_asof_signup_join",
+    "j9_range_join_error_burst",
+    "mm_frame_sample",
+    "mm_resize_geometry",
+    "orders_above_global_avg",
+    "orders_rank_ties",
+    "p14_azim_band_profile",
+    "pack_context_windows",
+    "t6_tumbling_window_counts",
+    "text_contamination_check",
+    "text_repetition_score",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "tpch_q10ish_returned_topk",
+    "tpch_q14_promo_share",
+    "tpch_q16ish_supplier_cnt",
+    "tpch_q18ish_big_orders",
+    "tpch_q1_pricing",
+    "tpch_q22ish_idle_balance",
+    "tpch_q3ish_order_volume_topk",
+    "tpch_q4ish_exists_semijoin",
+    "tpch_q5ish_regional_volume",
+    "tpch_q6ish_forecast_revenue",
+    "tpch_q7ish_nation_volume",
+    # NEW in round 12, in the slots freed by the dedup_store_probe and
+    # customers_without_orders retirements: the two real-operator anchors
+    # (round-11 verdict Next #4) — the composed ingestion chain and the
+    # contour read-back view.
+    "dedup_ingest_chain",
+    "w3_contour_stride_view",
 )
 
 # Names allowed to be absent from REGISTRY (queries gated behind optional
