@@ -252,17 +252,22 @@ def test_warmup_hmax_scratch_prefaults_pool():
     for key in [k for k in kernels._SCRATCH if k[0].startswith("hmax")]:
         del kernels._SCRATCH[key]
     before = dict(kernels._SCRATCH)
+    # default warms the FLOAT32 planes — the dtype the pipeline's
+    # integer-intensity exactness gate always selects on detector data
+    # (round 12; halves the warm footprint vs the old float64 set)
     n = kernels.warmup_hmax_scratch((64, 64))
-    assert n == 3 * 64 * 64 * 8 + 64 * 64
+    assert n == 3 * 64 * 64 * 4 + 64 * 64
     for role in kernels.HMAX_SCRATCH_ROLES:
-        assert (role, "<f8") in kernels._SCRATCH
+        assert (role, "<f4") in kernels._SCRATCH
+        assert (role, "<f8") not in kernels._SCRATCH
     # idempotency: warm workers must NOT re-memset (the round-8 fix for
     # the per-batch warmup parasite — 500-1200 core-s/batch of re-zeroing)
     assert kernels.warmup_hmax_scratch((64, 64)) == 0
     assert kernels.warmup_hmax_scratch((32, 64)) == 0  # smaller fits
     assert kernels.warmup_hmax_scratch((128, 64)) > 0  # taller re-warms
-    # a subsequent h_maxima call at the warmed shape reuses those buffers
-    img = np.zeros((64, 64))
+    # a subsequent float32 h_maxima call at the warmed shape reuses those
+    # buffers instead of allocating
+    img = np.zeros((64, 64), dtype=np.float32)
     img[10, 10] = 50.0
     ids = {k: id(v) for k, v in kernels._SCRATCH.items() if k[0].startswith("hmax")}
     out = kernels.h_maxima(img, 5.0)
@@ -270,6 +275,9 @@ def test_warmup_hmax_scratch_prefaults_pool():
     after = {k: id(v) for k, v in kernels._SCRATCH.items() if k[0].startswith("hmax")}
     for k, i in ids.items():
         assert after[k] == i
+    # the float64 fallback set can still be warmed explicitly
+    assert kernels.warmup_hmax_scratch((64, 64), dtype=np.float64) > 0
+    assert kernels.warmup_hmax_scratch((64, 64), dtype=np.float64) == 0
     del before
 
 
@@ -294,3 +302,71 @@ def test_warmup_memset_counter_pins_once_per_lifetime():
         kernels.warmup_hmax_scratch(shape)
     # exactly one memset per role set, regardless of batch count
     assert kernels.WARMUP_MEMSET_EVENTS - start == 2
+
+
+def test_h_maxima_float32_path_bit_identical_to_float64():
+    """Round-12 scratch-bandwidth cut (verdict Next #1a): integer images
+    inside the exactness gate run the A19 kernel in float32 at HALF the
+    scratch traffic. The reconstruction is pure lattice min/max, so for
+    float32-exact inputs the boolean output must be BIT-IDENTICAL, not
+    merely close — pinned on (a) the planted-spot synthetic fixture (the
+    a19 oracle image) and (b) random integer rasters across value scales
+    up to the 2^24 gate edge, including h=0 and large-h corners."""
+    from tests.fixtures_images import make_image
+
+    cases = []
+    fixture = make_image().astype(np.int64)  # planted spots + rings, int
+    cases.append((fixture, float(int(0.05 * np.percentile(fixture, 99.9)))))
+    rng = np.random.default_rng(7)
+    for scale in (3, 50, 65535, 2**23):
+        a = rng.integers(0, scale + 1, (64, 64)).astype(np.int64)
+        cases.append((a, float(int(0.05 * np.percentile(a, 99.9)))))
+        cases.append((a, 0.0))
+        cases.append((a, float(scale // 2)))
+    for img_i, hv in cases:
+        f64 = kernels.h_maxima(img_i.astype(np.float64), hv)
+        f32 = kernels.h_maxima(img_i.astype(np.float32), hv)
+        np.testing.assert_array_equal(
+            f32, f64, err_msg=f"h={hv} max={img_i.max()}"
+        )
+        # the reconstruction itself is bit-identical too (exact lattice)
+        m64 = img_i.astype(np.float64)
+        m32 = img_i.astype(np.float32)
+        r64 = kernels.grayscale_reconstruct(m64 - hv, m64)
+        r32 = kernels.grayscale_reconstruct(m32 - np.float32(hv), m32)
+        assert r32.dtype == np.float32 and r64.dtype == np.float64
+        np.testing.assert_array_equal(r32.astype(np.float64), r64)
+
+
+def test_grayscale_reconstruct_float32_out_rejects_float64_inputs():
+    """A float32 ``out`` must never silently downcast float64 inputs —
+    the exactness argument lives in the CALLER's gate, so the kernel
+    refuses the lossy combination outright."""
+    img = np.arange(20.0).reshape(4, 5)
+    out32 = np.empty((4, 5), dtype=np.float32)
+    with pytest.raises(ValueError, match="float32"):
+        kernels.grayscale_reconstruct(img - 1, img, out=out32)
+    f32 = img.astype(np.float32)
+    got = kernels.grayscale_reconstruct(f32 - 1, f32, out=out32)
+    assert got is out32 and got.dtype == np.float32
+
+
+def test_hmax_float32_gate_predicate():
+    """The pipeline-side gate routes exactly the provably-exact inputs to
+    float32: integer dtype, max below 2^24, marker floor above -2^24."""
+    from xrddatapipeline_spark.plans.image_pipeline import hmax_float32_exact
+
+    ok = np.array([0, 5, 65535], dtype=np.int64)
+    assert hmax_float32_exact(ok, 100.0)
+    # float intensities: not provably exact, stay float64
+    assert not hmax_float32_exact(ok.astype(np.float64), 100.0)
+    # value at/above 2^24: off
+    assert not hmax_float32_exact(np.array([2**24], dtype=np.int64), 1.0)
+    assert hmax_float32_exact(np.array([2**24 - 1], dtype=np.int64), 1.0)
+    # marker floor: min(img,0) - h must stay above -2^24
+    assert not hmax_float32_exact(
+        np.array([-(2**23), 10], dtype=np.int64), float(2**23)
+    )
+    assert hmax_float32_exact(
+        np.array([-(2**23), 10], dtype=np.int64), float(2**23 - 1)
+    )

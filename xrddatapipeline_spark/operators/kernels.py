@@ -263,21 +263,28 @@ def warmup_band_scratch(shape: tuple[int, int]) -> int:
 
 #: the h-maxima kernel's scratch set (full-image shapes, unlike the band
 #: roles above): input raster + marker + reconstruction, plus the bool
-#: queue-seed bitmap. hmax_mask is only used for non-float64 callers and
-#: the pipeline always passes float64 — not pre-faulted.
+#: queue-seed bitmap. hmax_mask is only used for non-float callers and
+#: the pipeline always passes a float raster — not pre-faulted.
 HMAX_SCRATCH_ROLES = ("hmax_img", "hmax_marker", "hmax_rec")
 
 
-def warmup_hmax_scratch(shape: tuple[int, int]) -> int:
+def warmup_hmax_scratch(shape: tuple[int, int], dtype=np.float32) -> int:
     """Pre-fault the h-maxima kernel's scratch set (same first-touch
     page-fault economics as ``warmup_band_scratch``, but at FULL image
-    height — ~210 MB at 2880^2). Steady-state footprint is unchanged:
-    workers that run any h-maxima group grow these buffers anyway; this
-    just moves the fault storm into the warmup overlap. Idempotent like
-    ``warmup_band_scratch`` — warm workers return 0 untouched. Returns
-    bytes touched."""
+    height — ~105 MB at 2880^2 in float32). Steady-state footprint is
+    unchanged: workers that run any h-maxima group grow these buffers
+    anyway; this just moves the fault storm into the warmup overlap.
+    Idempotent like ``warmup_band_scratch`` — warm workers return 0
+    untouched. Returns bytes touched.
+
+    ``dtype`` defaults to float32 — detector intensities are integers
+    far below 2^24, so the pipeline's exactness gate
+    (h_maxima_per_qbin) always routes real data to the float32 kernel;
+    an exotic batch that fails the gate falls back to float64 scratch
+    and pays its own first-touch faults once per worker, which is the
+    right trade against doubling every worker's warm footprint."""
     if _roles_warm(
-        tuple((r, np.float64) for r in HMAX_SCRATCH_ROLES)
+        tuple((r, dtype) for r in HMAX_SCRATCH_ROLES)
         + (("hmax_cond", bool),),
         shape,
     ):
@@ -286,7 +293,7 @@ def warmup_hmax_scratch(shape: tuple[int, int]) -> int:
     WARMUP_MEMSET_EVENTS += 1
     n = 0
     for role in HMAX_SCRATCH_ROLES:
-        buf = _scratch(shape, role)
+        buf = _scratch(shape, role, dtype=dtype)
         buf[:] = 0.0
         n += buf.nbytes
     b = _scratch(shape, "hmax_cond", dtype=bool)
@@ -575,30 +582,58 @@ def grayscale_reconstruct(
     in-row left/right propagation t[x] = min(mask[x], max(t[x +/- 1],
     cand[x])) is the clamp-composition doubling scan (`_clamp_scan_ltr`).
 
-    ``out`` (float64, same shape) receives the reconstruction and is
-    returned; hot-path callers (h_maxima under applyInPandas) pass a
-    ``scratch()`` buffer so repeated calls in a reused worker touch
+    ``out`` (float64 or float32, same shape) receives the reconstruction
+    and is returned; hot-path callers (h_maxima under applyInPandas) pass
+    a ``scratch()`` buffer so repeated calls in a reused worker touch
     already-faulted pages instead of paying first-touch page faults for
-    an image-sized float64 temporary per call (same economics as the
+    an image-sized float temporary per call (same economics as the
     band-gradient kernels — see the _SCRATCH doc above).
+
+    dtype: the algorithm is pure lattice arithmetic (min/max/compare —
+    no accumulation), so it is EXACT in any float dtype that exactly
+    represents the input values. A float32 working set halves the
+    kernel's scratch bandwidth — the measured stall magnet at full-node
+    concurrency (round-11 split-arm record) — and is exact whenever the
+    inputs are integers in (-2^24, 2^24) (``h_maxima`` gates on exactly
+    that). To prevent SILENT precision loss, a float32 ``out`` is only
+    accepted when marker AND mask are already float32 — this function
+    never downcasts an input.
     """
     if out is None:
-        J = np.minimum(marker, mask).astype(np.float64)
+        work_dtype = (
+            np.float32
+            if (
+                np.asarray(marker).dtype == np.float32
+                and np.asarray(mask).dtype == np.float32
+            )
+            else np.float64
+        )
+        J = np.minimum(marker, mask).astype(work_dtype)
     else:
         # the worklist phase writes through J.ravel(), which COPIES for a
         # non-contiguous array — silently discarding the queue updates —
-        # so reject anything but a C-contiguous float64 of the right shape
+        # so reject anything but a C-contiguous float of the right shape
         if (
             out.shape != np.shape(marker)
-            or out.dtype != np.float64
+            or out.dtype not in (np.float64, np.float32)
             or not out.flags["C_CONTIGUOUS"]
         ):
             raise ValueError(
-                "out must be a C-contiguous float64 array of marker's shape"
+                "out must be a C-contiguous float64/float32 array of "
+                "marker's shape"
+            )
+        if out.dtype == np.float32 and (
+            np.asarray(marker).dtype != np.float32
+            or np.asarray(mask).dtype != np.float32
+        ):
+            raise ValueError(
+                "float32 out requires float32 marker and mask — this "
+                "function never downcasts inputs (exactness gate lives "
+                "in the caller)"
             )
         np.minimum(marker, mask, out=out, casting="unsafe")
         J = out
-    I = np.asarray(mask, dtype=np.float64)
+    I = np.asarray(mask, dtype=J.dtype)
     h, w = J.shape
 
     # --- raster sweep (top-left -> bottom-right; N+ = up-left/up/up-right
@@ -735,22 +770,45 @@ def h_maxima(img: np.ndarray, h: float, max_iter: int = 512) -> np.ndarray:
     hybrid is exact and needs no iteration cap)."""
     del max_iter  # the hybrid algorithm is exact in one pass
     shape = img.shape
-    # Every image-sized float64 temporary lives in the per-process scratch
-    # pool (mask copy, marker, reconstruction) — ~200 MB of first-touch
-    # page faults per 2880^2 call otherwise, the dominant cost under
-    # full-node applyInPandas concurrency (SCALE.md, band-kernel numbers).
-    # All three are dead at return; only the bool result is fresh.
-    if isinstance(img, np.ndarray) and img.dtype == np.float64:
+    # Every image-sized float temporary lives in the per-process scratch
+    # pool (mask copy, marker, reconstruction) — ~100-200 MB of
+    # first-touch page faults per 2880^2 call otherwise, the dominant
+    # cost under full-node applyInPandas concurrency (SCALE.md,
+    # band-kernel numbers). All three are dead at return; only the bool
+    # result is fresh.
+    #
+    # dtype: a float32 input runs the whole kernel in float32 — HALF the
+    # scratch bandwidth of float64 on the plan's measured stall-magnet
+    # stage (round-11 split-arm record: identical h jobs cost 181.6 vs
+    # 39.0 run core-s purely on host memory stall). The algorithm is
+    # pure lattice min/max plus two subtractions, so float32 is EXACT
+    # (bit-identical boolean output to the float64 path) whenever the
+    # image values and h are integers with |img| < 2^24 and
+    # img.min() - h > -2^24 — the caller-side gate
+    # (plans/image_pipeline.h_maxima_per_qbin builds the raster float32
+    # only under that predicate; tests/test_kernels.py pins f32==f64 on
+    # the synthetic fixtures and the planted-spot oracle).
+    if isinstance(img, np.ndarray) and img.dtype in (
+        np.float64, np.float32,
+    ):
         maskf = img
     else:
         maskf = _scratch(shape, "hmax_mask")
         np.copyto(maskf, img, casting="unsafe")
-    marker = np.subtract(maskf, h, out=_scratch(shape, "hmax_marker"))
+    dt = maskf.dtype
+    marker = np.subtract(
+        maskf, dt.type(h), out=_scratch(shape, "hmax_marker", dtype=dt)
+    )
     rec = grayscale_reconstruct(
-        marker, maskf, out=_scratch(shape, "hmax_rec")
+        marker, maskf, out=_scratch(shape, "hmax_rec", dtype=dt)
     )
     # regional maxima of the reconstruction: pixels strictly above all
     # neighbors' reconstruction would miss plateaus; use the h-maxima
     # criterion img - rec >= ... standard: maxima where rec < img is false.
     resid = np.subtract(maskf, rec, out=marker)  # marker dead post-init
-    return resid >= h - 1e-9
+    # threshold cast to the working dtype explicitly: in float32,
+    # h - 1e-9 rounds back to h for any h >= 2^-15, and the gated regime
+    # (integer resid, integer h) makes `resid >= h` equivalent to the
+    # float64 path's `resid >= h - 1e-9` — both count resid == h in,
+    # resid == h-1 out.
+    return resid >= dt.type(h - 1e-9)

@@ -464,6 +464,33 @@ def spottiness_per_qbin(
     )
 
 
+def hmax_float32_exact(inten, hval: float) -> bool:
+    """float32 exactness gate for the A19 kernel: True when running the
+    h-maxima reconstruction in float32 is provably BIT-IDENTICAL to
+    float64. The reconstruction is pure lattice min/max plus two
+    subtractions, so exactness needs only that every value the kernel
+    touches is float32-representable: integer intensities with
+    max(img) < 2^24 and a marker floor min(img, 0) - h > -2^24 (the
+    raster background is 0, so the effective min is clamped at <= 0; h
+    is already integer-truncated per the reference). Detector counts are
+    uint16/int32-scale, so real data always passes, halving the scratch
+    bandwidth of the plan's measured stall-magnet stage (round-11
+    split-arm record: identical h jobs at 181.6 vs 39.0 run core-s
+    purely on host memory stall; kernels.h_maxima dtype doc).
+    Parity is pinned by tests/test_kernels.py (f32==f64 on the
+    planted-spot fixture + random integer rasters up to the gate edge).
+    """
+    import numpy as np
+
+    if not np.issubdtype(np.asarray(inten).dtype, np.integer):
+        return False
+    if np.asarray(inten).size == 0:
+        return True
+    imin = int(inten.min())
+    imax = int(inten.max())
+    return imax < 2**24 and min(imin, 0) - hval > -(2**24)
+
+
 def h_maxima_per_qbin(
     px: DataFrame, spot_px: DataFrame, controls: ImageControls,
     n_images: int | None = None,
@@ -526,13 +553,16 @@ def h_maxima_per_qbin(
             ys = pdf["y"].to_numpy()
             xs = pdf["x"].to_numpy()
             inten = pdf["intensity"].to_numpy()
-        img = kernels.scratch((h, w), "hmax_img")
-        img[:] = 0.0
-        img[ys, xs] = inten
         # reference truncates to int (spottiness.py:66:
         # h = int(0.05*np.percentile(image,99.9))) — match it exactly so
         # maxima with residual in [int(h), h) are counted identically
         hval = float(int(0.05 * float(np.percentile(inten, 99.9))))
+        use32 = hmax_float32_exact(inten, hval)
+        img = kernels.scratch(
+            (h, w), "hmax_img", dtype=np.float32 if use32 else np.float64
+        )
+        img[:] = 0.0
+        img[ys, xs] = inten
         is_max = kernels.h_maxima(img, hval)
         sel = is_max[ys, xs]
         return pd.DataFrame(
@@ -725,8 +755,10 @@ def run_image_plan(
         # first-touch page faults were the cold-call cost of the kernel
         # stages (10-20x the numpy time under full concurrency) — the
         # band-gradient set (~120 MB at band height) and, when A19 is on,
-        # the h-maxima set (~210 MB at full image height; steady-state
-        # footprint unchanged — see warmup_hmax_scratch). Fire-and-forget
+        # the h-maxima set (~105 MB float32 at full image height;
+        # steady-state footprint unchanged — see warmup_hmax_scratch,
+        # which warms the float32 planes the integer-intensity exactness
+        # gate always selects on detector data). Fire-and-forget
         # — a failed warmup only loses the overlap.
         #
         # ONE warmup job per (session, shape, stage-set) — python workers
