@@ -199,10 +199,17 @@ def dedup_ingest_batch(
     high-entropy hash shuffle as ``dedup_exact_hash``. The probe stage
     is prefix-pruned (see ``dedup_store_probe``); a missing store
     directory is the bootstrap case — everything survives. Passing the
-    same ``(lineage, bid)`` on a retried batch makes the retry see the
-    store as the first attempt did and recompute identical survivors
+    same ``(lineage, bid)`` on a retried batch hides the batch's OWN
+    committed append, so under SEQUENTIAL micro-batch replay — the
+    Structured Streaming contract, where batch N is only retried before
+    batch N+1 commits — the retry sees the store as the first attempt
+    did and recomputes identical survivors
     (``streaming.dedup.store_backed_dedup_sink`` is this sequence as a
-    foreachBatch sink).
+    foreachBatch sink). It does NOT extend to out-of-order batch replay:
+    rows appended by LATER batches stay visible, so replaying an old bid
+    after newer commits can produce fewer survivors than the original
+    attempt — that replay mode needs a transactional store (Delta
+    time-travel), not this tag filter.
 
     Near-dup detection is deliberately NOT folded in: the store keeps
     only exact hashes, so near-dup relations do not survive the store

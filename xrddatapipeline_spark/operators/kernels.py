@@ -233,18 +233,23 @@ def _roles_warm(
 WARMUP_MEMSET_EVENTS: int = 0
 
 
-def warmup_band_scratch(shape: tuple[int, int]) -> int:
+def warmup_band_scratch(shape: tuple[int, int], dtype=np.float32) -> int:
     """Pre-fault the fused band kernel's scratch set in this worker.
 
-    First-touch page faults on the ~120 MB scratch set are the cold-call
-    cost of the band kernel (10-20x the numpy time under full-node
-    concurrency); run_image_plan submits a tiny warmup job concurrently
-    with the (JVM-heavy, python-idle) pixel-cache build so the worker pool
-    is pre-faulted by the time the kernel stage runs. Idempotent: a worker
-    whose buffers are already warm returns 0 without touching memory.
-    Returns bytes touched."""
+    First-touch page faults on the band scratch set (~60 MB float32 /
+    ~120 MB float64) are the cold-call cost of the band kernel (10-20x
+    the numpy time under full-node concurrency); run_image_plan submits
+    a tiny warmup job concurrently with the (JVM-heavy, python-idle)
+    pixel-cache build so the worker pool is pre-faulted by the time the
+    kernel stage runs. Idempotent: a worker whose buffers are already
+    warm returns 0 without touching memory. Returns bytes touched.
+
+    ``dtype`` defaults to float32 — the fused kernel's integer-intensity
+    gate (gradient_stage) routes every real detector frame to the
+    float32 chain; a float-intensity batch falls back to float64 scratch
+    and pays its own first-touch once per worker."""
     if _roles_warm(
-        tuple((r, np.float64) for r in BAND_SCRATCH_ROLES)
+        tuple((r, dtype) for r in BAND_SCRATCH_ROLES)
         + (("band_bad", bool),),
         shape,
     ):
@@ -253,7 +258,7 @@ def warmup_band_scratch(shape: tuple[int, int]) -> int:
     WARMUP_MEMSET_EVENTS += 1
     n = 0
     for role in BAND_SCRATCH_ROLES:
-        buf = _scratch(shape, role)
+        buf = _scratch(shape, role, dtype=dtype)
         buf[:] = 0.0
         n += buf.nbytes
     b = _scratch(shape, "band_bad", dtype=bool)
@@ -308,16 +313,24 @@ def conv3x3(img: np.ndarray, kernel: np.ndarray, out: np.ndarray | None = None) 
     array is allocated. Accumulates per-tap into the valid-region view —
     bit-identical to the shift-and-add formulation (the skipped border
     contributions are exact +0.0 adds) with zero full-size temporaries
-    beyond one shared scratch."""
+    beyond one shared scratch.
+
+    dtype follows ``out`` (or ``img`` when out is omitted; non-float32
+    inputs default to float64 as before). Tap weights are cast to the
+    working dtype — exact for the dyadic Sobel taps (±1/8, ±2/8), so the
+    float32 path is pure float32 arithmetic, not
+    compute-in-f64-store-in-f32."""
     h, w = img.shape
     if out is None:
-        out = np.zeros((h, w), dtype=np.float64)
+        dt = np.float32 if img.dtype == np.float32 else np.float64
+        out = np.zeros((h, w), dtype=dt)
     else:
         out[:] = 0.0
-    tmp = _scratch((h, w), "conv_tmp")
+    tmp = _scratch((h, w), "conv_tmp", dtype=out.dtype)
+    wdt = out.dtype.type
     for ky in range(3):
         for kx in range(3):
-            wgt = kernel[ky, kx]
+            wgt = wdt(kernel[ky, kx])
             if wgt == 0.0:
                 continue
             dy, dx = 1 - ky, 1 - kx
@@ -341,19 +354,31 @@ def _shift2d_f(a: np.ndarray, dy: int, dx: int, fill: float = 0.0) -> np.ndarray
 
 
 def radial_unit_duo(
-    shape: tuple[int, int], center_y_px: float, center_x_px: float
+    shape: tuple[int, int], center_y_px: float, center_x_px: float,
+    dtype=np.float64,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(r_y, r_x) unit-vector maps from the beam center, in per-process
     scratch. phi_hat is r_hat rotated 90 degrees — (p_y, p_x) =
     (r_x, -r_y) — so two arrays carry all four components; the gradient
     projection consumes the duo directly (a - b is IEEE-identical to
-    a + (-b), so no separate negated map is ever materialized)."""
+    a + (-b), so no separate negated map is ever materialized).
+
+    The coordinate differences are ALWAYS computed in float64 first and
+    only then cast to ``dtype``: for integer row offsets y0,
+    fl64(cy - y0) is exact and fl64((i + 0.5) - (cy - y0)) equals
+    fl64((y + 0.5) - cy) bit-for-bit, so a band-local float32 map is
+    identical to the corresponding slice of the whole-image float32 map
+    — the invariant the banded==whole gradient equality test rests on."""
     h, w = shape
-    r_y = _scratch(shape, "umap_ry")
-    r_x = _scratch(shape, "umap_rx")
-    norm = _scratch(shape, "conv_tmp")  # dead before any conv call
-    dy = np.arange(h, dtype=np.float64) + 0.5 - center_y_px
-    dx = np.arange(w, dtype=np.float64) + 0.5 - center_x_px
+    r_y = _scratch(shape, "umap_ry", dtype=dtype)
+    r_x = _scratch(shape, "umap_rx", dtype=dtype)
+    norm = _scratch(shape, "conv_tmp", dtype=dtype)  # dead pre-conv
+    dy = (np.arange(h, dtype=np.float64) + 0.5 - center_y_px).astype(
+        dtype, copy=False
+    )
+    dx = (np.arange(w, dtype=np.float64) + 0.5 - center_x_px).astype(
+        dtype, copy=False
+    )
     np.hypot(dy[:, None], dx[None, :], out=norm)
     norm[norm == 0] = 1.0
     np.divide(dy[:, None], norm, out=r_y)
@@ -390,19 +415,25 @@ def radial_azim_gradient(
     calls, and ``out`` (must not alias ``img``) to reuse result buffers.
     ``components`` ("r", "a", or "ra") skips the unneeded projection in
     the 2nd-derivative chain (each is computed independently, so dropping
-    one is bit-neutral for the other)."""
+    one is bit-neutral for the other).
+
+    dtype follows ``img`` (float32 stays float32 end-to-end — half the
+    scratch bandwidth on the plan's second-hottest kernel stage; any
+    other input works in float64 as before). Callers passing ``maps`` /
+    ``out`` should match the dtype or pay a silent per-element upcast."""
     shape = img.shape
-    gy = conv3x3(img, SOBEL_Y, out=_scratch(shape, "grad_gy"))
-    gx = conv3x3(img, SOBEL_X, out=_scratch(shape, "grad_gx"))
+    dt = np.float32 if img.dtype == np.float32 else np.float64
+    gy = conv3x3(img, SOBEL_Y, out=_scratch(shape, "grad_gy", dtype=dt))
+    gx = conv3x3(img, SOBEL_X, out=_scratch(shape, "grad_gx", dtype=dt))
     if maps is None:
-        maps = radial_unit_duo(shape, center_y_px, center_x_px)
+        maps = radial_unit_duo(shape, center_y_px, center_x_px, dtype=dt)
     want_r, want_a = "r" in components, "a" in components
     if out is None:
-        gr = np.empty(shape) if want_r else None
-        ga = np.empty(shape) if want_a else None
+        gr = np.empty(shape, dtype=dt) if want_r else None
+        ga = np.empty(shape, dtype=dt) if want_a else None
     else:
         gr, ga = out
-    tmp = _scratch(shape, "grad_proj")
+    tmp = _scratch(shape, "grad_proj", dtype=dt)
     if len(maps) == 2:
         r_y, r_x = maps
         p_y, p_x, neg = r_x, r_y, True

@@ -52,6 +52,25 @@ SWAP_RADIUS_QWIDTHS = 5.0
 _GRAD_HALO = 4
 
 
+def _grad_dtype(inten: np.ndarray):
+    """Working dtype for the gradient chain (round 12): float32 for
+    integer intensities — every real detector frame — halving the scratch
+    bandwidth of the plan's second-hottest kernel stage (measured 2.3x
+    per band-chain single-threaded; the Sobel taps are dyadic so the
+    convolutions stay exact, only the unit-vector projections and the
+    inpaint divisions round at ~1e-7 relative, tolerance-pinned in
+    tests). The gate reads ONLY the dtype, never values, so every band
+    of every image and the dense reference route make the same choice —
+    the precondition for the banded==whole / fused==dense bit-equality
+    invariants, which now hold within the float32 chain. Float
+    intensities (no integer-exactness headroom argument) stay float64."""
+    return (
+        np.float32
+        if np.issubdtype(np.asarray(inten).dtype, np.integer)
+        else np.float64
+    )
+
+
 def _band_membership(bh: int, halo: int, n_bands: int):
     """(own-band expr, band-membership array expr) for halo tiling.
 
@@ -98,15 +117,17 @@ def second_gradients(
     def _grad_rows(pdf: pd.DataFrame, y0: int, y1: int,
                    core0: int, core1: int) -> pd.DataFrame:
         """Exact kernel over raster rows [y0, y1); emit rows [core0, core1)."""
-        img = np.zeros((y1 - y0, w), dtype=np.float64)
+        inten = pdf["intensity"].to_numpy()
+        dt = _grad_dtype(inten)
+        img = np.zeros((y1 - y0, w), dtype=dt)
         bad = np.ones((y1 - y0, w), dtype=bool)
         ys = pdf["y"].to_numpy()
         xs = pdf["x"].to_numpy()
-        img[ys - y0, xs] = pdf["intensity"].to_numpy()
+        img[ys - y0, xs] = inten
         bad[ys - y0, xs] = pdf["base_mask"].to_numpy()
-        inp = kernels.inpaint_masked(img, bad)
+        inp = kernels.inpaint_masked(img, bad, out=np.empty_like(img))
         # shifting the raster down by y0 moves the beam center with it
-        umaps = kernels.radial_unit_duo(img.shape, cy - y0, cx)
+        umaps = kernels.radial_unit_duo(img.shape, cy - y0, cx, dtype=dt)
         r1, a1 = kernels.radial_azim_gradient(inp, cy - y0, cx, maps=umaps)
         r2, _ = kernels.radial_azim_gradient(r1, cy - y0, cx, maps=umaps)
         _, a2 = kernels.radial_azim_gradient(a1, cy - y0, cx, maps=umaps)
@@ -117,8 +138,8 @@ def second_gradients(
                 "image_id": np.repeat(pdf["image_id"].iloc[0], ys.size),
                 "y": ys.astype(np.int32),
                 "x": xs.astype(np.int32),
-                "grad_r2": r2[ys - y0, xs],
-                "grad_a2": a2[ys - y0, xs],
+                "grad_r2": r2[ys - y0, xs].astype(np.float64),
+                "grad_a2": a2[ys - y0, xs].astype(np.float64),
             }
         )
 
@@ -243,10 +264,6 @@ def fused_gradient_inputs(
         # paying first-touch page faults for ~200 MB of band rasters per
         # call (the dominant kernel-stage cost under 25-way concurrency)
         shape = (y1 - y0, w)
-        img = kernels.scratch(shape, "band_img")
-        img[:] = 0.0
-        bad = kernels.scratch(shape, "band_bad", dtype=bool)
-        bad[:] = True
         if packed:
             v = px_pdf["p"].to_numpy()
             v = v[v >= 0]  # drop the per-band sentinel (p = -1)
@@ -260,29 +277,46 @@ def fused_gradient_inputs(
             ys = ys[keep]
             xs = px_pdf["x"].to_numpy()[keep]
             inten = px_pdf["intensity"].to_numpy()[keep]
+        # float32 chain for integer intensities (every real detector
+        # frame): HALF the scratch bandwidth of the round-11 float64
+        # chain on the plan's second-hottest kernel stage, measured 2.3x
+        # faster per band-chain single-threaded. The gate reads only the
+        # intensity DTYPE (never values), so every band of every image —
+        # and the dense reference route — makes the same choice, which
+        # is what keeps the banded==whole and fused==dense bit-equality
+        # tests meaningful (both sides run the identical float32 ops).
+        # Accuracy: ~1e-7 relative vs float64 on values that feed
+        # percentile thresholds — tolerance-pinned in
+        # tests/test_gradient_stage.py.
+        dt = _grad_dtype(inten)
+        img = kernels.scratch(shape, "band_img", dtype=dt)
+        img[:] = 0.0
+        bad = kernels.scratch(shape, "band_bad", dtype=bool)
+        bad[:] = True
         img[ys - y0, xs] = inten
         bad[ys - y0, xs] = False  # shipped rows are exactly the unmasked
         _t1 = _time.perf_counter()
         # sparse normalized convolution: num/den only at bad pixels — no
         # full-raster inpaint buffers (bit-identical to the dense route)
         inp = kernels.inpaint_masked_sparse(
-            img, bad, out=kernels.scratch(shape, "band_inp")
+            img, bad, out=kernels.scratch(shape, "band_inp", dtype=dt)
         )
-        umaps = kernels.radial_unit_duo(shape, cy - y0, cx)
+        umaps = kernels.radial_unit_duo(shape, cy - y0, cx, dtype=dt)
         # buffer aliasing: img is dead after inpaint -> reuse as r1;
         # inp is dead after the first gradient call -> reuse as r2.
         # calls 2/3 compute only the component they feed (the other
         # projection of a 2nd derivative is never read).
         r1, a1 = kernels.radial_azim_gradient(
             inp, cy - y0, cx, maps=umaps,
-            out=(img, kernels.scratch(shape, "band_a1")),
+            out=(img, kernels.scratch(shape, "band_a1", dtype=dt)),
         )
         r2, _ = kernels.radial_azim_gradient(
             r1, cy - y0, cx, maps=umaps, out=(inp, None), components="r",
         )
         _, a2 = kernels.radial_azim_gradient(
             a1, cy - y0, cx, maps=umaps,
-            out=(None, kernels.scratch(shape, "band_a2")), components="a",
+            out=(None, kernels.scratch(shape, "band_a2", dtype=dt)),
+            components="a",
         )
 
         # candidate multiset = the dense frame's values over this band's
@@ -317,8 +351,8 @@ def fused_gradient_inputs(
                     "image_id": np.repeat(image_id, lys.size),
                     "y": lys.astype(np.int32),
                     "x": lxs.astype(np.int32),
-                    "grad_r2": r2[lys - y0, lxs],
-                    "grad_a2": a2[lys - y0, lxs],
+                    "grad_r2": r2[lys - y0, lxs].astype(np.float64),
+                    "grad_a2": a2[lys - y0, lxs].astype(np.float64),
                     "n_core": np.zeros(lys.size, dtype=np.int64),
                     "r2_cand": [None] * lys.size,
                     "a2_cand": [None] * lys.size,
