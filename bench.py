@@ -179,7 +179,9 @@ def _keepup_2880(batch: int = 8) -> dict:
     INTERLEAVED pairwise with alternating within-pair order
     (on,off / off,on / on,off ...), so each h-on batch has a temporally
     adjacent h-off partner and a monotone weather drift cancels in the
-    paired ratio; ``h_on_over_h_off`` is the median of per-pair ratios.
+    paired ratio; ``h_legacy_on_over_off`` is the median of per-pair
+    ratios (the ``h_legacy_`` prefix marks every whole-batch estimator —
+    see the split-arm paragraph below for why they were demoted).
 
     Split-arm h A/B (round 11 — the PRIMARY h metric, ``h_split_arm``):
     two rounds running, whole-batch arms published over-bar ratios (r9
@@ -193,13 +195,24 @@ def _keepup_2880(batch: int = 8) -> dict:
     arm tagged with its own ``spark.jobGroup.id`` so the REST jobs API
     attributes every stage to its arm exactly. Weather multiplies both
     arms' core-seconds by the same factor and cancels in the ratio.
-    ``SPARK_GRAFT_KEEPUP_SPLIT_REPS`` (default 2) split batches alternate
-    WHICH half carries h-on (the synthetic halves differ slightly in spot
-    content), and ``h_split_arm`` is the geometric mean of per-batch
-    core-second ratios — the geomean of (lowHalf-on/highHalf-off) and
-    (highHalf-on/lowHalf-off) cancels the halves' work asymmetry exactly.
-    Each arm's ``barrier:px`` core-seconds are published as the
-    within-batch weather check (identical fixed work per half).
+    ``SPARK_GRAFT_KEEPUP_SPLIT_REPS`` (default 4 — round-12 ADVICE fix;
+    must be EVEN) split batches alternate WHICH half carries h-on (the
+    synthetic halves differ slightly in spot content), and
+    ``h_split_arm`` is the geometric mean of per-batch core-second ratios
+    — the geomean over an EVEN number of alternating reps pairs every
+    (lowHalf-on/highHalf-off) with a (highHalf-on/lowHalf-off) and
+    cancels the halves' work asymmetry exactly; an odd count leaves a
+    residual asymmetry^(1/reps) bias (round 11's default 3 did — warned
+    at runtime now). If any batch shows the stall-excursion signature
+    (ratio_run detached >0.2 from its own cpu tier, or >1.4 outright),
+    TWO more alternating batches are appended automatically so one
+    excursion is averaged against more clean points without breaking the
+    even pairing. Each arm's ``barrier:px`` core-seconds are published as
+    the within-batch weather check (identical fixed work per half).
+    The legacy whole-batch estimators are still published for record
+    continuity under an explicit ``h_legacy_`` prefix (h_legacy_on_over_
+    off/_min, h_legacy_core, h_legacy_robust, h_legacy_core_robust) —
+    the split-arm record REFUTED them on this host; quote h_split_arm.
 
     Per-batch weather index (round 11): every whole-batch profile carries
     ``px_core_sec`` (the ``barrier:px`` stages' core-seconds — identical
@@ -331,7 +344,7 @@ def _keepup_2880(batch: int = 8) -> dict:
         except Exception:
             return None
 
-    def _prof_delta(before):
+    def _prof_delta(before, exclude_sids: "frozenset[int]" = frozenset()):
         if before is None:
             return None
         try:
@@ -340,6 +353,7 @@ def _keepup_2880(batch: int = 8) -> dict:
             new = [
                 s for s in stages
                 if (s["stageId"], s["attemptId"]) not in before["done"]
+                and s["stageId"] not in exclude_sids
             ]
             gc_sec = (
                 sum(e.get("totalGCTime", 0) for e in execs)
@@ -416,8 +430,13 @@ def _keepup_2880(batch: int = 8) -> dict:
             if group:
                 sc.setLocalProperty("spark.jobGroup.id", None)
 
-    def one_batch(h_maxima: bool = True, prof_key: str | None = None) -> float:
+    def one_batch(
+        h_maxima: bool = True,
+        prof_key: str | None = None,
+        exclude_groups: "tuple[str, ...]" = (),
+    ) -> float:
         snap = _prof_snap() if prof_key else None
+        jobs_before = _jobs_snap() if (prof_key and exclude_groups) else None
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=8) as pool:
             # csim needs NOTHING from the plan — only (dataset, seq, y, x,
@@ -460,7 +479,25 @@ def _keepup_2880(batch: int = 8) -> dict:
         elapsed = time.perf_counter() - t0
         res.unpersist_all()
         if prof_key is not None:
-            d = _prof_delta(snap)
+            # stages of concurrently-running tagged jobs (the pilot and
+            # the kernel-warmup overlapping the COLD batch in the default
+            # prep mode) are excluded from this batch's profile so its
+            # px_core_sec weather index and run/cpu sums stay about THIS
+            # batch's work
+            exclude_sids: frozenset = frozenset()
+            if jobs_before is not None:
+                try:
+                    sids: set = set()
+                    for j in _rest("jobs"):
+                        if (
+                            j["jobId"] not in jobs_before
+                            and j.get("jobGroup") in exclude_groups
+                        ):
+                            sids.update(j.get("stageIds", []))
+                    exclude_sids = frozenset(sids)
+                except Exception:
+                    pass
+            d = _prof_delta(snap, exclude_sids)
             if d is None:
                 # placeholder keeps list POSITIONS aligned with the wall
                 # lists (round-10 ADVICE): a silently skipped capture would
@@ -501,6 +538,11 @@ def _keepup_2880(batch: int = 8) -> dict:
 
     def _run_pilot() -> float:
         t_pilot = time.perf_counter()
+        # tag every pilot job (this thread submits the whole barrier
+        # chain) so a concurrently-profiled batch can exclude the pilot's
+        # stages from its own attribution (default prep mode overlaps the
+        # pilot with the COLD batch — see the prep phase comment)
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", "pilot")
         from dataclasses import replace as _replace
         from pyspark.sql import functions as _F
 
@@ -550,24 +592,44 @@ def _keepup_2880(batch: int = 8) -> dict:
         if pres.gradient is not None:
             pouts.append(pres.gradient.on_arc_labels)
         with ThreadPoolExecutor(max_workers=len(pouts)) as pool:
-            for f in [pool.submit(_noop_write, out) for out in pouts]:
+            for f in [
+                pool.submit(_noop_write, out, None, "pilot")
+                for out in pouts
+            ]:
                 f.result()
         pres.unpersist_all()
         ppx.unpersist()
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
         return time.perf_counter() - t_pilot
 
-    # Prep phase: pixel-cache build ∥ pilot (round 10). The pilot is
-    # row-count-INVARIANT (probed at rows 512/256/128: 39.3/41.9/36.9 s
-    # — its wall is the python-worker page-fault warmup, a measured
-    # 10.5 GB of simultaneous first-touch across 32 workers, plus the
-    # ~85-stage sequential barrier-chain scheduling), so trimming rows
-    # is pointless; the win is overlapping it with the px build under
-    # FAIR scheduling (prep_sec vs px_build_sec + pilot_sec shows the
-    # overlap gain; under FIFO the jobs serialize and prep_sec is their
-    # sum).
+    # Prep phase (round 12 restructure — verdict #3, third lever). The
+    # pilot is row-count-INVARIANT (probed at rows 512/256/128:
+    # 39.3/41.9/36.9 s — its wall is the python-worker page-fault warmup
+    # plus ~85-stage sequential barrier-chain scheduling) and rows/parts
+    # knobs are both measured-rejected, so the remaining levers are
+    # (a) LESS first-touch — the round-12 float32 kernel scratch halves
+    # the warmup set (~10.5 GB -> ~5.3 GB across 32 workers) — and
+    # (b) WHO the pilot overlaps. r10/r11 overlapped pilot ∥ px build,
+    # but the px build is JVM-CPU-heavy and stretched the pilot from its
+    # ~40 s floor to 104 s under FAIR contention (BENCH_r11: prep_sec ==
+    # pilot_sec == 104.2 over a 68 s px build). Default now overlaps the
+    # pilot with the COLD batch instead ("pilot_cold"): prep_sec is the
+    # px build alone, and the pilot's JIT + page-fault warmup rides the
+    # cold batch's wall-clock — which is a one-time cost either way, and
+    # whose early (scan/join) stages don't need the fused projections the
+    # pilot is busy compiling. Consequences, documented: cold_batch_sec
+    # becomes "first full-res batch sharing the session with the pilot
+    # under FAIR" (it may run some late stages interpreted AND contend
+    # with the pilot — do not compare it across prep modes), while the
+    # cold PROFILE stays clean (pilot + kernel-warmup job stages are
+    # group-excluded from its attribution). Warm batches see identical
+    # conditions in both modes. SPARK_GRAFT_KEEPUP_PREP_MODE=pilot_px
+    # restores the r10/r11 structure for A/B.
+    prep_mode = os.environ.get("SPARK_GRAFT_KEEPUP_PREP_MODE", "pilot_cold")
+    pilot_on = os.environ.get("SPARK_GRAFT_KEEPUP_PILOT", "1") != "0"
     prep_snap = _prof_snap()
     t_prep = time.perf_counter()
-    if os.environ.get("SPARK_GRAFT_KEEPUP_PILOT", "1") != "0":
+    if pilot_on and prep_mode == "pilot_px":
         with ThreadPoolExecutor(max_workers=1) as prep_pool:
             fpx = prep_pool.submit(_build_px)
             pilot_sec = _run_pilot()
@@ -581,7 +643,16 @@ def _keepup_2880(batch: int = 8) -> dict:
         batch_profiles.setdefault("prep", []).append(pdlt)
     import statistics
 
-    cold = one_batch(prof_key="cold")
+    if pilot_on and prep_mode != "pilot_px":
+        with ThreadPoolExecutor(max_workers=1) as prep_pool:
+            fpilot = prep_pool.submit(_run_pilot)
+            cold = one_batch(
+                prof_key="cold",
+                exclude_groups=("pilot", "kernel-warmup"),
+            )
+            pilot_sec = fpilot.result()
+    else:
+        cold = one_batch(prof_key="cold")
     warm_reps = max(1, int(os.environ.get("SPARK_GRAFT_KEEPUP_WARM_REPS", "3")))
     # Interleaved h A/B (round 10 — VERDICT r9 #1): ordered arms let a
     # session-long weather ramp masquerade as a blown h-bar (BENCH_r09
@@ -634,11 +705,16 @@ def _keepup_2880(batch: int = 8) -> dict:
                 cond = (
                     F.col("seq") < half if low_half else F.col("seq") >= half
                 )
+                # per-arm image count (round-11 ADVICE): for odd `batch`
+                # the high half holds batch - half images, so sizing the
+                # image_id repartition off `half` for both arms would
+                # mis-provision one arm (latent with the default batch=8)
+                n_arm = half if low_half else batch - half
                 hpx = pixels.where(cond)
                 t0 = time.perf_counter()
                 res = run_image_plan(
                     hpx, None, c, gradient_stage=True, barrier=barrier,
-                    n_images=half, h_maxima=h_on,
+                    n_images=n_arm, h_maxima=h_on,
                 )
                 outs = [
                     (res.integrals, "out:integrals"),
@@ -668,11 +744,38 @@ def _keepup_2880(batch: int = 8) -> dict:
             fb = arms.submit(run_arm, "split:off", False, not low_on)
             fa.result()
             fb.result()
-        try:
-            jobs = _rest("jobs")
-            stages = _rest("stages?status=complete")
-        except Exception:
-            return None
+        # round-11 ADVICE: the UI status store is fed by an ASYNC listener
+        # queue, so fetching immediately after the arm futures resolve can
+        # miss the final noop-write stages (still enqueued), silently
+        # deflating one arm's run/cpu sums. Poll until no tagged job still
+        # reports RUNNING and the count of tagged stages missing from the
+        # complete list is stable across two reads (jobs' stageIds include
+        # SKIPPED stages that never reach the complete list, so requiring
+        # zero missing would never converge); surface the remainder as
+        # ``uncaptured_stages`` instead of pretending the capture is full.
+        uncaptured = prev_missing = None
+        jobs = stages = None
+        for _ in range(40):  # <= ~20 s
+            try:
+                jobs = _rest("jobs")
+                stages = _rest("stages?status=complete")
+            except Exception:
+                return None
+            new = [
+                j for j in jobs
+                if j["jobId"] not in jobs_before
+                and j.get("jobGroup") in ("split:on", "split:off")
+            ]
+            running = any(j.get("status") == "RUNNING" for j in new)
+            want: set = set()
+            for j in new:
+                want.update(j.get("stageIds", []))
+            have = {s["stageId"] for s in stages}
+            uncaptured = len(want - have)
+            if new and not running and uncaptured == prev_missing:
+                break
+            prev_missing = uncaptured
+            time.sleep(0.5)
         arms_sum = _attribute_split_stages(
             jobs, stages, jobs_before, snap["done"]
         )
@@ -696,31 +799,66 @@ def _keepup_2880(batch: int = 8) -> dict:
                 round(on["cpu"] / off["cpu"], 3) if off["cpu"] > 0 else None
             ),
             "ambiguous_stages": arms_sum["ambiguous"],
+            "uncaptured_stages": uncaptured,
             "on_top": on["top"],
             "off_top": off["top"],
         }
         batch_profiles.setdefault("split", []).append(d)
         return d
 
-    # default 3 (round 11): a memory-stall excursion landing on the h
-    # kernel can push ONE batch's ratio to ~1.5 (see STATUS — the same
-    # job measured 181.6 vs 39.0 core-s on identical images); with two
-    # reps one such batch dominates the geomean, with three it is
-    # averaged against two clean points and the sidecar's on_top/off_top
-    # identifies it either way
-    split_reps = int(os.environ.get("SPARK_GRAFT_KEEPUP_SPLIT_REPS", "3"))
+    # default 4 (round 12, ADVICE): the geomean's EXACT half-asymmetry
+    # cancellation — geomean of (lowOn/highOff) and (highOn/lowOff) pairs
+    # — only holds when the alternating reps are EVEN in count; round
+    # 11's odd default (3, meant to average out a stall excursion) left a
+    # residual asymmetry^(1/3) bias in the published PRIMARY metric. Four
+    # reps keep the excursion-averaging property (one bad batch is 1 of
+    # 4, not 1 of 2) AND the exact cancellation. If any batch still shows
+    # stall evidence (ratio_run far above its own cpu tier, the round-11
+    # excursion signature), TWO more alternating batches are appended —
+    # extension by an even count preserves the pairing.
+    split_reps = int(os.environ.get("SPARK_GRAFT_KEEPUP_SPLIT_REPS", "4"))
+    if split_reps % 2:
+        print(
+            f"SPLIT_REPS={split_reps} is odd — the half-asymmetry "
+            "cancellation is exact only for even rep counts; the "
+            "published geomean carries a residual per-half work bias",
+            file=sys.stderr,
+        )
     splits: list[dict] = []
     # a split-batch failure must not lose the whole keep-up block (the
     # wall/core metrics above are already measured) — degrade to fewer
     # or zero split points instead
-    for i in range(split_reps):
-        try:
-            r = split_batch(i)
-        except Exception as e:  # noqa: BLE001 — degrade, don't lose keepup
-            print(f"split batch {i} failed: {e!r}", file=sys.stderr)
-            r = None
-        if r is not None:
-            splits.append(r)
+    def _run_splits(start: int, n: int) -> None:
+        for i in range(start, start + n):
+            try:
+                r = split_batch(i)
+            except Exception as e:  # noqa: BLE001 — degrade, keep keepup
+                print(f"split batch {i} failed: {e!r}", file=sys.stderr)
+                r = None
+            if r is not None:
+                splits.append(r)
+
+    _run_splits(0, split_reps)
+
+    def _stall_hit(d: dict) -> bool:
+        # the round-11 excursion signature: the run-tier ratio detaches
+        # from its own batch's cpu tier (memory stall inflates run, not
+        # cpu) or blows past the historical clean band outright
+        rc = d.get("ratio_cpu")
+        return (rc is not None and d["ratio_run"] - rc > 0.2) or d[
+            "ratio_run"
+        ] > 1.4
+
+    if (
+        split_reps % 2 == 0
+        and len(splits) == split_reps
+        and any(_stall_hit(d) for d in splits)
+    ):
+        print(
+            "split-arm stall excursion detected — extending by 2 batches",
+            file=sys.stderr,
+        )
+        _run_splits(split_reps, 2)
 
     pixels.unpersist()
     spark.stop()
@@ -771,8 +909,15 @@ def _keepup_2880(batch: int = 8) -> dict:
             out["core_cpu_sec_per_image"] = round(
                 statistics.median(warm_cpu) / batch, 1
             )
+    # LEGACY whole-batch h estimators (round 12, verdict #5): the split-
+    # arm estimator REFUTED these on this host (whole-batch arms land in
+    # different weather; r9 published 2.79, the 6.17-weather session
+    # 1.905/2.648 where the split arms read 1.105-1.19 in the SAME
+    # session) — they are published under an ``h_legacy_`` prefix purely
+    # so the r9-r11 record stays interpretable; h_split_arm is the only
+    # un-prefixed h metric and the only one to quote.
     if warm_run and hoff_run:
-        out["core_h_on_over_h_off"] = round(
+        out["h_legacy_core"] = round(
             statistics.median(warm_run) / statistics.median(hoff_run), 3
         )
 
@@ -806,12 +951,12 @@ def _keepup_2880(batch: int = 8) -> dict:
 
     h_rb = _robust_paired(warms, hoffs)
     if h_rb is not None:
-        out["h_robust"] = round(h_rb, 3)
+        out["h_legacy_robust"] = round(h_rb, 3)
     core_rb = _robust_paired(
         _arm_core_pos("warm", "run_sec"), _arm_core_pos("hoff", "run_sec")
     )
     if core_rb is not None:
-        out["core_h_robust"] = round(core_rb, 3)
+        out["h_legacy_core_robust"] = round(core_rb, 3)
 
     # PRIMARY h metric (round 11): within-batch split-arm ratio — weather
     # cancels exactly (both arms share every wall-clock second), and the
@@ -882,14 +1027,13 @@ def _keepup_2880(batch: int = 8) -> dict:
         out["hoff_batch_sec"] = round(hoff, 2)
         out["hoff_batches_sec"] = [round(v, 2) for v in hoffs]
         out["hoff_sec_per_image"] = round(hoff / batch, 2)
-        # paired ratio over INTERLEAVED arms (round 10): pair i ran
-        # back-to-back (alternating order), so weather drift cancels per
-        # pair; the median of per-pair ratios is the published A/B number.
+        # paired ratio over INTERLEAVED arms (round 10; LEGACY since the
+        # round-11 split-arm refutation — see the h_legacy_core comment).
         paired = [w / h for w, h in zip(warms, hoffs)]
-        out["h_on_over_h_off"] = round(statistics.median(paired), 3)
+        out["h_legacy_on_over_off"] = round(statistics.median(paired), 3)
         # min/min compares best-vs-best (JMH logic), robust to a single
         # outlier batch in either arm.
-        out["h_on_over_h_off_min"] = round(min(warms) / min(hoffs), 3)
+        out["h_legacy_on_over_off_min"] = round(min(warms) / min(hoffs), 3)
         out["sec_per_image_best"] = round(min(warms) / batch, 2)
     return out
 
@@ -952,7 +1096,11 @@ def _geomean(ratios: "list[float]") -> float:
     """Geometric mean, rounded — the right combiner for the split-arm
     ratios: with alternating halves, geomean((A_on/B_off), (B_on/A_off))
     = sqrt((A_on*B_on)/(A_off*B_off)) — the halves' per-half work
-    asymmetry cancels exactly, which an arithmetic mean does not."""
+    asymmetry cancels exactly, which an arithmetic mean does not. The
+    exact cancellation requires an EVEN number of alternating reps (each
+    low-on batch paired with a high-on one); with an odd count the extra
+    rep's half appears once unpaired, leaving an asymmetry^(1/n)
+    residual — which is why SPLIT_REPS defaults to 4 and warns on odd."""
     import math
 
     return round(

@@ -88,6 +88,13 @@ SHOWCASE = [
      "lines) as pure Catalyst predicates: one pruned 6-column scan, one "
      "exchange (the groupBy), zero Python — the crossing-number polygon "
      "test is an F.aggregate fold over a literal edge array"),
+    ("w3_contour_stride_view",
+     "the contour read-back view (readback.contour_matrix end-to-end): "
+     "the kept-line selection ranks one row per IMAGE (distinct "
+     "image_id/seq — bounded by the contour's line budget, never "
+     "pixels), the kept set returns as a BroadcastHashJoin onto the "
+     "line table, and the per-image ordered intensity array is one "
+     "keyed exchange"),
 ]
 
 #: separates generated plan dumps from hand-written analysis below it

@@ -54,7 +54,14 @@ OUTLIER_HISTOGRAM = _os.environ.get("XRDSPARK_OUTLIER_HISTOGRAM", "0") == "1"
 #: has already been submitted this process — python workers persist across
 #: batches within a session, so one warmup per session covers them all and
 #: repeat submissions only occupy task slots (see run_image_plan).
+#: Guarded by a lock: two CONCURRENT run_image_plan calls (the bench's
+#: default prep mode runs the pilot alongside the cold batch) would
+#: otherwise both pass the check before either records, double-submitting
+#: the ~96-task-slot warmup job round 11 worked to eliminate.
 _WARMUP_SUBMITTED: set = set()
+import threading as _threading  # noqa: E402
+
+_WARMUP_LOCK = _threading.Lock()
 
 
 def _warmup_missing(
@@ -788,14 +795,26 @@ def run_image_plan(
         _warm_base = (
             _spark.sparkContext.applicationId, _wshape, _full_shape,
         )
-        _missing = _warmup_missing(
-            _warm_base, gradient_stage, h_maxima, _WARMUP_SUBMITTED
-        )
+        # check+claim under the lock (see _WARMUP_LOCK doc): the claim
+        # happens here, not at thread start, so a concurrent plan call
+        # sees the components as already submitted
+        with _WARMUP_LOCK:
+            _missing = _warmup_missing(
+                _warm_base, gradient_stage, h_maxima, _WARMUP_SUBMITTED
+            )
+            _WARMUP_SUBMITTED.update((_warm_base, p) for p in _missing)
 
         def _warm() -> None:
             try:
                 import pandas as _pd
 
+                # own job group: the warmup job completes during whatever
+                # batch happens to be running (it's fire-and-forget), so
+                # profilers that attribute stages by completion window can
+                # exclude it by group instead of mis-charging the batch
+                _spark.sparkContext.setLocalProperty(
+                    "spark.jobGroup.id", "kernel-warmup"
+                )
                 n = _spark.sparkContext.defaultParallelism * 3
 
                 def _wf(it):
@@ -817,7 +836,6 @@ def run_image_plan(
                 pass
 
         if _missing:
-            _WARMUP_SUBMITTED.update((_warm_base, p) for p in _missing)
             threading.Thread(
                 target=_warm, daemon=True, name="kernel-warmup"
             ).start()
