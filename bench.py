@@ -840,19 +840,10 @@ def _keepup_2880(batch: int = 8) -> dict:
 
     _run_splits(0, split_reps)
 
-    def _stall_hit(d: dict) -> bool:
-        # the round-11 excursion signature: the run-tier ratio detaches
-        # from its own batch's cpu tier (memory stall inflates run, not
-        # cpu) or blows past the historical clean band outright
-        rc = d.get("ratio_cpu")
-        return (rc is not None and d["ratio_run"] - rc > 0.2) or d[
-            "ratio_run"
-        ] > 1.4
-
     if (
         split_reps % 2 == 0
         and len(splits) == split_reps
-        and any(_stall_hit(d) for d in splits)
+        and any(split_stall_hit(d) for d in splits)
     ):
         print(
             "split-arm stall excursion detected — extending by 2 batches",
@@ -1036,6 +1027,20 @@ def _keepup_2880(batch: int = 8) -> dict:
         out["h_legacy_on_over_off_min"] = round(min(warms) / min(hoffs), 3)
         out["sec_per_image_best"] = round(min(warms) / batch, 2)
     return out
+
+
+def split_stall_hit(d: dict) -> bool:
+    """The round-11 stall-excursion signature on one split batch's
+    published dict: the run-tier ratio detaches from its own batch's cpu
+    tier (memory stall inflates run, not cpu — the 181.6/58.4 vs
+    39.0/17.8 record), or blows past the historical clean band outright.
+    A hit triggers the even auto-extension (+2 alternating batches) so
+    one excursion is averaged against more clean points. Module-level so
+    the rule is unit-testable without Spark (tests/test_bench_line.py)."""
+    rc = d.get("ratio_cpu")
+    return (rc is not None and d["ratio_run"] - rc > 0.2) or d[
+        "ratio_run"
+    ] > 1.4
 
 
 def _attribute_split_stages(

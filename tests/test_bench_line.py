@@ -182,3 +182,21 @@ def test_split_attribution_rejects_empty_arm():
     jobs = [{"jobId": 1, "jobGroup": "split:on", "stageIds": [10]}]
     stages = [_stage(10, 1000)]
     assert bench._attribute_split_stages(jobs, stages, set(), set()) is None
+
+
+def test_split_stall_hit_rule():
+    """Round-12 auto-extension trigger: fires on a run-vs-cpu detach
+    (the memory-stall signature) or an outright blown ratio; stays quiet
+    on the r12 measured clean/contended band (1.026-1.237 with cpu in
+    step), including when the cpu tier failed to capture."""
+    # clean: run and cpu tiers in step
+    assert not bench.split_stall_hit({"ratio_run": 1.086, "ratio_cpu": 1.056})
+    # the r12 session's hottest real batch: 1.237/1.186 — in step, no fire
+    assert not bench.split_stall_hit({"ratio_run": 1.237, "ratio_cpu": 1.186})
+    # stall: run detaches >0.2 from cpu (the 181.6-core-s record shape)
+    assert bench.split_stall_hit({"ratio_run": 1.35, "ratio_cpu": 1.05})
+    # blown outright, even with cpu missing
+    assert bench.split_stall_hit({"ratio_run": 1.45, "ratio_cpu": None})
+    assert bench.split_stall_hit({"ratio_run": 1.498, "ratio_cpu": 1.31})
+    # missing cpu alone is not a stall signal below the outright bar
+    assert not bench.split_stall_hit({"ratio_run": 1.2, "ratio_cpu": None})
