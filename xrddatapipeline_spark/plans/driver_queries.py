@@ -548,44 +548,73 @@ def grad_percentile_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "a9_shape_classifier",
     """
-    WITH ext AS (
-        SELECT l_partkey AS label,
-               max(l_discount) - min(l_discount) AS diff_q,
-               max(l_quantity) - min(l_quantity) AS diff_azim,
-               count(*) AS area
-        FROM lineitem GROUP BY l_partkey
+    WITH lpx AS (
+        SELECT 'img-' || CAST(l_orderkey % 3 AS VARCHAR) AS image_id,
+               CAST(l_partkey % 8 AS INT) AS label,
+               ((l_partkey * 37 + l_suppkey * 11) % 3000) / 10.0 AS azim,
+               (((l_partkey * 37 + l_suppkey * 11) % 3000 + 1800) % 3600)
+                   / 10.0 AS azim_flip,
+               CASE WHEN l_partkey % 2 = 0
+                    THEN 2.0 + (l_suppkey % 8) / 400.0
+                    ELSE 2.0 + (l_suppkey % 8) * 0.05 END AS q
+        FROM lineitem
+    ),
+    ext AS (
+        SELECT image_id, label, count(*) AS area,
+               least(max(azim) - min(azim),
+                     max(azim_flip) - min(azim_flip)) AS diff_azim,
+               quantile_cont(q, 0.9) - quantile_cont(q, 0.1) AS diff_q
+        FROM lpx GROUP BY image_id, label
     )
-    SELECT label, diff_q, diff_azim, area,
-           CASE WHEN diff_q < 0.08 AND diff_azim > 20.0
-                     AND diff_azim / diff_q > 300.0
+    SELECT image_id, label, area, diff_azim, diff_q,
+           CASE WHEN area > 100 AND diff_q < 0.1 AND diff_azim > 3.5
+                     AND diff_azim / diff_q > 100.0
                 THEN 2 ELSE 1 END AS classifier
-    FROM ext WHERE area > 10
+    FROM ext
     """,
-    doc="Arc-vs-spot decision thresholds over joined label aggregates "
-    "(classification.py:420-433; SURVEY §2.6 A9, thresholds §2.9).",
+    doc="Drives plans/image_pipeline.py::label_table_from — the REAL "
+        "A5-A9 shape-classifier operator (per-label area, wraparound "
+        "circular azimuth extent via the flipped-axis least(), Q extent "
+        "as exact percentile p90-p10, and the arc-vs-spot decision with "
+        "the production thresholds MIN_ARC_AREA=100 / Q_MAX=0.1 / "
+        "AZIM_MIN=3.5 / AZIM_Q_SHAPE_MIN=100; classification.py:373-444) "
+        "— on a labeled-pixels frame constructed deterministically from "
+        "lineitem: 3 images x 8 labels, EVEN labels get a tight q spread "
+        "(p90-p10 ~ 0.014 << Q_MAX -> arcs, classifier 2), ODD labels a "
+        "wide one (~0.3 >> Q_MAX -> spots, classifier 1), so BOTH "
+        "decision branches are populated well away from every threshold "
+        "boundary. azim/azim_flip are built from integer tenths in both "
+        "engines ((t+1800)%3600/10) — no float pmod in the oracle, the "
+        "a7 ulp lesson. The oracle hard-codes the production thresholds, "
+        "so a silent constant drift in image_pipeline breaks the hash. "
+        "ROUND 12: converted IN PLACE from a re-spelled threshold "
+        "formula to the real operator (the a17 pattern); the r11 row "
+        "covered the formula predecessor — in-repo parity covers this "
+        "form until its next driver row in r13. Scale: one keyed "
+        "exchange over label-bounded groups, exact order statistics "
+        "per group.",
     tags=("agg", "xrd"),
 )
 def a9_shape_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.plans.image_pipeline import label_table_from
+
     li = _t(spark, sf_dir, "lineitem")
-    ext = li.groupBy(F.col("l_partkey").alias("label")).agg(
-        (F.max("l_discount") - F.min("l_discount")).alias("diff_q"),
-        (F.max("l_quantity") - F.min("l_quantity")).alias("diff_azim"),
-        F.count("*").alias("area"),
-    )
-    return ext.where(F.col("area") > 10).select(
-        "label",
-        "diff_q",
-        "diff_azim",
-        "area",
+    t = (F.col("l_partkey") * 37 + F.col("l_suppkey") * 11) % 3000
+    lpx = li.select(
+        F.concat(
+            F.lit("img-"), (F.col("l_orderkey") % 3).cast("string")
+        ).alias("image_id"),
+        (F.col("l_partkey") % 8).cast("int").alias("label"),
+        (t / 10.0).alias("azim"),
+        (((t + 1800) % 3600) / 10.0).alias("azim_flip"),
         F.when(
-            (F.col("diff_q") < 0.08)
-            & (F.col("diff_azim") > 20.0)
-            & (F.col("diff_azim") / F.col("diff_q") > 300.0),
-            2,
+            F.col("l_partkey") % 2 == 0,
+            F.lit(2.0) + (F.col("l_suppkey") % 8) / F.lit(400.0),
         )
-        .otherwise(1)
-        .alias("classifier"),
+        .otherwise(F.lit(2.0) + (F.col("l_suppkey") % 8) * F.lit(0.05))
+        .alias("q"),
     )
+    return label_table_from(lpx)
 
 
 # ---------------------------------------------------------------------------
@@ -1020,29 +1049,86 @@ def t6_interval_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "j5_diff_pivot",
     """
-    SELECT strftime(o_orderdate, '%Y-%m') AS month,
-           count(*) AS n_orders,
-           coalesce(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0.0)
-             - coalesce(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0.0)
-             AS diff_f_minus_o
-    FROM orders
-    GROUP BY strftime(o_orderdate, '%Y-%m')
+    WITH src AS (
+        SELECT o_orderkey % 8000 AS k, max(o_totalprice) AS intensity
+        FROM orders GROUP BY o_orderkey % 8000
+    ),
+    cells AS (
+        SELECT 'o-' || CAST(k % 40 AS VARCHAR) AS image_id,
+               CAST((k // 40) % 50 AS INT) AS tth_idx,
+               1.0 + 0.2 * CAST((k // 40) % 50 AS INT) AS tth,
+               CASE CAST(k // 2000 AS INT)
+                    WHEN 0 THEN 'base' WHEN 1 THEN 'om'
+                    WHEN 2 THEN 'spotsmasked' ELSE 'arcsmasked'
+               END AS kind,
+               intensity
+        FROM src
+    ),
+    wide AS (
+        SELECT image_id, tth_idx, tth,
+               max(CASE WHEN kind = 'base' THEN intensity END) AS base,
+               max(CASE WHEN kind = 'om' THEN intensity END) AS om,
+               max(CASE WHEN kind = 'spotsmasked' THEN intensity END)
+                   AS spotsmasked,
+               max(CASE WHEN kind = 'arcsmasked' THEN intensity END)
+                   AS arcsmasked
+        FROM cells GROUP BY image_id, tth_idx, tth
+    )
+    SELECT image_id, tth_idx, tth, base, om,
+           CASE WHEN base - spotsmasked >= 0
+                THEN sqrt(base - spotsmasked)
+                ELSE -sqrt(spotsmasked - base) END AS diff_spots,
+           CASE WHEN base - arcsmasked >= 0
+                THEN sqrt(base - arcsmasked)
+                ELSE -sqrt(arcsmasked - base) END AS diff_arcs
+    FROM wide
     """,
-    doc="Base-minus-masked integral difference as conditional-agg pivot "
-    "(mainUI/integrals.py:280-329; SURVEY §2.5 J5).",
-    tags=("join", "xrd"),
+    doc="Drives plans/readback.py::diff_integrals — the REAL J5(+P18) "
+        "base-minus-masked difference view (per-(image, tth) pivot of "
+        "the 4 integral kinds, diff lines, signed-sqrt display "
+        "transform; mainUI/integrals.py:280-329) — on an "
+        "integrals-shaped frame derived deterministically from orders "
+        "(k = o_orderkey % 8000 bijects onto 40 images x 50 tth bins x "
+        "4 kinds after a max() pre-agg collapses key collisions, so the "
+        "view's F.first pivot is deterministic, exactly like the real "
+        "pipeline's one-row-per-(image,tth,kind) feed; at sf0.001 the "
+        "keyspace is only partially covered, so NULL cells exercise the "
+        "missing-kind path in both engines). sqrt_display=True "
+        "exercises P18's signed sqrt on both sign branches "
+        "(IEEE-exact: sqrt is correctly rounded and -(a-b) == b-a). "
+        "ROUND 12: converted IN PLACE from a conditional-agg formula "
+        "twin to the real view function (the a17 pattern); the r11 "
+        "CORRECTNESS row covered the formula predecessor — the in-repo "
+        "parity test covers this form until its next driver row in r13. "
+        "Scale: one pre-agg shuffle plus the pivot's keyed exchange, "
+        "both over bin-count-bounded cells, never pixels.",
+    tags=("join", "xrd", "readback"),
 )
 def j5_diff_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.plans.readback import diff_integrals
+
     o = _t(spark, sf_dir, "orders")
-    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
-    avg_f = F.avg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")))
-    avg_o = F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")))
-    return o.groupBy(month).agg(
-        F.count("*").alias("n_orders"),
-        (
-            F.coalesce(avg_f, F.lit(0.0)) - F.coalesce(avg_o, F.lit(0.0))
-        ).alias("diff_f_minus_o"),
+    src = o.groupBy((F.col("o_orderkey") % 8000).alias("k")).agg(
+        F.max("o_totalprice").alias("intensity")
     )
+    kind = F.element_at(
+        F.array(
+            F.lit("base"), F.lit("om"),
+            F.lit("spotsmasked"), F.lit("arcsmasked"),
+        ),
+        F.expr("k div 2000").cast("int") + 1,
+    )
+    tth_idx = (F.expr("k div 40") % 50).cast("int")
+    integrals = src.select(
+        F.concat(F.lit("o-"), (F.col("k") % 40).cast("string")).alias(
+            "image_id"
+        ),
+        tth_idx.alias("tth_idx"),
+        (F.lit(1.0) + F.lit(0.2) * tth_idx).alias("tth"),
+        kind.alias("kind"),
+        "intensity",
+    )
+    return diff_integrals(integrals, sqrt_display=True)
 
 
 # ---------------------------------------------------------------------------
