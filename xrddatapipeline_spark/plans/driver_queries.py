@@ -1365,46 +1365,73 @@ def a18_grad_stats_per_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a20_cosine_consecutive",
     """
     WITH v AS (
-        SELECT CAST(l_suppkey % 20 AS INT) AS frame,
-               CAST(l_partkey % 64 AS INT) AS px,
-               sum(l_quantity) AS inten
+        SELECT CAST(l_suppkey % 20 AS INT) AS seq,
+               CAST(l_partkey % 64 AS INT) AS yx,
+               CAST(sum(l_quantity) AS DOUBLE) AS inten
         FROM lineitem GROUP BY 1, 2
     ),
-    paired AS (
-        SELECT a.frame, a.px, a.inten AS va, b.inten AS vb
-        FROM v a JOIN v b ON b.frame = a.frame - 1 AND b.px = a.px
+    p AS (
+        SELECT seq, inten,
+               coalesce(lag(inten) OVER w, inten) AS v_prev,
+               first_value(inten) OVER w AS v_first
+        FROM v
+        WINDOW w AS (PARTITION BY yx ORDER BY seq)
     )
-    SELECT frame,
-           sum(va * vb) / sqrt(sum(va * va) * sum(vb * vb)) AS csim_prev,
-           count(*) AS n_px
-    FROM paired GROUP BY frame
+    SELECT 'ds0' AS dataset, seq,
+           'ds0-' || CAST(seq AS VARCHAR) AS image_id,
+           sum(inten * v_first)
+               / sqrt(sum(inten * inten) * sum(v_first * v_first))
+               AS csim_first,
+           sum(inten * v_prev)
+               / sqrt(sum(inten * inten) * sum(v_prev * v_prev))
+               AS csim_prev
+    FROM p GROUP BY seq
     """,
-    doc="Image-to-previous cosine similarity (pipeline.py:506-557; SURVEY "
-    "§2.5 J4, §2.6 A20): frame vectors paired at seq-1 via equi-join, "
-    "dot/norm aggregates.",
+    doc="Drives plans/image_pipeline.py::cosine_similarity_series — the "
+        "REAL J4/W1/A20 csim operator (window-over-Delta lag/first "
+        "pairing per (dataset, yx) pixel series, packed-long yx, "
+        "post-shuffle double cast, broadcast image_id re-attach; "
+        "pipeline.py:506-557) — on a pixel frame constructed from "
+        "lineitem (20 frames x 64 pixels, y = cell div 8, x = cell % 8, "
+        "integer intensities so every dot product is an exact-integer "
+        "sum in both engines). The oracle mirrors the operator's window "
+        "semantics exactly (lag coalesced to self for the first frame, "
+        "first_value over the default unbounded-preceding frame), which "
+        "also pins the sparse-series behavior: a (yx, seq) cell missing "
+        "at small SFs makes lag skip to the previous PRESENT frame in "
+        "both engines identically. ROUND 12: converted IN PLACE from an "
+        "equi-join formula twin to the real operator (the a17 pattern); "
+        "the r11 row covered the predecessor — in-repo parity covers "
+        "this form until its r13 driver row. Scale: the operator's "
+        "narrow 4-field window exchange (plan-pinned by the round-8 "
+        "shuffle-width test) + one per-image agg.",
     tags=("join", "agg", "xrd"),
 )
 def a20_cosine_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    v = li.groupBy(
-        (F.col("l_suppkey") % 20).cast("int").alias("frame"),
-        (F.col("l_partkey") % 64).cast("int").alias("px"),
-    ).agg(F.sum("l_quantity").alias("inten"))
-    a = v.select("frame", "px", F.col("inten").alias("va"))
-    b = v.select(
-        (F.col("frame") + 1).alias("frame"), "px", F.col("inten").alias("vb")
+    from xrddatapipeline_spark.plans.image_pipeline import (
+        cosine_similarity_series,
     )
-    dot = lambda x, y: F.sum(F.col(x) * F.col(y))  # noqa: E731
-    return (
-        a.join(b, ["frame", "px"])
-        .groupBy("frame")
-        .agg(
-            (
-                dot("va", "vb") / F.sqrt(dot("va", "va") * dot("vb", "vb"))
-            ).alias("csim_prev"),
-            F.count("*").alias("n_px"),
+
+    li = _t(spark, sf_dir, "lineitem")
+    cell = (F.col("l_partkey") % 64).cast("int")
+    pixels = (
+        li.groupBy(
+            (F.col("l_suppkey") % 20).cast("int").alias("seq"),
+            cell.alias("cell"),
+        )
+        .agg(F.sum("l_quantity").cast("int").alias("intensity"))
+        .select(
+            F.lit("ds0").alias("dataset"),
+            "seq",
+            F.concat(F.lit("ds0-"), F.col("seq").cast("string")).alias(
+                "image_id"
+            ),
+            F.expr("cell div 8").cast("int").alias("y"),
+            (F.col("cell") % 8).cast("int").alias("x"),
+            "intensity",
         )
     )
+    return cosine_similarity_series(pixels)
 
 
 # ---------------------------------------------------------------------------
