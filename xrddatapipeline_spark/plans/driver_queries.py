@@ -1218,28 +1218,64 @@ def a11_central_band_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "a15_fraction_masked_per_bin",
     """
-    SELECT CAST(floor(l_extendedprice / 5000) AS INT) AS qbin,
+    WITH cells AS (
+        SELECT 'im-' || CAST(l_orderkey % 2 AS VARCHAR) AS image_id,
+               CAST(l_partkey % 4096 AS INT) AS cell,
+               sum(l_quantity) AS tot
+        FROM lineitem GROUP BY 1, 2
+    ),
+    px AS (
+        SELECT image_id, CAST(cell % 25 - 1 AS INT) AS qbin,
+               CAST(tot AS BIGINT) % 7 < 3 AS is_om
+        FROM cells
+    )
+    SELECT image_id, qbin,
            count(*) AS n_total,
-           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_masked,
-           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*) AS frac_masked
-    FROM lineitem
-    GROUP BY 1
+           CAST(sum(CASE WHEN is_om THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_masked,
+           CAST(sum(CASE WHEN is_om THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS frac_masked
+    FROM px WHERE qbin >= 0
+    GROUP BY image_id, qbin
     """,
-    doc="Percent-masked per Q band (spottiness.py:16-27; SURVEY §2.6 A15).",
+    doc="Drives plans/image_pipeline.py::spottiness_per_qbin — the REAL "
+        "A15/A16 fraction-masked operator (left-join the om pixel set "
+        "onto the dense pixel table on (image_id, y, x), fillna false, "
+        "drop qbin < 0, per-(image, qbin) counts; spottiness.py:16-27) — "
+        "on a pixel frame constructed from lineitem: 2 images x 4096 "
+        "cells (y = cell div 64, x = cell % 64), om membership decided "
+        "by an exact integer predicate (CAST(sum qty AS BIGINT) % 7 < 3 "
+        "— splits ~3/7 at EVERY scale factor, unlike a fixed threshold "
+        "on SF-scaled totals), and qbin = cell % 25 - 1 so one band is "
+        "negative and the operator's qbin >= 0 filter is exercised, not "
+        "just present. ROUND 12: converted IN PLACE from a conditional-"
+        "count formula twin (the a17 pattern); the r11 row covered the "
+        "predecessor — in-repo parity covers this form until its r13 "
+        "driver row. Scale: the om side joins as one distinct-cell "
+        "frame; one keyed exchange for the per-(image, qbin) counts.",
     tags=("agg", "xrd"),
 )
 def a15_fraction_masked_per_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    masked = F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
-    return li.groupBy(
-        F.floor(F.col("l_extendedprice") / 5000).cast("int").alias("qbin")
-    ).agg(
-        F.count("*").alias("n_total"),
-        masked.alias("n_masked"),
-        (masked.cast("double") / F.count("*")).alias("frac_masked"),
+    from xrddatapipeline_spark.plans.image_pipeline import (
+        spottiness_per_qbin,
     )
+
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.concat(
+            F.lit("im-"), (F.col("l_orderkey") % 2).cast("string")
+        ).alias("image_id"),
+        (F.col("l_partkey") % 4096).cast("int").alias("cell"),
+    ).agg(F.sum("l_quantity").alias("tot"))
+    y = F.expr("cell div 64").cast("int").alias("y")
+    x = (F.col("cell") % 64).cast("int").alias("x")
+    px = cells.select(
+        "image_id", y, x, (F.col("cell") % 25 - 1).cast("int").alias("qbin")
+    )
+    om_pixels = cells.where(F.col("tot").cast("long") % 7 < 3).select(
+        "image_id", y, x
+    )
+    return spottiness_per_qbin(px, om_pixels)
 
 
 # ---------------------------------------------------------------------------
