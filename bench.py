@@ -840,11 +840,7 @@ def _keepup_2880(batch: int = 8) -> dict:
 
     _run_splits(0, split_reps)
 
-    if (
-        split_reps % 2 == 0
-        and len(splits) == split_reps
-        and any(split_stall_hit(d) for d in splits)
-    ):
+    if should_extend_splits(splits, split_reps):
         print(
             "split-arm stall excursion detected — extending by 2 batches",
             file=sys.stderr,
@@ -1027,6 +1023,23 @@ def _keepup_2880(batch: int = 8) -> dict:
         out["h_legacy_on_over_off_min"] = round(min(warms) / min(hoffs), 3)
         out["sec_per_image_best"] = round(min(warms) / batch, 2)
     return out
+
+
+def should_extend_splits(splits: "list[dict]", split_reps: int) -> bool:
+    """Auto-extension decision after the initial split-arm reps: extend
+    by 2 more alternating batches iff (a) the rep count is even (an odd
+    base already carries the asymmetry residual — extending won't fix
+    what the operator mis-configured), (b) every planned batch actually
+    produced a measurement (a dropped batch means capture trouble, not
+    weather — don't burn 2 more batches on a broken profile path), and
+    (c) any batch shows the stall-excursion signature
+    (``split_stall_hit``). Pure over the published dicts — unit-tested
+    without Spark."""
+    return (
+        split_reps % 2 == 0
+        and len(splits) == split_reps
+        and any(split_stall_hit(d) for d in splits)
+    )
 
 
 def split_stall_hit(d: dict) -> bool:

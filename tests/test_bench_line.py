@@ -200,3 +200,19 @@ def test_split_stall_hit_rule():
     assert bench.split_stall_hit({"ratio_run": 1.498, "ratio_cpu": 1.31})
     # missing cpu alone is not a stall signal below the outright bar
     assert not bench.split_stall_hit({"ratio_run": 1.2, "ratio_cpu": None})
+
+
+def test_should_extend_splits_decision():
+    """Extension fires only on an even, fully-captured base with at
+    least one stall-signature batch — and appends an EVEN count, so the
+    geomean pairing survives the extension."""
+    clean = {"ratio_run": 1.05, "ratio_cpu": 1.03}
+    stall = {"ratio_run": 1.45, "ratio_cpu": 1.1}
+    # the r12 two-session record: all batches in step, no extension
+    assert not bench.should_extend_splits([clean] * 4, 4)
+    # one stall batch in a clean even base: extend
+    assert bench.should_extend_splits([clean, clean, stall, clean], 4)
+    # odd base: never extend (the operator mis-set SPLIT_REPS; warned)
+    assert not bench.should_extend_splits([clean, stall, clean], 3)
+    # a dropped batch (failed capture) suppresses extension
+    assert not bench.should_extend_splits([clean, stall, clean], 4)
