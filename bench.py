@@ -760,7 +760,12 @@ def _keepup_2880(batch: int = 8) -> dict:
                 jobs = _rest("jobs")
                 stages = _rest("stages?status=complete")
             except Exception:
-                return None
+                # transient REST failure (history-server compaction,
+                # momentary reset): retry against the iteration budget
+                # instead of discarding a fully-measured batch — only a
+                # capture that NEVER succeeds aborts (round-12 review)
+                time.sleep(0.5)
+                continue
             new = [
                 j for j in jobs
                 if j["jobId"] not in jobs_before
@@ -776,6 +781,8 @@ def _keepup_2880(batch: int = 8) -> dict:
                 break
             prev_missing = uncaptured
             time.sleep(0.5)
+        if jobs is None or stages is None:
+            return None  # every poll attempt failed — no data to attribute
         arms_sum = _attribute_split_stages(
             jobs, stages, jobs_before, snap["done"]
         )

@@ -370,3 +370,37 @@ def test_hmax_float32_gate_predicate():
     assert hmax_float32_exact(
         np.array([-(2**23), 10], dtype=np.int64), float(2**23 - 1)
     )
+
+
+def test_inpaint_sparse_bit_equals_dense_in_float32():
+    """Round-12 review finding, confirmed on this numpy: the sparse
+    route's tap product demoted the float64 weight to float32 under
+    value-based casting, bit-diverging from the dense route (whose
+    `vals` scratch is float64) on float32 rasters — 80/250 pixels on a
+    64x64 integer raster before the fix. Pin bit-equality of the two
+    routes in BOTH dtypes, masked and unmasked pixels alike."""
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 60000, (64, 64)).astype(np.int64)
+    bad = rng.random((64, 64)) < 0.05
+    bad[10:14, 20:24] = True  # a blob with interior (unpaintable core)
+    for dt in (np.float64, np.float32):
+        img = base.astype(dt)
+        dense = kernels.inpaint_masked(img, bad, out=np.empty_like(img))
+        sparse = kernels.inpaint_masked_sparse(
+            img, bad, out=np.empty_like(img)
+        )
+        np.testing.assert_array_equal(sparse, dense, err_msg=str(dt))
+
+
+def test_hmax_float32_gate_negative_h_marker_ceiling():
+    """Round-12 review finding: a NEGATIVE h (possible when p99.9 < 0)
+    raises the marker ABOVE the image maximum — the gate must bound the
+    marker ceiling, not just the floor."""
+    from xrddatapipeline_spark.plans.image_pipeline import hmax_float32_exact
+
+    big = np.array([2**24 - 1], dtype=np.int64)
+    assert hmax_float32_exact(big, 1.0)
+    # marker max = (2^24 - 1) - (-50000) >= 2^24: not f32-exact, gate off
+    assert not hmax_float32_exact(big, -50000.0)
+    # small image with negative h stays exact
+    assert hmax_float32_exact(np.array([-100, 50], dtype=np.int64), -40.0)

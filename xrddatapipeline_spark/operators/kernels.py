@@ -561,7 +561,14 @@ def inpaint_masked_sparse(
             ok = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
             yyc, xxc = yy[ok], xx[ok]
             good = ~bad[yyc, xxc]
-            num[ok] += wgt * np.where(good, img[yyc, xxc], 0.0)
+            # gather to float64 EXPLICITLY: under numpy 1.x value-based
+            # casting, float32 gathered values demote the float64 tap
+            # weight and the product rounds in float32 — silently
+            # breaking the bit-identity with the dense route, whose
+            # `vals` scratch is float64 (caught by round-12 review; the
+            # upcast is exact, the gathered vectors are bad-pixel-sized)
+            vals = img[yyc, xxc].astype(np.float64)
+            num[ok] += wgt * np.where(good, vals, 0.0)
             den[ok] += wgt * good
     sel = den > 0
     out[by[sel], bx[sel]] = num[sel] / den[sel]

@@ -495,7 +495,15 @@ def hmax_float32_exact(inten, hval: float) -> bool:
         return True
     imin = int(inten.min())
     imax = int(inten.max())
-    return imax < 2**24 and min(imin, 0) - hval > -(2**24)
+    # the marker ceiling matters too: a NEGATIVE h (possible when p99.9
+    # is negative — mostly-negative corrected frame with hot pixels)
+    # pushes marker = img - h ABOVE the image maximum, so bound both
+    # marker extremes, not just the floor (round-12 review)
+    return (
+        imax < 2**24
+        and min(imin, 0) - hval > -(2**24)
+        and max(imax, 0) - hval < 2**24
+    )
 
 
 def h_maxima_per_qbin(
@@ -532,7 +540,15 @@ def h_maxima_per_qbin(
     from xrddatapipeline_spark.operators import kernels
 
     h, w = controls.size_y, controls.size_x
-    packed = h <= 8192 and w <= 8192
+    # packed feed requires an INTEGRAL intensity column — the int64 pack
+    # casts to long, silently truncating doubles, and the unpacked int
+    # would flip the float32 exactness gate relative to what the source
+    # column holds (round-12 review; same rule as the gradient feed)
+    packed = (
+        h <= 8192 and w <= 8192
+        and dict(px.dtypes).get("intensity") in
+        ("tinyint", "smallint", "int", "bigint")
+    )
     if packed:
         src = px.select(
             "image_id",
