@@ -175,13 +175,12 @@ def _keepup_2880(batch: int = 8) -> dict:
     h_maxima=False, default 3): round 9's driver run published
     h_on/h_off = 2.79 on identical binaries because the arms were ORDERED
     (all h-on batches first, all h-off last) — a session-long weather ramp
-    biases the median-of-arms ratio arbitrarily. The arms are now
+    biases the median-of-arms ratio arbitrarily. The arms are
     INTERLEAVED pairwise with alternating within-pair order
-    (on,off / off,on / on,off ...), so each h-on batch has a temporally
-    adjacent h-off partner and a monotone weather drift cancels in the
-    paired ratio; ``h_legacy_on_over_off`` is the median of per-pair
-    ratios (the ``h_legacy_`` prefix marks every whole-batch estimator —
-    see the split-arm paragraph below for why they were demoted).
+    (on,off / off,on / on,off ...); the hoff batches still run (they feed
+    hoff_sec_per_image and the weather_hoff index) but every whole-batch
+    h estimator derived from them was dropped from the published line in
+    round 13 — see the split-arm paragraph below.
 
     Split-arm h A/B (round 11 — the PRIMARY h metric, ``h_split_arm``):
     two rounds running, whole-batch arms published over-bar ratios (r9
@@ -207,12 +206,15 @@ def _keepup_2880(batch: int = 8) -> dict:
     (ratio_run detached >0.2 from its own cpu tier, or >1.4 outright),
     TWO more alternating batches are appended automatically so one
     excursion is averaged against more clean points without breaking the
-    even pairing. Each arm's ``barrier:px`` core-seconds are published as
-    the within-batch weather check (identical fixed work per half).
-    The legacy whole-batch estimators are still published for record
-    continuity under an explicit ``h_legacy_`` prefix (h_legacy_on_over_
-    off/_min, h_legacy_core, h_legacy_robust, h_legacy_core_robust) —
-    the split-arm record REFUTED them on this host; quote h_split_arm.
+    even pairing; if the count still ends up odd (a failed batch), the
+    line carries ``h_split_arm_odd_reps`` flagging the residual bias
+    (round-12 ADVICE). Each arm's ``barrier:px`` core-seconds are
+    published as the within-batch weather check (identical fixed work
+    per half). The legacy whole-batch estimators (``h_legacy_*``) were
+    dropped from the line in round 13 after the one-round overlap the
+    r12 verdict asked for — the split-arm record refuted them on this
+    host; their history lives in BENCH_r09-r12/STATUS. h_split_arm is
+    the only published h metric.
 
     Per-batch weather index (round 11): every whole-batch profile carries
     ``px_core_sec`` (the ``barrier:px`` stages' core-seconds — identical
@@ -344,11 +346,32 @@ def _keepup_2880(batch: int = 8) -> dict:
         except Exception:
             return None
 
-    def _prof_delta(before, exclude_sids: "frozenset[int]" = frozenset()):
+    def _prof_delta(
+        before,
+        jobs_before: "set[int] | None" = None,
+        exclude_groups: "tuple[str, ...]" = (),
+    ):
         if before is None:
             return None
         try:
             stages = _rest("stages?status=complete")
+            # tagged-job exclusion set read AFTER the stages read (round-12
+            # ADVICE): a pilot/kernel-warmup job submitted between an
+            # earlier jobs read and this stages read would have its
+            # completed stages mis-charged to the cold profile. Any tagged
+            # job whose stages appear in `stages` was submitted before the
+            # stages read, so it is guaranteed visible to a jobs read taken
+            # after it — the window is closed, not just narrowed.
+            exclude_sids: frozenset = frozenset()
+            if jobs_before is not None and exclude_groups:
+                sids: set = set()
+                for j in _rest("jobs"):
+                    if (
+                        j["jobId"] not in jobs_before
+                        and j.get("jobGroup") in exclude_groups
+                    ):
+                        sids.update(j.get("stageIds", []))
+                exclude_sids = frozenset(sids)
             execs = _rest("executors")
             new = [
                 s for s in stages
@@ -483,29 +506,15 @@ def _keepup_2880(batch: int = 8) -> dict:
             # the kernel-warmup overlapping the COLD batch in the default
             # prep mode) are excluded from this batch's profile so its
             # px_core_sec weather index and run/cpu sums stay about THIS
-            # batch's work
-            exclude_sids: frozenset = frozenset()
-            if jobs_before is not None:
-                try:
-                    sids: set = set()
-                    for j in _rest("jobs"):
-                        if (
-                            j["jobId"] not in jobs_before
-                            and j.get("jobGroup") in exclude_groups
-                        ):
-                            sids.update(j.get("stageIds", []))
-                    exclude_sids = frozenset(sids)
-                except Exception:
-                    pass
-            d = _prof_delta(snap, exclude_sids)
+            # batch's work; the jobs read happens INSIDE _prof_delta,
+            # adjacent to its stages read (round-12 ADVICE)
+            d = _prof_delta(snap, jobs_before, exclude_groups)
             if d is None:
                 # placeholder keeps list POSITIONS aligned with the wall
                 # lists (round-10 ADVICE): a silently skipped capture would
-                # shift every later profile, pairing warm[i] with a
-                # temporally distant hoff[i] in the positional ratios —
-                # the exact drift confound the pairing exists to cancel.
-                # _arm_core's `field in p` filter and _arm_core_pos's
-                # p.get() both treat it as a missing measurement in place.
+                # shift every later profile onto a temporally distant
+                # partner in the sidecar. _arm_core's `field in p` filter
+                # treats it as a missing measurement in place.
                 d = {}
             d["wall_sec"] = round(elapsed, 1)
             batch_profiles.setdefault(prof_key, []).append(d)
@@ -884,16 +893,7 @@ def _keepup_2880(batch: int = 8) -> dict:
     def _arm_core(key: str, field: str) -> list[float]:
         return [p[field] for p in batch_profiles.get(key, []) if field in p]
 
-    def _arm_core_pos(key: str, field: str) -> list[float | None]:
-        # POSITIONAL variant for pairing: a missing REST capture yields
-        # None in place, so zip() keeps warm[i] next to its temporally
-        # adjacent hoff[i] instead of silently shifting every later pair
-        # onto a cross-round partner (which would reintroduce exactly
-        # the drift confound the paired ratio exists to cancel)
-        return [p.get(field) for p in batch_profiles.get(key, [])]
-
     warm_run = _arm_core("warm", "run_sec")
-    hoff_run = _arm_core("hoff", "run_sec")
     if warm_run:
         out["core_sec_per_image"] = round(
             statistics.median(warm_run) / batch, 1
@@ -903,54 +903,12 @@ def _keepup_2880(batch: int = 8) -> dict:
             out["core_cpu_sec_per_image"] = round(
                 statistics.median(warm_cpu) / batch, 1
             )
-    # LEGACY whole-batch h estimators (round 12, verdict #5): the split-
-    # arm estimator REFUTED these on this host (whole-batch arms land in
-    # different weather; r9 published 2.79, the 6.17-weather session
-    # 1.905/2.648 where the split arms read 1.105-1.19 in the SAME
-    # session) — they are published under an ``h_legacy_`` prefix purely
-    # so the r9-r11 record stays interpretable; h_split_arm is the only
-    # un-prefixed h metric and the only one to quote.
-    if warm_run and hoff_run:
-        out["h_legacy_core"] = round(
-            statistics.median(warm_run) / statistics.median(hoff_run), 3
-        )
-
-    # Spike-robust paired ratios (round 10, two-session evidence in
-    # STATUS.md): a host-weather excursion hits ONE arm of ONE pair (a
-    # 257-s hoff beside a 77-s warm; a 3046-core-s warm beside a 1368),
-    # so with 3 pairs the plain per-pair median is poisoned whenever two
-    # different pairs each contain a spike. The work per batch is fixed,
-    # so a batch whose measure exceeds 1.5x its arm's minimum is weather,
-    # not plan: drop pairs containing one and take the median of the
-    # clean rest (falls back to None -> field omitted if nothing
-    # survives; the unfiltered medians above are always published).
-    def _robust_paired(
-        ws: list[float | None], hs: list[float | None]
-    ) -> float | None:
-        # pairs are positional (warm[i] ran adjacent to hoff[i]); None
-        # entries (failed REST capture) drop their pair, never shift it
-        pairs = [
-            (w, h) for w, h in zip(ws, hs) if w is not None and h is not None
-        ]
-        if not pairs:
-            return None
-        wmin = min(w for w, _ in pairs)
-        hmin = min(h for _, h in pairs)
-        clean = [
-            w / h
-            for w, h in pairs
-            if w <= 1.5 * wmin and h <= 1.5 * hmin
-        ]
-        return statistics.median(clean) if clean else None
-
-    h_rb = _robust_paired(warms, hoffs)
-    if h_rb is not None:
-        out["h_legacy_robust"] = round(h_rb, 3)
-    core_rb = _robust_paired(
-        _arm_core_pos("warm", "run_sec"), _arm_core_pos("hoff", "run_sec")
-    )
-    if core_rb is not None:
-        out["h_legacy_core_robust"] = round(core_rb, 3)
+    # The legacy whole-batch h estimators (h_legacy_core / h_legacy_robust
+    # / h_legacy_core_robust / h_legacy_on_over_off[_min]) were DROPPED
+    # from the published line in round 13 (round-12 verdict #5): the
+    # split-arm record refuted them on this host, r12 carried the
+    # one-round overlap, and the historical values live in BENCH_r09-r12
+    # and STATUS. h_split_arm is the only h metric published.
 
     # PRIMARY h metric (round 11): within-batch split-arm ratio — weather
     # cancels exactly (both arms share every wall-clock second), and the
@@ -960,6 +918,19 @@ def _keepup_2880(batch: int = 8) -> dict:
     if splits:
         ratios = [s["ratio_run"] for s in splits]
         out["h_split_arm"] = _geomean(ratios)
+        if len(ratios) % 2:
+            # a failed batch in the base run or the +2 extension leaves an
+            # odd ratio count even when SPLIT_REPS was even: the published
+            # geomean then carries the asymmetry^(1/n) residual — warn AND
+            # flag it next to the metric so readers of the line see it
+            # without the stderr (round-12 ADVICE)
+            print(
+                f"split-arm ratio count {len(ratios)} is odd (a batch "
+                "failed or the extension was cut short) — h_split_arm "
+                "carries the per-half work-asymmetry residual",
+                file=sys.stderr,
+            )
+            out["h_split_arm_odd_reps"] = len(ratios)
         cpur = [s["ratio_cpu"] for s in splits if s.get("ratio_cpu")]
         if cpur:
             out["h_split_arm_cpu"] = _geomean(cpur)
@@ -1021,13 +992,6 @@ def _keepup_2880(batch: int = 8) -> dict:
         out["hoff_batch_sec"] = round(hoff, 2)
         out["hoff_batches_sec"] = [round(v, 2) for v in hoffs]
         out["hoff_sec_per_image"] = round(hoff / batch, 2)
-        # paired ratio over INTERLEAVED arms (round 10; LEGACY since the
-        # round-11 split-arm refutation — see the h_legacy_core comment).
-        paired = [w / h for w, h in zip(warms, hoffs)]
-        out["h_legacy_on_over_off"] = round(statistics.median(paired), 3)
-        # min/min compares best-vs-best (JMH logic), robust to a single
-        # outlier batch in either arm.
-        out["h_legacy_on_over_off_min"] = round(min(warms) / min(hoffs), 3)
         out["sec_per_image_best"] = round(min(warms) / batch, 2)
     return out
 

@@ -29,12 +29,9 @@ def _fake_out(n_queries=23, with_keepup=True):
             "profiles_path": "/root/repo/BENCH_PROFILES.json",
             "hoff_batch_sec": 86.97,
             "hoff_batches_sec": [86.9, 198.3, 64.3],
-            "hoff_sec_per_image": 10.87, "h_legacy_on_over_off": 1.277,
-            "h_legacy_on_over_off_min": 1.226, "sec_per_image_best": 9.85,
+            "hoff_sec_per_image": 10.87, "sec_per_image_best": 9.85,
             "arm_order": "100110",
             "core_sec_per_image": 208.3, "core_cpu_sec_per_image": 102.4,
-            "h_legacy_core": 1.191,
-            "h_legacy_robust": 1.194, "h_legacy_core_robust": 1.14,
             "h_split_arm": 1.187, "h_split_arm_cpu": 1.153,
             "h_split_arm_batches": [1.213, 1.162],
             "weather_warm": [1.0, 2.31, 1.12],
@@ -58,6 +55,13 @@ def test_realistic_line_fits_budget_shedding_only_sidecar_lists():
         assert key in k, key
     for key in ("h_split_arm", "h_split_arm_cpu"):
         assert key in k, key
+    # round 13 (r12 verdict #5): the legacy whole-batch h estimators are
+    # gone from the published line — h_split_arm is the only h metric,
+    # and bench.py must not re-grow a publisher for them
+    assert not any(key.startswith("h_legacy") for key in k)
+    import inspect
+
+    assert '"h_legacy' not in inspect.getsource(bench)
 
 
 def test_oversized_line_sheds_diagnostics_not_metrics():
@@ -69,10 +73,8 @@ def test_oversized_line_sheds_diagnostics_not_metrics():
     d = json.loads(line)
     k = d["xrd_image_plan_2880"]
     # the metrics the round is graded on are never shed
-    for key in ("sec_per_image", "batch_sec", "h_legacy_on_over_off",
-                "h_legacy_on_over_off_min", "sec_per_image_best",
-                "core_sec_per_image", "h_legacy_core",
-                "h_legacy_robust", "h_legacy_core_robust",
+    for key in ("sec_per_image", "batch_sec", "sec_per_image_best",
+                "core_sec_per_image",
                 "h_split_arm", "h_split_arm_cpu"):
         assert key in k, key
     assert d["value"] == 25.95 and len(d["queries"]) == 23

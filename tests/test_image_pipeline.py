@@ -549,3 +549,157 @@ def test_warmup_missing_component_tracking():
     # hmax-only after bands-only warms just the missing component
     submitted2 = {(base2, "bands")}
     assert _warmup_missing(base2, True, True, submitted2) == {"hmax"}
+
+
+def _gap_scan_numpy(values, wrap_threshold=359.0, min_gap=10.0):
+    """Independent transcription of the reference's wraparound recompute
+    (classification.py:659-666): triggered by raw extent > threshold,
+    extent = 360 - first consecutive sorted gap > min_gap."""
+    v = np.sort(np.asarray(values, dtype=float))
+    raw = float(v[-1] - v[0])
+    if raw <= wrap_threshold:
+        return raw, raw
+    diffs = v[1:] - v[:-1]
+    idx = np.argwhere(diffs > min_gap)
+    if len(idx) == 0:  # reference would raise; operator keeps raw
+        return raw, raw
+    return raw, float(360.0 - diffs[idx[0][0]])
+
+
+def test_wrapped_extent_gap_scan_matches_reference_transcription(spark):
+    """W5 operator vs an independent numpy transcription, covering: a
+    wrapped label with one gap, a wrapped label with MULTIPLE >10-degree
+    gaps (first-gap semantics — max-gap or last-gap would differ), an
+    unwrapped label (raw extent passthrough), and duplicate azimuths
+    (zero gaps must not qualify)."""
+    from xrddatapipeline_spark.plans.image_pipeline import (
+        wrapped_extent_gap_scan,
+    )
+
+    labels = {
+        # wrap, single big gap: runs near 0 and near 360
+        0: [i / 16.0 for i in range(0, 96)]
+        + [i / 16.0 for i in range(5664, 5760)],
+        # wrap, two gaps > 10 deg: first (at ~4 deg) must win
+        1: [i / 16.0 for i in range(0, 64)]
+        + [i / 16.0 for i in range(2000, 2064)]
+        + [i / 16.0 for i in range(5696, 5760)],
+        # no wrap: raw extent passes through
+        2: [i / 16.0 for i in range(1600, 1800)],
+        # duplicates: repeated azimuths produce 0-gaps, never qualify
+        3: [0.0, 0.0, 0.0625, 359.9375, 359.9375],
+    }
+    rows = [
+        ("img", lab, az) for lab, vals in labels.items() for az in vals
+    ]
+    lpx = spark.createDataFrame(rows, "image_id string, label int, azim double")
+    got = {
+        r["label"]: (r["extent_raw"], r["extent"])
+        for r in wrapped_extent_gap_scan(lpx).collect()
+    }
+    for lab, vals in labels.items():
+        want = _gap_scan_numpy(vals)
+        assert got[lab] == pytest.approx(want, abs=0.0), (lab, got[lab], want)
+    # pin the first-gap disagreement case numerically: label 1's first
+    # sorted gap is (2000-63)/16 deg -> extent 360 - 121.0625
+    assert got[1][1] == pytest.approx(360.0 - (2000 - 63) / 16.0, abs=0.0)
+    assert got[1][1] != pytest.approx(360.0 - (5696 - 2063) / 16.0, abs=1e-9)
+
+
+def test_wrapped_extent_gap_scan_no_qualifying_gap_keeps_raw(spark):
+    """A label above the wrap threshold but with every gap <= min_gap
+    keeps its raw extent (the reference would raise on argwhere[0] of an
+    empty array; the operator is total — see the docstring)."""
+    from xrddatapipeline_spark.plans.image_pipeline import (
+        wrapped_extent_gap_scan,
+    )
+
+    # 0, 9, 18, ..., 359.955: raw extent > 359 but all gaps are 9 deg
+    vals = [i * 9.0 / 16.0 for i in range(0, 640)]
+    lpx = spark.createDataFrame(
+        [("img", 0, v) for v in vals],
+        "image_id string, label int, azim double",
+    )
+    row = wrapped_extent_gap_scan(lpx).collect()[0]
+    assert row["extent_raw"] > 359.0
+    assert row["extent"] == row["extent_raw"]
+
+
+def test_classifier_mask_flags_matches_inline_branch(spark):
+    """classifier_mask_flags (extracted round 13 so the image_plan_spine
+    anchor drives run_image_plan's own non-gradient branch) produces one
+    flag row per labeled pixel with spot/arc membership following the
+    label verdict."""
+    from xrddatapipeline_spark.plans.image_pipeline import (
+        classifier_mask_flags,
+    )
+
+    lpx = spark.createDataFrame(
+        [("i", 1, 0, 0), ("i", 1, 0, 1), ("i", 2, 5, 5)],
+        "image_id string, label int, y int, x int",
+    )
+    ltab = spark.createDataFrame(
+        [("i", 1, 2), ("i", 2, 1)], "image_id string, label int, classifier int"
+    )
+    rows = {
+        (r["y"], r["x"]): (r["is_om"], r["is_spot_px"], r["is_arc_px"])
+        for r in classifier_mask_flags(lpx, ltab).collect()
+    }
+    assert rows == {
+        (0, 0): (True, False, True),
+        (0, 1): (True, False, True),
+        (5, 5): (True, True, False),
+    }
+
+
+def test_h_maxima_bigint_routes_unpacked_and_exact(spark):
+    """Round-12 ADVICE: the packed int64 feed stores intensity + 2^31 in
+    a 32-bit low field, so a bigint >= 2^31 would carry into the yx bits
+    and one < -2^31 would be dropped as the sentinel. bigint now routes
+    UNPACKED. Pin both halves: (a) identical values as int (packed) and
+    bigint (unpacked) count identically — the pack is lossless where
+    both routes are legal; (b) a value >= 2^31 survives the bigint route
+    exactly (compared against the same values as double, the layout that
+    always was unpacked; both take the float64 kernel since the value is
+    far above the 2^24 float32 gate)."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+    from xrddatapipeline_spark.plans.image_pipeline import h_maxima_per_qbin
+
+    c = dataclasses.replace(CONTROLS, size_x=32, size_y=32)
+    blob = [
+        ("i", 5, 5, 100), ("i", 5, 6, 50), ("i", 6, 5, 50),
+        ("i", 12, 20, 80), ("i", 12, 21, 40), ("i", 25, 9, 60),
+    ]
+    spot = spark.createDataFrame(
+        [("i", 5, 5)], "image_id string, y int, x int"
+    )
+
+    def px(rows, itype):
+        df = spark.createDataFrame(
+            [(i, y, x, v, y % 4) for (i, y, x, v) in rows],
+            "image_id string, y int, x int, intensity long, qbin int",
+        )
+        return df.withColumn("intensity", F.col("intensity").cast(itype))
+
+    def counts(df):
+        return (
+            h_maxima_per_qbin(df, spot, c)
+            .toPandas()
+            .sort_values("qbin")
+            .reset_index(drop=True)
+        )
+
+    # (a) packed int vs unpacked bigint: identical values, identical counts
+    a_int, a_big = counts(px(blob, "int")), counts(px(blob, "bigint"))
+    assert a_int.equals(a_big), (a_int, a_big)
+    # (b) a >= 2^31 value through the bigint route matches the double route
+    huge = blob + [("i", 20, 20, 2**31 + 7)]
+    b_big, b_dbl = counts(px(huge, "bigint")), counts(px(huge, "double"))
+    assert list(b_big["n_maxima"]) == list(b_dbl["n_maxima"])
+    assert list(b_big["n_spot_maxima"]) == list(b_dbl["n_spot_maxima"])
+    # the huge pixel dominates the h threshold (h = 0.05 * p99.9) and is
+    # the surviving maximum; the old packed layout corrupted its
+    # coordinates and intensity (2^31 + 7 wraps the 32-bit low field)
+    assert b_big["n_maxima"].sum() >= 1

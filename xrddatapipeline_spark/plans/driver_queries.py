@@ -344,21 +344,71 @@ def a17_spot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "a6_area_filter",
     """
-    SELECT l_partkey AS label, count(*) AS area
-    FROM lineitem
-    GROUP BY l_partkey
-    HAVING count(*) > 25
+    WITH numbered AS (
+        SELECT CAST(l_orderkey % 32 AS INT) AS label,
+               row_number() OVER (
+                   PARTITION BY l_orderkey % 32
+                   ORDER BY l_orderkey, l_linenumber
+               ) AS rn
+        FROM lineitem
+    ),
+    lpx AS (
+        SELECT 'img-' || CAST(label % 3 AS VARCHAR) AS image_id, label
+        FROM numbered WHERE rn <= 85 + label
+    )
+    SELECT image_id, label, count(*) AS area
+    FROM lpx GROUP BY image_id, label
+    HAVING count(*) > 100
     """,
-    doc="value_counts + min-area filter (classification.py:401-402; A6/M5).",
+    doc="Drives plans/image_pipeline.py::label_table_from + the "
+        "production MIN_ARC_AREA=100 filter — the A6/M5 min-area drop "
+        "(classification.py:760-765: props_table rows with area < "
+        "min_arc_area are dropped before classification; strict '>' in "
+        "the classifier gate). The fixture manufactures EXACT group "
+        "sizes with a per-bucket row_number: 32 labels with areas "
+        "85+label = 85..116, so the boundary label (area exactly 100) "
+        "is pinned on the dropped side of the strict comparison — a "
+        ">= drift breaks the hash, as does a threshold-constant drift "
+        "(the oracle hard-codes 100). ROUND 13: converted IN PLACE "
+        "from a vanilla groupBy-HAVING re-spelling (the a9/a17 "
+        "pattern); the r11 row covered the old body. Scale: the "
+        "row_number is per-bucket (32-way partitioned window, fixture "
+        "construction only); label_table_from itself is one keyed "
+        "exchange.",
     tags=("agg", "xrd"),
 )
 def a6_area_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy(F.col("l_partkey").alias("label"))
-        .agg(F.count("*").alias("area"))
-        .where(F.col("area") > 25)
+    from xrddatapipeline_spark.plans.image_pipeline import (
+        MIN_ARC_AREA, label_table_from,
     )
+
+    li = _t(spark, sf_dir, "lineitem")
+    numbered = li.select(
+        (F.col("l_orderkey") % 32).cast("int").alias("label"),
+        F.row_number()
+        .over(
+            Window.partitionBy(F.col("l_orderkey") % 32).orderBy(
+                "l_orderkey", "l_linenumber"
+            )
+        )
+        .alias("rn"),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 5760).alias(
+            "t16"
+        ),
+        (F.lit(2.0) + (F.col("l_suppkey") % 32) / F.lit(64.0)).alias("q"),
+    )
+    lpx = numbered.where(F.col("rn") <= 85 + F.col("label")).select(
+        F.concat(F.lit("img-"), (F.col("label") % 3).cast("string")).alias(
+            "image_id"
+        ),
+        "label",
+        (F.col("t16") / 16.0).alias("azim"),
+        (((F.col("t16") + 2880) % 5760) / 16.0).alias("azim_flip"),
+        "q",
+    )
+    return label_table_from(lpx).where(
+        F.col("area") > MIN_ARC_AREA
+    ).select("image_id", "label", "area")
 
 
 # ---------------------------------------------------------------------------
@@ -368,39 +418,77 @@ def a6_area_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "a7_azim_extent_wrap",
     """
-    WITH az AS (
-        -- pmod written sign-aware so the float result is bit-identical to
-        -- Spark's pmod (a double ((x%360)+360)%360 drifts by an ulp)
-        SELECT user_id,
-               CASE WHEN value % 360 < 0 THEN value % 360 + 360
-                    ELSE value % 360 END AS az,
-               CASE WHEN (value + 180) % 360 < 0 THEN (value + 180) % 360 + 360
-                    ELSE (value + 180) % 360 END AS az_flip
+    WITH base AS (
+        SELECT 'img-' || CAST(user_id % 2 AS VARCHAR) AS image_id,
+               CAST(event_id % 12 AS INT) AS label,
+               (event_id * 13 + user_id * 7) % 192 AS u,
+               (event_id * 11) % 512 AS v
         FROM events
+    ),
+    lpx AS (
+        SELECT image_id, label,
+               CASE WHEN label % 3 = 0 THEN
+                        CASE WHEN u < 96 THEN u ELSE 5664 + (u - 96) END
+                    WHEN label % 3 = 1 THEN 2720 + v
+                    ELSE 160 + v
+               END / 16.0 AS azim
+        FROM base
+    ),
+    flipped AS (
+        SELECT image_id, label, azim,
+               (azim + 180.0) % 360.0 AS azim_flip
+        FROM lpx
     )
-    SELECT user_id,
-           max(az) - min(az) AS extent_raw,
-           max(az_flip) - min(az_flip) AS extent_flip,
-           least(max(az) - min(az), max(az_flip) - min(az_flip)) AS extent
-    FROM az GROUP BY user_id
+    SELECT image_id, label, count(*) AS area,
+           least(max(azim) - min(azim),
+                 max(azim_flip) - min(azim_flip)) AS diff_azim
+    FROM flipped GROUP BY image_id, label
     """,
-    doc="Wraparound-tolerant azimuth extent: min(plain extent, flipped-axis "
-    "extent) (classification.py:403-412; SURVEY §2.6 A7).",
+    doc="Drives plans/image_pipeline.py::label_table_from's circular "
+        "azimuth extent — the flipped-axis least() the hot plan executes "
+        "for wrapped arcs (classification.py:403-412; SURVEY §2.6 A7) — "
+        "with the azim_flip column built by the SAME F.pmod(azim+180, "
+        "360) expression labeled_pixels_frame uses. Three label "
+        "populations pin all three outcomes: labels%3==0 straddle zero "
+        "(raw extent ~359.9, flip reads the true ~12-degree hull -> "
+        "flip wins), %3==1 straddle 180 (the FLIP wraps, raw wins "
+        "strictly), %3==2 sit mid-range (neither wraps, extents tie). "
+        "Azimuths live on an exact 1/16-degree grid so the pmod/fmod "
+        "results are bit-identical across engines (the round-5 a7 ulp "
+        "lesson: arbitrary doubles through two modulo spellings drift). "
+        "ROUND 13: converted IN PLACE from a re-spelled least() formula "
+        "over raw event values (the a9/a17 pattern); the r11 row covered "
+        "the old body. Scale: one keyed exchange, min/max only.",
     tags=("agg", "xrd"),
 )
 def a7_azim_extent_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.plans.image_pipeline import label_table_from
+
     ev = _t(spark, sf_dir, "events")
-    az = ev.select(
-        "user_id",
-        F.pmod(F.col("value"), F.lit(360.0)).alias("az"),
-        F.pmod(F.col("value") + 180.0, F.lit(360.0)).alias("az_flip"),
+    u = (F.col("event_id") * 13 + F.col("user_id") * 7) % 192
+    v = (F.col("event_id") * 11) % 512
+    label = (F.col("event_id") % 12).cast("int")
+    t16 = (
+        F.when(
+            label % 3 == 0,
+            F.when(u < 96, u).otherwise(5664 + (u - 96)),
+        )
+        .when(label % 3 == 1, 2720 + v)
+        .otherwise(160 + v)
     )
-    ext = F.max("az") - F.min("az")
-    extf = F.max("az_flip") - F.min("az_flip")
-    return az.groupBy("user_id").agg(
-        ext.alias("extent_raw"),
-        extf.alias("extent_flip"),
-        F.least(ext, extf).alias("extent"),
+    lpx = ev.select(
+        F.concat(
+            F.lit("img-"), (F.col("user_id") % 2).cast("string")
+        ).alias("image_id"),
+        label.alias("label"),
+        (t16 / 16.0).alias("azim"),
+        (F.lit(2.0) + (F.col("event_id") % 16) / F.lit(64.0)).alias("q"),
+    ).withColumn(
+        # the exact expression labeled_pixels_frame adds (A7 flip axis)
+        "azim_flip", F.pmod(F.col("azim") + 180.0, F.lit(360.0))
+    )
+    return label_table_from(lpx).select(
+        "image_id", "label", "area", "diff_azim"
     )
 
 
@@ -411,27 +499,75 @@ def a7_azim_extent_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "a8_percentile_spread",
     """
-    SELECT l_returnflag,
-           percentile_cont(0.1) WITHIN GROUP (ORDER BY l_quantity) AS p10,
-           percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
-           percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90,
-           percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity)
-             - percentile_cont(0.1) WITHIN GROUP (ORDER BY l_quantity) AS spread
-    FROM lineitem
-    GROUP BY l_returnflag
+    WITH lpx AS (
+        SELECT 'img-' || CAST(l_orderkey % 3 AS VARCHAR) AS image_id,
+               CAST(l_partkey % 10 AS INT) AS label,
+               CASE WHEN l_partkey % 2 = 0
+                    THEN 2.0 + (l_suppkey % 8) / 512.0
+                    ELSE 1.0 + l_quantity / 32.0 + (l_suppkey % 64) / 128.0
+               END AS q,
+               ((l_partkey * 7 + l_suppkey * 3) % 5760) / 16.0 AS azim,
+               (((l_partkey * 7 + l_suppkey * 3) % 5760 + 2880) % 5760)
+                   / 16.0 AS azim_flip
+        FROM lineitem WHERE l_orderkey % 7 < 5
+    ),
+    ext AS (
+        SELECT image_id, label, count(*) AS area,
+               least(max(azim) - min(azim),
+                     max(azim_flip) - min(azim_flip)) AS diff_azim,
+               quantile_cont(q, 0.9) - quantile_cont(q, 0.1) AS diff_q
+        FROM lpx GROUP BY image_id, label
+    )
+    SELECT image_id, label, area, diff_q,
+           CASE WHEN area > 100 AND diff_q < 0.1 AND diff_azim > 3.5
+                     AND diff_azim / diff_q > 100.0
+                THEN 2 ELSE 1 END AS classifier
+    FROM ext
     """,
-    doc="Q-extent p90-p10 with exact linear-interpolation percentiles "
-    "(classification.py:415-418; SURVEY §2.6 A8, parity note §7).",
+    doc="Drives plans/image_pipeline.py::label_table_from's Q extent — "
+        "exact linear-interpolation p90-p10 (classification.py:415-418, "
+        "668-672; SURVEY §2.6 A8) — at LARGE ragged group sizes: 30 "
+        "(image, label) groups of ~2000 rows each (a 5/7 orderkey "
+        "filter keeps the counts off round numbers, so both percentile "
+        "positions interpolate between ranks), vs a9's 8 small labels. "
+        "EVEN labels carry a tight exact-binary q spread (7/512 << "
+        "Q_MAX -> classifier 2 with the full-circle azimuth extent), "
+        "ODD labels a wide l_quantity-driven one (~1.9 >> Q_MAX -> "
+        "classifier 1), so the Q_MAX branch is decided by diff_q alone. "
+        "The oracle hard-codes the production thresholds; Spark "
+        "percentile() vs DuckDB quantile_cont() bit-parity on exact-"
+        "binary inputs is the long-established a8/a9 result. ROUND 13: "
+        "converted IN PLACE from a re-spelled percentile formula over "
+        "l_quantity (the a9/a17 pattern); the r11 row covered the old "
+        "body. Scale: one keyed exchange, exact order statistics per "
+        "label-bounded group.",
     tags=("agg", "xrd"),
 )
 def a8_percentile_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.plans.image_pipeline import label_table_from
+
     li = _t(spark, sf_dir, "lineitem")
-    p = lambda q: F.expr(f"percentile(l_quantity, {q})")  # noqa: E731
-    return li.groupBy("l_returnflag").agg(
-        p(0.1).alias("p10"),
-        p(0.5).alias("p50"),
-        p(0.9).alias("p90"),
-        (p(0.9) - p(0.1)).alias("spread"),
+    t16 = (F.col("l_partkey") * 7 + F.col("l_suppkey") * 3) % 5760
+    lpx = li.where(F.col("l_orderkey") % 7 < 5).select(
+        F.concat(
+            F.lit("img-"), (F.col("l_orderkey") % 3).cast("string")
+        ).alias("image_id"),
+        (F.col("l_partkey") % 10).cast("int").alias("label"),
+        F.when(
+            F.col("l_partkey") % 2 == 0,
+            F.lit(2.0) + (F.col("l_suppkey") % 8) / F.lit(512.0),
+        )
+        .otherwise(
+            F.lit(1.0)
+            + F.col("l_quantity") / F.lit(32.0)
+            + (F.col("l_suppkey") % 64) / F.lit(128.0)
+        )
+        .alias("q"),
+        (t16 / 16.0).alias("azim"),
+        (((t16 + 2880) % 5760) / 16.0).alias("azim_flip"),
+    )
+    return label_table_from(lpx).select(
+        "image_id", "label", "area", "diff_q", "classifier"
     )
 
 
@@ -677,35 +813,15 @@ def w1_lag_first_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# W3 — stride downsampling
+# W3 — contour stride view (drives the real readback operator).
+# w3_stride_downsample RETIRED round 13: its surface (row_number stride
+# filter per series) is a strict subset of w3_contour_stride_view below,
+# which drives readback.contour_matrix itself — kind filter, seq range,
+# stride auto-doubling 1->16, array content + order — and holds a green
+# r12 driver row. Same retirement pattern as a5/dedup_store_probe/
+# customers_without_orders (rotation-history note below); the freed slot
+# funds the round-13 composed spine anchor image_plan_spine.
 # ---------------------------------------------------------------------------
-
-@_register(
-    "w3_stride_downsample",
-    """
-    SELECT event_type, rn, event_id
-    FROM (
-        SELECT event_type, event_id,
-               row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
-        FROM events
-    )
-    WHERE rn % 10 = 1
-    """,
-    doc="Contour stride downsampling: every k-th row per series "
-    "(mainUI/contour.py:208-251; SURVEY §2.7 W3).",
-    tags=("window", "xrd"),
-)
-def w3_stride_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    return (
-        ev.select(
-            "event_type", "event_id", F.row_number().over(w).alias("rn")
-        )
-        .where(F.col("rn") % 10 == 1)
-        .select("event_type", "rn", "event_id")
-    )
-
 
 @_register(
     "w3_contour_stride_view",
@@ -797,43 +913,95 @@ def w3_contour_stride_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "w5_circular_gap_scan",
     """
-    WITH az AS (
-        SELECT user_id,
-               CASE WHEN value % 360 < 0 THEN value % 360 + 360
-                    ELSE value % 360 END AS az
+    WITH base AS (
+        SELECT 'w-' || CAST(user_id % 2 AS VARCHAR) AS image_id,
+               CAST(event_id % 9 AS INT) AS label,
+               (event_id * 13 + user_id * 7) % 192 AS u,
+               (event_id * 11) % 512 AS v
         FROM events
     ),
+    lpx AS (
+        SELECT image_id, label,
+               CASE WHEN label % 3 = 0 THEN
+                        CASE WHEN u < 96 THEN u ELSE 5664 + (u - 96) END
+                    WHEN label % 3 = 1 THEN
+                        CASE WHEN u < 64 THEN u
+                             WHEN u < 128 THEN 2000 + (u - 64)
+                             ELSE 5696 + (u - 128) END
+                    ELSE 1600 + v
+               END / 16.0 AS azim
+        FROM base
+    ),
     gaps AS (
-        SELECT user_id, az,
-               az - lag(az) OVER (PARTITION BY user_id ORDER BY az) AS gap
-        FROM az
+        SELECT image_id, label, azim,
+               azim - lag(azim) OVER (
+                   PARTITION BY image_id, label ORDER BY azim
+               ) AS gap
+        FROM lpx
+    ),
+    agg AS (
+        SELECT image_id, label,
+               max(azim) - min(azim) AS extent_raw,
+               arg_min(gap, azim) FILTER (WHERE gap > 10.0) AS first_gap
+        FROM gaps GROUP BY image_id, label
     )
-    SELECT user_id,
-           greatest(coalesce(max(gap), 0.0), 360.0 - max(az) + min(az)) AS max_gap,
-           360.0 - greatest(coalesce(max(gap), 0.0), 360.0 - max(az) + min(az)) AS extent
-    FROM gaps
-    GROUP BY user_id
+    SELECT image_id, label, extent_raw,
+           CASE WHEN extent_raw > 359.0 AND first_gap IS NOT NULL
+                THEN 360.0 - first_gap ELSE extent_raw END AS extent
+    FROM agg
     """,
-    doc="Wrapped-label extent: sort azimuths, largest consecutive gap "
-    "(including the wrap gap), extent = 360 - gap "
-    "(classification.py:659-666; SURVEY §2.7 W5).",
+    doc="Drives plans/image_pipeline.py::wrapped_extent_gap_scan — the "
+        "reference's EXACT wraparound recompute (classification.py:659-"
+        "666, 766-775; SURVEY §2.7 W5): labels whose raw extent exceeds "
+        "359 sort their azimuths and report 360 minus the FIRST "
+        "consecutive gap > 10 (np.argwhere(diffs>10)[0]). Three label "
+        "populations: %3==0 wrap with ONE big gap (the common arc-"
+        "across-zero), %3==1 wrap with TWO >10-degree gaps — the case "
+        "where first-gap and the hot plan's flipped-axis least() "
+        "DISAGREE, pinning argwhere[0] semantics (a max-gap or last-gap "
+        "drift breaks the hash) — and %3==2 mid-range (below the >359 "
+        "trigger, raw extent passes through). Azimuths on the exact "
+        "1/16-degree grid (the a7 ulp lesson). ROUND 13: converted IN "
+        "PLACE from a re-spelled max-gap formula that was NOT the "
+        "reference's semantics (it took the largest gap including the "
+        "wrap gap; the reference takes the first >10 gap only for "
+        "wrapped labels) — adjudication per the r12 verdict Next #6: "
+        "repointed at the plan's own operator rather than retired, "
+        "since the gap-scan is reference semantics the flip heuristic "
+        "does not reproduce. Scale: one keyed window sort + one keyed "
+        "agg, same exchange count as label_table_from.",
     tags=("window", "xrd"),
 )
 def w5_circular_gap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.plans.image_pipeline import (
+        wrapped_extent_gap_scan,
+    )
+
     ev = _t(spark, sf_dir, "events")
-    az = ev.select(
-        "user_id", F.pmod(F.col("value"), F.lit(360.0)).alias("az")
+    u = (F.col("event_id") * 13 + F.col("user_id") * 7) % 192
+    v = (F.col("event_id") * 11) % 512
+    label = (F.col("event_id") % 9).cast("int")
+    t16 = (
+        F.when(
+            label % 3 == 0,
+            F.when(u < 96, u).otherwise(5664 + (u - 96)),
+        )
+        .when(
+            label % 3 == 1,
+            F.when(u < 64, u)
+            .when(u < 128, 2000 + (u - 64))
+            .otherwise(5696 + (u - 128)),
+        )
+        .otherwise(1600 + v)
     )
-    w = Window.partitionBy("user_id").orderBy("az")
-    gaps = az.withColumn("gap", F.col("az") - F.lag("az").over(w))
-    max_gap = F.greatest(
-        F.coalesce(F.max("gap"), F.lit(0.0)),
-        F.lit(360.0) - F.max("az") + F.min("az"),
+    lpx = ev.select(
+        F.concat(F.lit("w-"), (F.col("user_id") % 2).cast("string")).alias(
+            "image_id"
+        ),
+        label.alias("label"),
+        (t16 / 16.0).alias("azim"),
     )
-    return gaps.groupBy("user_id").agg(
-        max_gap.alias("max_gap"),
-        (F.lit(360.0) - max_gap).alias("extent"),
-    )
+    return wrapped_extent_gap_scan(lpx)
 
 
 # ---------------------------------------------------------------------------
@@ -1548,6 +1716,184 @@ def m1_label_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "image_plan_spine",
+    """
+    WITH RECURSIVE nums AS (
+        SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS k FROM orders
+    ),
+    grid AS (
+        SELECT 'sp' AS image_id,
+               k < 329 AS planted,
+               CAST(CASE WHEN k < 160 THEN 40
+                         WHEN k < 304 THEN 60 + (k - 160) // 12
+                         WHEN k < 329 THEN 20 + (k - 304) // 5
+                         ELSE 80 + (k - 329) // 256 END AS INT) AS y,
+               CAST(CASE WHEN k < 160 THEN 8 + k
+                         WHEN k < 304 THEN 200 + (k - 160) % 12
+                         WHEN k < 329 THEN 230 + (k - 304) % 5
+                         ELSE (k - 329) % 256 END AS INT) AS x
+        FROM nums WHERE k < 10569
+    ),
+    px AS (
+        SELECT image_id, planted, y, x,
+               2.0 + y / 1024.0 + (x % 4) / 512.0 AS q,
+               x / 16.0 AS azim,
+               (x / 16.0 + 180.0) % 360.0 AS azim_flip,
+               CAST(CASE WHEN planted THEN 100 + (y*7 + x*13) % 50
+                         ELSE 1 + (y*3 + x) % 20 END AS DOUBLE) AS intensity,
+               y = 80 AS base_mask,
+               CAST(CASE WHEN y = 119 THEN 0
+                         ELSE 1 + x % 40 END AS INT) AS tth_idx
+        FROM grid
+    ),
+    nodes AS (SELECT y * 256 + x AS id, y, x FROM px WHERE planted),
+    edges AS (
+        SELECT a.id AS src, b.id AS dst
+        FROM nodes a JOIN nodes b
+          ON abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1 AND a.id <> b.id
+    ),
+    walk(id, reach) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    comp AS (SELECT id, min(reach) AS label FROM walk GROUP BY id),
+    lpx AS (
+        SELECT p.image_id, c.label, p.y, p.x, p.q, p.azim, p.azim_flip
+        FROM px p JOIN comp c ON p.y * 256 + p.x = c.id
+        WHERE p.planted
+    ),
+    ltab AS (
+        SELECT image_id, label, count(*) AS area,
+               least(max(azim) - min(azim),
+                     max(azim_flip) - min(azim_flip)) AS diff_azim,
+               quantile_cont(q, 0.9) - quantile_cont(q, 0.1) AS diff_q
+        FROM lpx GROUP BY image_id, label
+    ),
+    verdicts AS (
+        SELECT image_id, label,
+               CASE WHEN area > 100 AND diff_q < 0.1 AND diff_azim > 3.5
+                         AND diff_azim / diff_q > 100.0
+                    THEN 2 ELSE 1 END AS classifier
+        FROM ltab
+    ),
+    flags AS (
+        SELECT l.image_id, l.y, l.x,
+               TRUE AS is_om,
+               v.classifier = 1 AS is_spot_px,
+               v.classifier = 2 AS is_arc_px
+        FROM lpx l JOIN verdicts v USING (image_id, label)
+    ),
+    flagged AS (
+        SELECT p.image_id, p.tth_idx, p.base_mask,
+               coalesce(f.is_om, FALSE) AS is_om,
+               coalesce(f.is_spot_px, FALSE) AS is_spot_px,
+               coalesce(f.is_arc_px, FALSE) AS is_arc_px,
+               p.intensity / 1.0 * power(1.0, 1.5) AS v
+        FROM px p LEFT JOIN flags f
+          ON p.image_id = f.image_id AND p.y = f.y AND p.x = f.x
+        WHERE p.tth_idx > 0
+    ),
+    kinds AS (
+        SELECT image_id, 'base' AS kind, tth_idx,
+               sum(CASE WHEN NOT base_mask THEN v END) AS sum_val,
+               count(CASE WHEN NOT base_mask THEN 1 END) AS n_px
+        FROM flagged GROUP BY image_id, tth_idx
+        UNION ALL
+        SELECT image_id, 'om', tth_idx,
+               sum(CASE WHEN NOT (base_mask OR is_om) THEN v END),
+               count(CASE WHEN NOT (base_mask OR is_om) THEN 1 END)
+        FROM flagged GROUP BY image_id, tth_idx
+        UNION ALL
+        SELECT image_id, 'spotsmasked', tth_idx,
+               sum(CASE WHEN NOT (base_mask OR is_spot_px) THEN v END),
+               count(CASE WHEN NOT (base_mask OR is_spot_px) THEN 1 END)
+        FROM flagged GROUP BY image_id, tth_idx
+        UNION ALL
+        SELECT image_id, 'arcsmasked', tth_idx,
+               sum(CASE WHEN NOT (base_mask OR is_arc_px) THEN v END),
+               count(CASE WHEN NOT (base_mask OR is_arc_px) THEN 1 END)
+        FROM flagged GROUP BY image_id, tth_idx
+    )
+    SELECT image_id, kind, tth_idx,
+           1.0 + (CAST(tth_idx AS DOUBLE) - 0.5) * 0.2 AS tth,
+           coalesce(sum_val, 0.0) / greatest(n_px, 1) AS intensity
+    FROM kinds
+    """,
+    doc="END-TO-END §2.9 spine, oracle-checked as ONE query (round-12 "
+        "verdict stretch #7): a deterministic 128x256 raster with three "
+        "planted components — a 160-px arc (area>100, tight q, 9.94-deg "
+        "azim extent -> classifier 2), a 144-px compact blob (fails "
+        "AZIM_MIN -> 1) and a 25-px speck (fails MIN_ARC_AREA -> 1) — "
+        "plus ~10k background pixels, a one-row base_mask band (y=80) "
+        "and a bin-0-routed row (y=119), driven through the plan's OWN "
+        "operators: labeled_pixels_frame (M1 applyInPandas CC kernel + "
+        "dense-probe join + the pmod azim_flip), label_table_from "
+        "(A5-A9 classify, production thresholds), classifier_mask_flags "
+        "(the exact non-gradient mask_flags branch of run_image_plan) "
+        "and integrate_all (A1 x4 conditional-sum kinds, bin-0 drop, "
+        "count clamp, tth_bin_center). The DuckDB oracle recomputes the "
+        "whole chain independently: recursive-CTE transitive closure "
+        "labels the planted mask (the m1 pattern — label values cancel "
+        "because the output is label-free), re-derives the classifier "
+        "with hard-coded thresholds and re-integrates all four kinds "
+        "(classification.py:373-444 -> pipeline.py:375-414). All fixture "
+        "values are exact-binary (1/16-degree azimuths, 1/1024 q steps, "
+        "integer intensities, pol=dist_sq=1) so every aggregate is "
+        "bit-determined. The global row_number is fixture construction "
+        "only (<=11k rows); the spine itself is the production dataflow "
+        "— kernel, one keyed classify exchange, one integrate exchange.",
+    tags=("kernel", "xrd", "agg", "spine"),
+)
+def image_plan_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.calib.geometry import ImageControls
+    from xrddatapipeline_spark.plans.image_pipeline import (
+        classifier_mask_flags,
+        integrate_all,
+        label_table_from,
+        labeled_pixels_frame,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    nums = orders.select(
+        (F.row_number().over(Window.orderBy("o_orderkey")) - 1).alias("k")
+    ).where(F.col("k") < 329 + 40 * 256)
+    px = nums.selectExpr(
+        "'sp' AS image_id",
+        "k < 329 AS planted",
+        "CAST(CASE WHEN k < 160 THEN 40 "
+        "WHEN k < 304 THEN 60 + (k - 160) DIV 12 "
+        "WHEN k < 329 THEN 20 + (k - 304) DIV 5 "
+        "ELSE 80 + (k - 329) DIV 256 END AS INT) AS y",
+        "CAST(CASE WHEN k < 160 THEN 8 + k "
+        "WHEN k < 304 THEN 200 + (k - 160) % 12 "
+        "WHEN k < 329 THEN 230 + (k - 304) % 5 "
+        "ELSE (k - 329) % 256 END AS INT) AS x",
+    ).selectExpr(
+        "image_id",
+        "planted",
+        "y",
+        "x",
+        "2.0 + y / 1024.0 + (x % 4) / 512.0 AS q",
+        "x / 16.0 AS azim",
+        "CAST(CASE WHEN planted THEN 100 + (y*7 + x*13) % 50 "
+        "ELSE 1 + (y*3 + x) % 20 END AS DOUBLE) AS intensity",
+        "CAST(y % 40 AS INT) AS qbin",
+        "CAST(1.0 AS DOUBLE) AS pol",
+        "CAST(1.0 AS DOUBLE) AS dist_sq",
+        "y = 80 AS base_mask",
+        "CAST(CASE WHEN y = 119 THEN 0 ELSE 1 + x % 40 END AS INT) "
+        "AS tth_idx",
+    )
+    om = px.where("planted").select("image_id", "y", "x")
+    lpx = labeled_pixels_frame(px, om, shape=(128, 256))
+    ltab = label_table_from(lpx)
+    flags = classifier_mask_flags(lpx, ltab)
+    controls = ImageControls(iotth=(1.0, 9.0), out_channels=40)
+    return integrate_all(px, flags, controls)
+
+
+@_register(
     "a13_gradient_swap",
     """
     WITH base AS (
@@ -1967,98 +2313,106 @@ from xrddatapipeline_spark.plans import corpus_queries  # noqa: E402,F401
 # r09-only cohort back in plus the new a17_spot_stats anchor (slot freed
 # by RETIRING the vanilla a5_regionprops_label_stats, whose surface is a
 # strict subset of a17's — the retirement pattern for a full registry);
-# r12 (this window) fronts the r10-only cohort with TWO slots freed the
-# same way: dedup_store_probe retired (surface ⊂ the new
-# dedup_ingest_chain anchor's stage 3 — see its doc) and
-# customers_without_orders retired (anti-join surface ⊂
-# tpch_q22ish_idle_balance, which stays in this window), making room for
-# the two round-12 real-operator anchors dedup_ingest_chain and
-# w3_contour_stride_view. Registry stays at 100; 2-round staleness bound
+# r12 fronted the r10-only cohort with TWO slots freed the same way:
+# dedup_store_probe retired (surface ⊂ the dedup_ingest_chain anchor's
+# stage 3) and customers_without_orders retired (anti-join surface ⊂
+# tpch_q22ish_idle_balance), making room for dedup_ingest_chain and
+# w3_contour_stride_view; r13 (this window) rotates the r11-only cohort
+# back in — fronting the four round-12 in-place conversions
+# (a9/j5/a15/a20) AND the three round-13 ones (a6/a7/a8 now drive
+# label_table_from; w5 now drives wrapped_extent_gap_scan) so every
+# converted body earns a driver row for its NEW form — with ONE slot
+# freed: w3_stride_downsample retired (row_number stride surface ⊂
+# w3_contour_stride_view, green r12 row, which drives the real
+# readback.contour_matrix), funding the new composed spine anchor
+# image_plan_spine (label -> classify -> masked integrate as one
+# oracle-checked query). Registry stays at 100; 2-round staleness bound
 # intact.
 _PREVIOUS_WINDOW: frozenset[str] = frozenset({
-    # CORRECTNESS_r11.json keys — the driver-checked window last round
-    "a11_central_band_percentile", "a12_global_percentiles",
-    "a15_fraction_masked_per_bin", "a16_count_distinct", "a17_spot_stats",
-    "a18_grad_stats_per_bin", "a1_integrate_binned_mean",
-    "a20_cosine_consecutive", "a2_ring_median_mad", "a6_area_filter",
-    "a7_azim_extent_wrap", "a8_percentile_spread", "a9_shape_classifier",
-    "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_bucketed",
-    "dedup_clusters_star", "dedup_embedding_cosine", "dedup_exact_hash",
-    "dedup_keep_list", "dedup_minhash_bands", "dedup_near_dup_clusters",
-    "dedup_ngram_jaccard", "dedup_semantic_ivf", "dedup_simhash",
-    "dedup_simhash_pairs", "fused_grouping_sets_split",
-    "grad_percentile_candidates", "j5_diff_pivot", "m1_label_components",
-    "mm_binary_metadata", "mm_decode_features", "p7_correction_chain",
-    "s11_json_props_extract", "sample_stratified_hash",
-    "t6_interval_join_counts", "t6_sliding_window_stats",
-    "text_fingerprint_winnow", "text_langid_ngram", "text_quality_score",
-    "text_token_stats", "text_top_tokens", "tpch_q13ish_custdist",
-    "tpch_q17ish_small_qty_revenue", "tpch_q19ish_disjunctive_revenue",
-    "tpch_q21ish_last_to_ship", "w1_lag_first_pairing",
-    "w3_stride_downsample", "w5_circular_gap_scan", "w6_sessionize_events",
+    # CORRECTNESS_r12.json keys — the driver-checked window last round
+    "a13_gradient_swap", "ann_ivf_index_probe", "corpus_clean_filter",
+    "dedup_ingest_chain", "dedup_minhash_pairs", "dedup_span_hash",
+    "docs_chunk_tokens", "docs_length_deciles", "docs_mixture_token_budget",
+    "docs_percent_rank", "docs_redact_terms", "docs_set_ops",
+    "emb_kmeans_inertia", "emb_kmeans_update", "emb_lang_centroids",
+    "emb_pq_adc_topk", "emb_pq_encode", "events_anomaly_mad",
+    "events_cohort_retention", "events_daily_rollup", "events_funnel_steps",
+    "events_pivot_daily", "events_rollup_grouping",
+    "events_trailing_hour_stats", "f4_geometric_mask_counts",
+    "j8_asof_signup_join", "j9_range_join_error_burst", "mm_frame_sample",
+    "mm_resize_geometry", "orders_above_global_avg", "orders_rank_ties",
+    "p14_azim_band_profile", "pack_context_windows",
+    "t6_tumbling_window_counts", "text_contamination_check",
+    "text_repetition_score", "text_tfidf_top_terms", "text_unigram_logprob",
+    "tpch_q10ish_returned_topk", "tpch_q14_promo_share",
+    "tpch_q16ish_supplier_cnt", "tpch_q18ish_big_orders", "tpch_q1_pricing",
+    "tpch_q22ish_idle_balance", "tpch_q3ish_order_volume_topk",
+    "tpch_q4ish_exists_semijoin", "tpch_q5ish_regional_volume",
+    "tpch_q6ish_forecast_revenue", "tpch_q7ish_nation_volume",
+    "w3_contour_stride_view",
 })
 
 #: The external driver's window size (first N of ``queries()``).
 DRIVER_WINDOW_SIZE: int = 50
 
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # r10-only cohort: driver rows 2 rounds stale after r11, rotate back
-    # in (minus the two round-12 retirements — see the rotation-history
-    # comment above)
-    "a13_gradient_swap",
-    "ann_ivf_index_probe",
-    "corpus_clean_filter",
-    "dedup_minhash_pairs",
-    "dedup_span_hash",
-    "docs_chunk_tokens",
-    "docs_length_deciles",
-    "docs_mixture_token_budget",
-    "docs_percent_rank",
-    "docs_redact_terms",
-    "docs_set_ops",
-    "emb_kmeans_inertia",
-    "emb_kmeans_update",
-    "emb_lang_centroids",
-    "emb_pq_adc_topk",
-    "emb_pq_encode",
-    "events_anomaly_mad",
-    "events_cohort_retention",
-    "events_daily_rollup",
-    "events_funnel_steps",
-    "events_pivot_daily",
-    "events_rollup_grouping",
-    "events_trailing_hour_stats",
-    "f4_geometric_mask_counts",
-    "j8_asof_signup_join",
-    "j9_range_join_error_burst",
-    "mm_frame_sample",
-    "mm_resize_geometry",
-    "orders_above_global_avg",
-    "orders_rank_ties",
-    "p14_azim_band_profile",
-    "pack_context_windows",
-    "t6_tumbling_window_counts",
-    "text_contamination_check",
-    "text_repetition_score",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    "tpch_q10ish_returned_topk",
-    "tpch_q14_promo_share",
-    "tpch_q16ish_supplier_cnt",
-    "tpch_q18ish_big_orders",
-    "tpch_q1_pricing",
-    "tpch_q22ish_idle_balance",
-    "tpch_q3ish_order_volume_topk",
-    "tpch_q4ish_exists_semijoin",
-    "tpch_q5ish_regional_volume",
-    "tpch_q6ish_forecast_revenue",
-    "tpch_q7ish_nation_volume",
-    # NEW in round 12, in the slots freed by the dedup_store_probe and
-    # customers_without_orders retirements: the two real-operator anchors
-    # (round-11 verdict Next #4) — the composed ingestion chain and the
-    # contour read-back view.
-    "dedup_ingest_chain",
-    "w3_contour_stride_view",
+    # The seven in-place conversions FIRST (round-12 verdict Next #1/#2
+    # and the standing rule from commit b950b62: a changed query stays
+    # in-window until its new body earns a driver row): a9/j5/a15/a20
+    # converted in r12, a6/a7/a8 + w5 converted this round.
+    "a9_shape_classifier",
+    "j5_diff_pivot",
+    "a15_fraction_masked_per_bin",
+    "a20_cosine_consecutive",
+    "a6_area_filter",
+    "a7_azim_extent_wrap",
+    "a8_percentile_spread",
+    "w5_circular_gap_scan",
+    # NEW in round 13, in the slot freed by the w3_stride_downsample
+    # retirement: the composed §2.9 spine anchor (r12 verdict stretch #7).
+    "image_plan_spine",
+    # Rest of the r11-only cohort: driver rows 2 rounds stale after r12.
+    "a11_central_band_percentile",
+    "a12_global_percentiles",
+    "a16_count_distinct",
+    "a17_spot_stats",
+    "a18_grad_stats_per_bin",
+    "a1_integrate_binned_mean",
+    "a2_ring_median_mad",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
+    "dedup_clusters_star",
+    "dedup_embedding_cosine",
+    "dedup_exact_hash",
+    "dedup_keep_list",
+    "dedup_minhash_bands",
+    "dedup_near_dup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_ivf",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "fused_grouping_sets_split",
+    "grad_percentile_candidates",
+    "m1_label_components",
+    "mm_binary_metadata",
+    "mm_decode_features",
+    "p7_correction_chain",
+    "s11_json_props_extract",
+    "sample_stratified_hash",
+    "t6_interval_join_counts",
+    "t6_sliding_window_stats",
+    "text_fingerprint_winnow",
+    "text_langid_ngram",
+    "text_quality_score",
+    "text_token_stats",
+    "text_top_tokens",
+    "tpch_q13ish_custdist",
+    "tpch_q17ish_small_qty_revenue",
+    "tpch_q19ish_disjunctive_revenue",
+    "tpch_q21ish_last_to_ship",
+    "w1_lag_first_pairing",
+    "w6_sessionize_events",
 )
 
 # Names allowed to be absent from REGISTRY (queries gated behind optional

@@ -242,17 +242,22 @@ def fused_gradient_inputs(
     halo = _GRAD_HALO
     keep_r2 = int(0.10 * h * w) + 4   # covers p10 (and p0.1) order stats
     keep_a2 = int((THRESHOLD_PCT / 100.0) * h * w) + 4
-    # packed feed requires an INTEGRAL intensity column: the int64 pack
-    # casts intensity to long, which would silently TRUNCATE a double
-    # column — and the unpacked int64 would also flip _grad_dtype to
-    # float32 while the dense reference route (which reads the raw
-    # column) stayed float64, breaking the fused==dense invariant for
-    # that input (round-12 review). Non-integer intensities take the
-    # unpacked layout, exact and route-consistent.
+    # packed feed requires an intensity column whose VALUES fit int32:
+    # the int64 pack casts intensity to long, which would silently
+    # TRUNCATE a double column — and the unpacked int64 would also flip
+    # _grad_dtype to float32 while the dense reference route (which
+    # reads the raw column) stayed float64, breaking the fused==dense
+    # invariant for that input (round-12 review). The pack also stores
+    # intensity + 2^31 in the 32-bit low field, so a bigint >= 2^31
+    # would carry into the yx bits and one < -2^31 would be dropped as
+    # the sentinel (round-12 ADVICE): only tinyint/smallint/int are safe
+    # by construction. Doubles and bigints take the unpacked layout,
+    # exact and route-consistent (_grad_dtype reads the source column
+    # type either way).
     packed = (
         h <= 8192 and w <= 8192
         and dict(px.dtypes).get("intensity") in
-        ("tinyint", "smallint", "int", "bigint")
+        ("tinyint", "smallint", "int")
     )
 
     schema = (

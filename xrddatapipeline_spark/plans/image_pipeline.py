@@ -234,6 +234,84 @@ def label_table_from(lpx: DataFrame) -> DataFrame:
     )
 
 
+def wrapped_extent_gap_scan(
+    lpx: DataFrame, wrap_threshold: float = 359.0, min_gap: float = 10.0
+) -> DataFrame:
+    """Reference-exact wraparound azimuth extent (W5,
+    classification.py:659-666 and the duplicate at :766-775): per
+    (image_id, label) the raw extent is max(azim) - min(azim); a label
+    whose raw extent exceeds ``wrap_threshold`` (the reference's
+    ``diffs_azim > 359`` trigger) crosses azimuth zero, so its true
+    extent is recomputed by sorting the azimuths, diffing consecutive
+    values, taking the FIRST gap > ``min_gap`` (np.argwhere(diffs>10)[0])
+    and reporting 360 - gap.
+
+    This is the reference's own formulation, distinct from the
+    flipped-axis least() heuristic ``label_table_from`` uses in the hot
+    plan: for a wrapped label with MORE than one >10-degree gap the two
+    disagree (the gap-scan keeps everything past the first gap; the flip
+    takes the tightest mirrored hull), so this operator is kept as the
+    parity surface for the reference's semantics (SURVEY §2.7 W5).
+
+    Fallback: a label above the threshold with NO gap > min_gap keeps
+    its raw extent. The reference would raise (it indexes [0] of an
+    empty argwhere); a deterministic answer is kept instead so a single
+    pathological label cannot kill a 1000-image batch.
+
+    Returns (image_id, label, extent_raw, extent). Scale: one keyed
+    window sort plus one keyed aggregation — the same single exchange
+    as label_table_from; labels bound the group size.
+    """
+    w = Window.partitionBy("image_id", "label").orderBy("azim")
+    gaps = lpx.select("image_id", "label", "azim").withColumn(
+        "gap", F.col("azim") - F.lag("azim").over(w)
+    )
+    # first qualifying gap in azimuth order == min struct(azim-of-gap, gap):
+    # struct min orders by the first field, and qualifying rows have
+    # distinct azim (a duplicate azim's gap is 0, never > min_gap)
+    first_gap = F.min(
+        F.when(
+            F.col("gap") > min_gap,
+            F.struct(F.col("azim").alias("at"), F.col("gap").alias("g")),
+        )
+    )
+    agg = gaps.groupBy("image_id", "label").agg(
+        (F.max("azim") - F.min("azim")).alias("extent_raw"),
+        first_gap.alias("_fg"),
+    )
+    return agg.select(
+        "image_id",
+        "label",
+        "extent_raw",
+        F.when(
+            (F.col("extent_raw") > wrap_threshold)
+            & F.col("_fg").isNotNull(),
+            F.lit(360.0) - F.col("_fg.g"),
+        )
+        .otherwise(F.col("extent_raw"))
+        .alias("extent"),
+    )
+
+
+def classifier_mask_flags(lpx: DataFrame, label_table: DataFrame) -> DataFrame:
+    """Sparse per-pixel mask flags from the classifier verdicts: every
+    labeled pixel is an outlier-mask member (is_om); spot/arc membership
+    follows its label's classifier (1 = spot, 2 = arc). This is the
+    non-gradient mask_flags branch of run_image_plan, split out so the
+    driver's composed spine anchor (image_plan_spine) executes the
+    plan's own code, not a re-spelling (F11/F12 membership join,
+    pipeline.py:375-414 mask variants)."""
+    return lpx.join(
+        label_table.select("image_id", "label", "classifier"),
+        ["image_id", "label"],
+    ).select(
+        "image_id", "y", "x",
+        F.lit(True).alias("is_om"),
+        (F.col("classifier") == 1).alias("is_spot_px"),
+        (F.col("classifier") == 2).alias("is_arc_px"),
+    )
+
+
 def classify_clusters(
     px: DataFrame, om_pixels: DataFrame, shape: tuple[int, int],
     sparse_hint=None,
@@ -540,14 +618,18 @@ def h_maxima_per_qbin(
     from xrddatapipeline_spark.operators import kernels
 
     h, w = controls.size_y, controls.size_x
-    # packed feed requires an INTEGRAL intensity column — the int64 pack
-    # casts to long, silently truncating doubles, and the unpacked int
-    # would flip the float32 exactness gate relative to what the source
-    # column holds (round-12 review; same rule as the gradient feed)
+    # packed feed requires an intensity column whose VALUES fit int32 —
+    # the int64 pack casts to long (doubles would silently truncate,
+    # round-12 review) and stores intensity + 2^31 in the 32-bit low
+    # field, so a bigint >= 2^31 would carry into the yx bits and one
+    # < -2^31 would go negative and be dropped as the sentinel (round-12
+    # ADVICE). tinyint/smallint/int are safe by construction; bigint
+    # takes the unpacked layout, which is exact and route-consistent
+    # (the dtype gates read the source column type either way).
     packed = (
         h <= 8192 and w <= 8192
         and dict(px.dtypes).get("intensity") in
-        ("tinyint", "smallint", "int", "bigint")
+        ("tinyint", "smallint", "int")
     )
     if packed:
         src = px.select(
@@ -1080,15 +1162,7 @@ def run_image_plan(
             F.col("new_arc").alias("is_arc_px"),
         )
     else:
-        mask_flags = lpx.join(
-            label_table.select("image_id", "label", "classifier"),
-            ["image_id", "label"],
-        ).select(
-            "image_id", "y", "x",
-            F.lit(True).alias("is_om"),
-            (F.col("classifier") == 1).alias("is_spot_px"),
-            (F.col("classifier") == 2).alias("is_arc_px"),
-        )
+        mask_flags = classifier_mask_flags(lpx, label_table)
     # A1 + A15 fused: one pixel-table scan serves both outputs (GROUPING
     # SETS — see integrate_and_spottiness). The fused agg frame is tiny
     # (images x bins), so it takes a barrier; the two derived outputs are
