@@ -95,6 +95,21 @@ SHOWCASE = [
      "pixels), the kept set returns as a BroadcastHashJoin onto the "
      "line table, and the per-image ordered intensity array is one "
      "keyed exchange"),
+    ("w5_circular_gap_scan",
+     "the reference-exact wraparound gap-scan "
+     "(wrapped_extent_gap_scan): ONE (image, label) exchange serves "
+     "both the sorted-lag window and the extent aggregation — the "
+     "first-qualifying-gap argmin is a min(struct) inside the same "
+     "agg, no second shuffle, no join back"),
+    ("image_plan_spine",
+     "the composed §2.9 spine (label -> classify -> masked integrate) "
+     "as one query: the CC kernel is a FlatMapGroupsInPandas per "
+     "image, the classifier verdict joins back to pixels on "
+     "(image, label), the flag table left-joins the dense grid once, "
+     "and all four mask variants resolve in ONE conditional-sum hash "
+     "aggregation (no per-kind re-scan); the SinglePartition "
+     "exchanges belong to the row_number FIXTURE constructor, not "
+     "the operators"),
 ]
 
 #: separates generated plan dumps from hand-written analysis below it

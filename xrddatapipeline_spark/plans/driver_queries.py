@@ -795,7 +795,14 @@ def a16_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Image-n vs n-1 and vs first pairing as lag/first_value windows "
     "(pipeline.py:506-545; SURVEY §2.7 W1, §2.5 J4). First pairs with "
-    "itself => delta 0, matching the reference's self-compare.",
+    "itself => delta 0, matching the reference's self-compare. "
+    "Adjudication (r12 verdict #6, round 13): KEPT as the generic "
+    "lag/first anchor — the production pairing (csim) is separately "
+    "driver-anchored end-to-end by a20_cosine_consecutive, which "
+    "executes cosine_similarity_series itself; w1 anchors the plain "
+    "window semantics (coalesce-on-first, ordered lag) that other "
+    "consumers (diff integrals, sessionization) also build on, so "
+    "retiring it would leave those semantics covered only transitively.",
     tags=("window", "xrd"),
 )
 def w1_lag_first_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1874,8 +1881,12 @@ def image_plan_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "planted",
         "y",
         "x",
-        "2.0 + y / 1024.0 + (x % 4) / 512.0 AS q",
-        "x / 16.0 AS azim",
+        # D-suffixed literals: a bare 1024.0 in SQL text is a DECIMAL
+        # literal and decimal division rounds q to scale 6 (1/1024 needs
+        # 10 places) — the values must be the same exact binary doubles
+        # the DuckDB oracle computes
+        "2.0D + y / 1024.0D + (x % 4) / 512.0D AS q",
+        "x / 16.0D AS azim",
         "CAST(CASE WHEN planted THEN 100 + (y*7 + x*13) % 50 "
         "ELSE 1 + (y*3 + x) % 20 END AS DOUBLE) AS intensity",
         "CAST(y % 40 AS INT) AS qbin",
