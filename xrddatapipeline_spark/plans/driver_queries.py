@@ -754,29 +754,65 @@ def a9_shape_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A16 — distinct aggregation
+# A16/A23 — unique spots per Q-bin through the real read-back histogram
 # ---------------------------------------------------------------------------
 
 @_register(
     "a16_count_distinct",
     """
-    SELECT l_returnflag,
-           count(DISTINCT l_partkey) AS n_parts,
-           count(DISTINCT l_suppkey) AS n_supps,
-           count(*) AS n_rows
-    FROM lineitem
-    GROUP BY l_returnflag
+    WITH stats AS (
+        SELECT DISTINCT CAST(l_orderkey % 4 AS INT) AS imgnum,
+               CAST(l_partkey % 50 AS INT) AS spot_stat_label
+        FROM lineitem
+    ),
+    shaped AS (
+        SELECT 'img-' || CAST(imgnum AS VARCHAR) AS image_id,
+               spot_stat_label,
+               CAST((spot_stat_label * 7 + imgnum * 3) % 25 AS INT) AS Qbin
+        FROM stats
+    )
+    SELECT image_id, Qbin, count(*) AS n_spots
+    FROM shaped WHERE spot_stat_label <> 0
+    GROUP BY image_id, Qbin
     """,
-    doc="Unique spots per Q-bin analog (spottiness.py:24; SURVEY §2.6 A16).",
-    tags=("agg", "xrd"),
+    doc="Drives plans/readback.py::spot_count_histogram — the REAL "
+        "unique-spots-per-Q-bin operator (A16/A23, spottiness.py:24 + "
+        "mainUI/stats.py:114-117): one row per (image, label) with the "
+        "background label 0 dropped, counted per Q bin. The fixture "
+        "manufactures a spot_stats-shaped frame (one row per label via "
+        "a min-Qbin groupBy, matching the operator's one-row-per-spot "
+        "input contract, Qbin derived from the group key so the "
+        "histogram spreads across bins — label*7 mod 25 hits every bin) "
+        "including label-0 rows in every image so the background drop "
+        "does real work; counting distinct labels once each IS the "
+        "distinct-count semantics. ROUND 13: converted IN "
+        "PLACE from a vanilla count(DISTINCT) re-spelling (the a9/a17 "
+        "pattern; generic count-distinct stays driver-covered by "
+        "tpch_q16ish_supplier_cnt's two-level distinct aggregate, green "
+        "r12). Scale: label-bounded input, two small keyed exchanges.",
+    tags=("agg", "xrd", "readback"),
 )
 def a16_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xrddatapipeline_spark.plans.readback import spot_count_histogram
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.count("*").alias("n_rows"),
+    stats = (
+        li.select(
+            (F.col("l_orderkey") % 4).cast("int").alias("imgnum"),
+            (F.col("l_partkey") % 50).cast("int").alias("spot_stat_label"),
+        )
+        .distinct()
+        .select(
+            F.concat(F.lit("img-"), F.col("imgnum").cast("string")).alias(
+                "image_id"
+            ),
+            "spot_stat_label",
+            ((F.col("spot_stat_label") * 7 + F.col("imgnum") * 3) % 25)
+            .cast("int")
+            .alias("Qbin"),
+        )
     )
+    return spot_count_histogram(stats)
 
 
 # ---------------------------------------------------------------------------
