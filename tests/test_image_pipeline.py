@@ -703,3 +703,108 @@ def test_h_maxima_bigint_routes_unpacked_and_exact(spark):
     # the surviving maximum; the old packed layout corrupted its
     # coordinates and intensity (2^31 + 7 wraps the 32-bit low field)
     assert b_big["n_maxima"].sum() >= 1
+
+
+def _ltab_fixture(spark, labels):
+    """lpx frame for label_table_from: one row per azimuth value with the
+    flip column computed the way labeled_pixels_frame does, q constant
+    per label (diff_q = 0 keeps the classifier out of the way)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("img", lab, az) for lab, vals in labels.items() for az in vals
+    ]
+    return (
+        spark.createDataFrame(rows, "image_id string, label int, azim double")
+        .withColumn("azim_flip", F.pmod(F.col("azim") + 180.0, F.lit(360.0)))
+        .withColumn("q", F.lit(2.0))
+    )
+
+
+def test_label_table_gap_mode_is_reference_exact(spark):
+    """wrap_mode='gap' (round 13) reproduces the reference's recompute
+    (classification.py:659-666) per the numpy transcription, agrees with
+    'flip' on single-gap zero-crossing arcs and plain labels, and
+    diverges from it exactly where the formulations differ (multi-gap
+    wrapped labels; <=359-degree zero-spanning labels below the
+    trigger)."""
+    from xrddatapipeline_spark.plans.image_pipeline import label_table_from
+
+    labels = {
+        # single-gap wrap: both modes -> the true ~12.06-deg hull
+        0: [i / 16.0 for i in range(0, 97)]
+        + [i / 16.0 for i in range(5664, 5760)],
+        # multi-gap wrap: gap takes 360 - FIRST gap, flip takes the
+        # tightest mirrored hull -> they must disagree
+        1: [i / 16.0 for i in range(0, 64)]
+        + [i / 16.0 for i in range(2000, 2064)]
+        + [i / 16.0 for i in range(5696, 5760)],
+        # mid-range label: raw extent passes through in both modes
+        2: [i / 16.0 for i in range(1600, 1800)],
+        # spans zero but raw extent == 359.0 <= trigger: gap mode keeps
+        # the raw extent (reference semantics), flip sees the ~15.25-deg
+        # hull — documented divergence below the >359 trigger
+        3: [i / 16.0 for i in range(0, 100)] + [359.0 * 1.0],
+    }
+    lpx = _ltab_fixture(spark, labels)
+    # the fixture's constant q makes diff_q exactly 0 on >100-px labels
+    # with azim extent > 3.5 — the reference's numpy divide reads inf >
+    # threshold -> ARC; before round 13 the Spark classifier divided and
+    # ANSI mode (Spark 4 default) raised DIVIDE_BY_ZERO here. The
+    # cross-multiplied form must both not raise and classify as arc.
+    cls = {
+        r["label"]: r["classifier"]
+        for r in label_table_from(lpx, wrap_mode="flip").collect()
+    }
+    assert cls[0] == 2 and cls[2] == 2
+    flip = {
+        r["label"]: r["diff_azim"]
+        for r in label_table_from(lpx, wrap_mode="flip").collect()
+    }
+    gap = {
+        r["label"]: r["diff_azim"]
+        for r in label_table_from(lpx, wrap_mode="gap").collect()
+    }
+    for lab, vals in labels.items():
+        want = _gap_scan_numpy(vals)[1]
+        assert gap[lab] == pytest.approx(want, abs=0.0), (lab, gap[lab], want)
+    assert gap[0] == pytest.approx(flip[0], abs=0.0)
+    assert gap[2] == pytest.approx(flip[2], abs=0.0)
+    assert gap[1] != pytest.approx(flip[1], abs=1e-9)
+    assert gap[3] == pytest.approx(359.0, abs=0.0)
+    assert flip[3] < 20.0
+    with pytest.raises(ValueError):
+        label_table_from(lpx, wrap_mode="mirror")
+
+
+def test_label_table_gap_mode_random_sweep_vs_transcription(spark):
+    """Seeded randomized sweep: 60 labels of random azimuth multisets
+    (including duplicates and single-value labels) through
+    wrap_mode='gap' must match the numpy transcription of the
+    reference recompute exactly — values live on the 1/16-degree grid
+    so sorting/diffing is float-exact in both implementations."""
+    from xrddatapipeline_spark.plans.image_pipeline import label_table_from
+
+    rng = np.random.default_rng(1307)
+    labels = {}
+    for lab in range(60):
+        n = int(rng.integers(1, 80))
+        # mix of clustered runs and uniform scatter, sixteenth grid
+        if lab % 3 == 0:
+            starts = rng.integers(0, 5760, size=3)
+            vals = [
+                int((s + j) % 5760) / 16.0
+                for s in starts
+                for j in range(max(1, n // 3))
+            ]
+        else:
+            vals = [int(v) / 16.0 for v in rng.integers(0, 5760, size=n)]
+        labels[lab] = vals
+    lpx = _ltab_fixture(spark, labels)
+    got = {
+        r["label"]: r["diff_azim"]
+        for r in label_table_from(lpx, wrap_mode="gap").collect()
+    }
+    for lab, vals in labels.items():
+        want = _gap_scan_numpy(vals)[1]
+        assert got[lab] == pytest.approx(want, abs=0.0), (lab, got[lab], want)

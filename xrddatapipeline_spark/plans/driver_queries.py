@@ -520,7 +520,7 @@ def a7_azim_extent_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT image_id, label, area, diff_q,
            CASE WHEN area > 100 AND diff_q < 0.1 AND diff_azim > 3.5
-                     AND diff_azim / diff_q > 100.0
+                     AND diff_azim > 100.0 * diff_q
                 THEN 2 ELSE 1 END AS classifier
     FROM ext
     """,
@@ -704,7 +704,7 @@ def grad_percentile_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT image_id, label, area, diff_azim, diff_q,
            CASE WHEN area > 100 AND diff_q < 0.1 AND diff_azim > 3.5
-                     AND diff_azim / diff_q > 100.0
+                     AND diff_azim > 100.0 * diff_q
                 THEN 2 ELSE 1 END AS classifier
     FROM ext
     """,
@@ -1816,7 +1816,7 @@ def m1_label_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdicts AS (
         SELECT image_id, label,
                CASE WHEN area > 100 AND diff_q < 0.1 AND diff_azim > 3.5
-                         AND diff_azim / diff_q > 100.0
+                         AND diff_azim > 100.0 * diff_q
                     THEN 2 ELSE 1 END AS classifier
         FROM ltab
     ),

@@ -205,30 +205,87 @@ def labeled_pixels_frame(
     )
 
 
-def label_table_from(lpx: DataFrame) -> DataFrame:
+def label_table_from(lpx: DataFrame, wrap_mode: str = "flip") -> DataFrame:
     """Per-label shape classification over an (already materialized)
     labeled pixel set: area / circular azimuth extent / Q extent -> arc
     vs spot (A5-A9). Split from ``labeled_pixels_frame`` (round 8) so
     run_image_plan derives it from the CHECKPOINTED lpx barrier — the
     previous single-function form rebuilt label_table from the lazy lpx,
     re-running the labeling kernel AND the 66M-row px join a second time
-    inside the label_table checkpoint job."""
-    ext = F.max("azim") - F.min("azim")
-    extf = F.max("azim_flip") - F.min("azim_flip")
-    label_table = lpx.groupBy("image_id", "label").agg(
-        F.count("*").alias("area"),
-        F.least(ext, extf).alias("diff_azim"),
-        (
-            F.expr("percentile(q, 0.9)") - F.expr("percentile(q, 0.1)")
-        ).alias("diff_q"),
-    )
+    inside the label_table checkpoint job.
+
+    ``wrap_mode`` selects the circular-extent formulation (round 13):
+
+    - ``"flip"`` (default, the hot plan): least(raw extent, mirrored-axis
+      extent) — one hash aggregation, no sort. For a zero-crossing arc
+      with a single angular gap this equals the reference's recompute.
+    - ``"gap"``: the reference's EXACT semantics (classification.py:
+      659-666) — labels whose raw extent exceeds 359 report 360 minus
+      the FIRST sorted consecutive gap > 10 (see
+      ``wrapped_extent_gap_scan``). One keyed window sort + the same
+      single aggregation: equal exchange count, extra sort. The two
+      modes diverge on wrapped labels with MULTIPLE >10-degree gaps and
+      on labels spanning exactly <=359 degrees across zero (below the
+      reference's trigger); golden parity is pinned on "flip", "gap" is
+      the reference-faithful option.
+    """
+    diff_q = (
+        F.expr("percentile(q, 0.9)") - F.expr("percentile(q, 0.1)")
+    ).alias("diff_q")
+    if wrap_mode == "flip":
+        ext = F.max("azim") - F.min("azim")
+        extf = F.max("azim_flip") - F.min("azim_flip")
+        label_table = lpx.groupBy("image_id", "label").agg(
+            F.count("*").alias("area"),
+            F.least(ext, extf).alias("diff_azim"),
+            diff_q,
+        )
+    elif wrap_mode == "gap":
+        w = Window.partitionBy("image_id", "label").orderBy("azim")
+        g = lpx.select("image_id", "label", "azim", "q").withColumn(
+            "gap", F.col("azim") - F.lag("azim").over(w)
+        )
+        ext_raw = F.max("azim") - F.min("azim")
+        first_gap = F.min(
+            F.when(
+                F.col("gap") > 10.0,
+                F.struct(F.col("azim").alias("at"), F.col("gap").alias("g")),
+            )
+        )
+        label_table = (
+            g.groupBy("image_id", "label")
+            .agg(
+                F.count("*").alias("area"),
+                ext_raw.alias("_ext_raw"),
+                first_gap.alias("_fg"),
+                diff_q,
+            )
+            .withColumn(
+                "diff_azim",
+                F.when(
+                    (F.col("_ext_raw") > 359.0) & F.col("_fg").isNotNull(),
+                    F.lit(360.0) - F.col("_fg.g"),
+                ).otherwise(F.col("_ext_raw")),
+            )
+            .select("image_id", "label", "area", "diff_azim", "diff_q")
+        )
+    else:
+        raise ValueError(f"wrap_mode must be 'flip' or 'gap', got {wrap_mode!r}")
+    # azim_vs_Q as a cross-multiplied comparison, NOT a division: a
+    # constant-q arc (every pixel at the same ring radius) has diff_q
+    # exactly 0, and under ANSI mode (Spark 4 default) diff_azim/diff_q
+    # raises DIVIDE_BY_ZERO once the earlier conjuncts pass — the
+    # reference's numpy divide yields inf (> threshold -> arc) for
+    # diff_azim > 0 and nan (not arc) for 0/0, which is precisely what
+    # diff_azim > threshold * diff_q evaluates to at diff_q == 0
+    # (round 13; found by the wrap_mode fixture, latent since round 2).
     return label_table.withColumn(
         "classifier",
         F.when(
             (F.col("area") > MIN_ARC_AREA)
             & (F.col("diff_q") < Q_MAX)
             & (F.col("diff_azim") > AZIM_MIN)
-            & (F.col("diff_azim") / F.col("diff_q") > AZIM_Q_SHAPE_MIN),
+            & (F.col("diff_azim") > F.lit(AZIM_Q_SHAPE_MIN) * F.col("diff_q")),
             F.lit(2),
         ).otherwise(F.lit(1)),
     )
@@ -314,7 +371,7 @@ def classifier_mask_flags(lpx: DataFrame, label_table: DataFrame) -> DataFrame:
 
 def classify_clusters(
     px: DataFrame, om_pixels: DataFrame, shape: tuple[int, int],
-    sparse_hint=None,
+    sparse_hint=None, wrap_mode: str = "flip",
 ) -> tuple[DataFrame, DataFrame]:
     """Shape classification (qwidth_area_classification_groupby,
     classification.py:373-444): label the closed outlier mask, aggregate
@@ -322,11 +379,12 @@ def classify_clusters(
 
     Returns (labeled_pixels, label_table) where label_table carries
     (image_id, label, area, diff_azim, diff_q, classifier) with
-    classifier 1 = spot, 2 = arc (A9). Lazy composition wrapper;
-    run_image_plan uses the split halves so the label_table job reads
-    the lpx BARRIER instead of re-running the kernel."""
+    classifier 1 = spot, 2 = arc (A9). ``wrap_mode`` selects the
+    circular-extent formulation (see label_table_from). Lazy composition
+    wrapper; run_image_plan uses the split halves so the label_table job
+    reads the lpx BARRIER instead of re-running the kernel."""
     lpx = labeled_pixels_frame(px, om_pixels, shape, sparse_hint)
-    return lpx, label_table_from(lpx)
+    return lpx, label_table_from(lpx, wrap_mode=wrap_mode)
 
 
 def integrate_all(
