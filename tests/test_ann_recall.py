@@ -107,3 +107,58 @@ def test_lsh_recall_floor(corpus_and_queries, ground_truth):
     # measured 0.578 at 4 planes; the floor catches a broken bucket
     # expression (recall would collapse toward k/N ~ 0.003)
     assert rec >= 0.50, rec
+
+
+def test_zero_norm_vectors_are_ansi_safe(spark):
+    """Round 13: Spark 4's default ANSI mode raises DIVIDE_BY_ZERO even
+    for DOUBLE division, so a zero/padding embedding crashed every
+    cosine path. The guarded forms return NULL for zero-norm inputs:
+    top-k ranks them last instead of dying, pair dedup drops them, and
+    nonzero cosines are bit-unchanged."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.8, 0.6, 0.0]),
+        (2, [0.0, 0.0, 0.0]),  # zero-norm: pre-fix this killed the job
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # expression-path cosine: NULL against the zero vector, exact elsewhere
+    pairs = (
+        df.alias("a")
+        .crossJoin(df.alias("b"))
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            "a.vec_id",
+            "b.vec_id",
+            sim.quantized_cosine(
+                F.col("a.embedding"), F.col("b.embedding")
+            ).alias("cos"),
+        )
+        .collect()
+    )
+    got = {(r[0], r[1]): r[2] for r in pairs}
+    assert got[(0, 2)] is None and got[(1, 2)] is None and got[(2, 3)] is None
+    # float32 storage of 0.8/0.6 rounds the inputs; quantization adds
+    # < dim/2^40 — 1e-6 bounds both comfortably
+    assert got[(0, 1)] == pytest.approx(0.8, abs=1e-6)
+
+    # brute-force top-k survives a zero CORPUS vector and a zero QUERY
+    # vector; null cos ranks after every real neighbor
+    topk = sim.brute_force_topk(df, df, k=3).collect()
+    by_q = {}
+    for r in topk:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cos"]))
+    assert set(by_q) == {0, 1, 2, 3}
+    q0 = sorted(by_q[0])
+    assert q0[-1][1] == 2 and q0[-1][2] is None  # zero vector ranked last
+    assert all(c is None for _, _, c in by_q[2])  # zero query: all NULL
+
+    # the O(n^2) labeled baseline (numpy path) drops zero-norm pairs
+    # silently — same drop-out as the NULL guard
+    p = sim.cosine_pairs(df, min_cos=0.1).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in p}
+    assert all(2 not in pair for pair in ids)
+    assert (0, 1) in ids

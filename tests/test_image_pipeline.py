@@ -808,3 +808,21 @@ def test_label_table_gap_mode_random_sweep_vs_transcription(spark):
     for lab, vals in labels.items():
         want = _gap_scan_numpy(vals)[1]
         assert got[lab] == pytest.approx(want, abs=0.0), (lab, got[lab], want)
+
+
+def test_csim_blank_frame_yields_null_not_crash(spark):
+    """Round 13 ANSI guard: a blank (all-zero) detector frame has zero
+    norm, and under Spark 4's default ANSI mode the csim division
+    killed the whole series with DIVIDE_BY_ZERO. Pairs involving the
+    blank frame now read NULL (the reference's numpy reads nan); every
+    other pair is bit-unchanged."""
+    imgs = [("synth", s, make_image(CONTROLS, seq=s)) for s in range(2)]
+    blank = np.zeros_like(imgs[0][2])
+    pixels = images_long_df(spark, imgs + [("synth", 2, blank)])
+    pdf = cosine_similarity_series(pixels).orderBy("seq").toPandas()
+    assert len(pdf) == 3
+    # seq 2 is blank: both similarities NULL; seq 0/1 unaffected
+    assert pdf.csim_first.iloc[2] is None or np.isnan(pdf.csim_first.iloc[2])
+    assert pdf.csim_prev.iloc[2] is None or np.isnan(pdf.csim_prev.iloc[2])
+    assert pdf.csim_first.iloc[0] == pytest.approx(1.0, rel=1e-12)
+    assert pdf.csim_prev.iloc[1] == pytest.approx(pdf.csim_first.iloc[1], rel=1e-12)

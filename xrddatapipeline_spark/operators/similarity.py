@@ -62,12 +62,25 @@ def quantized_dot(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_from_quantized(qdot: Column, qa: Column, qb: Column) -> Column:
+    """cos from pre-computed quantized dots, NULL when either vector has
+    zero norm. Spark 4's default ANSI mode raises DIVIDE_BY_ZERO even
+    for double division (round 13 — a zero/padding embedding or a blank
+    frame killed the whole job); the reference's numpy divide yields
+    nan there, and NULL is the relational analog: it sorts last under
+    the .desc() top-k windows and fails every `> threshold` dedup
+    predicate, so zero vectors drop out of neighbor lists instead of
+    crashing the query."""
+    denom = F.sqrt(qa.cast("double") * qb.cast("double"))
+    return F.when(denom > 0, qdot.cast("double") / denom)
+
+
 def quantized_cosine(a: Column, b: Column) -> Column:
-    """Deterministic cosine from quantized integer dot products."""
-    qdot = quantized_dot(a, b)
-    qa = quantized_dot(a, a)
-    qb = quantized_dot(b, b)
-    return qdot / F.sqrt(qa.cast("double") * qb.cast("double"))
+    """Deterministic cosine from quantized integer dot products; NULL for
+    zero-norm inputs (see cosine_from_quantized)."""
+    return cosine_from_quantized(
+        quantized_dot(a, b), quantized_dot(a, a), quantized_dot(b, b)
+    )
 
 
 def norms(df: DataFrame, vec_col: str = "embedding",
@@ -111,7 +124,11 @@ def cosine_pairs(df: DataFrame, min_cos: float, vec_col: str = "embedding",
                 va64 = np.asarray(va, dtype=np.float64)
                 qd = np.floor(mat_b * va64 * QSCALE).sum(axis=1)
                 qa = np.floor(va64 * va64 * QSCALE).sum()
-                cos = qd / np.sqrt(qa * qnorm_b)
+                # zero-norm vectors: 0/0 -> nan, dropped by the >= filter
+                # below — the same drop-out the expression path's NULL
+                # guard produces (cosine_from_quantized)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = qd / np.sqrt(qa * qnorm_b)
                 sel = (cos >= min_cos) & (ids_b > id_a)
                 out_a.append(np.full(sel.sum(), id_a, dtype=np.int64))
                 out_b.append(ids_b[sel])
@@ -149,8 +166,10 @@ def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 10,
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
-            quantized_dot(F.col("va"), F.col("vb"))
-            / F.sqrt(F.col("qa").cast("double") * F.col("qb").cast("double")),
+            cosine_from_quantized(
+                quantized_dot(F.col("va"), F.col("vb")),
+                F.col("qa"), F.col("qb"),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -301,8 +320,9 @@ def semantic_dedup_ivf(
         ivf_cell_expr(F.col(vec_col), cents).alias("cell"),
     )
     a, b = asg.alias("a"), asg.alias("b")
-    cos = quantized_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / F.sqrt(
-        F.col("a.qnorm").cast("double") * F.col("b.qnorm").cast("double")
+    cos = cosine_from_quantized(
+        quantized_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+        F.col("a.qnorm"), F.col("b.qnorm"),
     )
     return (
         a.join(
@@ -345,8 +365,10 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 3,
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
-            quantized_dot(F.col("va"), F.col("vb"))
-            / F.sqrt(F.col("qa").cast("double") * F.col("qb").cast("double")),
+            cosine_from_quantized(
+                quantized_dot(F.col("va"), F.col("vb")),
+                F.col("qa"), F.col("qb"),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -388,8 +410,10 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 3,
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
-            quantized_dot(F.col("va"), F.col("vb"))
-            / F.sqrt(F.col("qa").cast("double") * F.col("qb").cast("double")),
+            cosine_from_quantized(
+                quantized_dot(F.col("va"), F.col("vb")),
+                F.col("qa"), F.col("qb"),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -627,8 +651,10 @@ def ivf_index_probe(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
-            quantized_dot(F.col("va"), F.col("vb"))
-            / F.sqrt(F.col("qa").cast("double") * F.col("qb").cast("double")),
+            cosine_from_quantized(
+                quantized_dot(F.col("va"), F.col("vb")),
+                F.col("qa"), F.col("qb"),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -791,17 +791,18 @@ def cosine_similarity_series(pixels: DataFrame) -> DataFrame:
     dot = lambda a, b: F.sum(  # noqa: E731
         F.col(a).cast("double") * F.col(b).cast("double")
     )
+
+    # NULL for a zero-norm frame (blank detector image): ANSI mode
+    # (Spark 4 default) raises DIVIDE_BY_ZERO even on double division
+    # (round 13); the reference's numpy divide reads nan there, and a
+    # NULL csim row is the relational analog — the series survives.
+    def _csim(other: str) -> F.Column:
+        denom = F.sqrt(dot("intensity", "intensity") * dot(other, other))
+        return F.when(denom > 0, dot("intensity", other) / denom)
+
     sims = paired.groupBy("dataset", "seq").agg(
-        (
-            dot("intensity", "v_first")
-            / F.sqrt(dot("intensity", "intensity")
-                     * dot("v_first", "v_first"))
-        ).alias("csim_first"),
-        (
-            dot("intensity", "v_prev")
-            / F.sqrt(dot("intensity", "intensity")
-                     * dot("v_prev", "v_prev"))
-        ).alias("csim_prev"),
+        _csim("v_first").alias("csim_first"),
+        _csim("v_prev").alias("csim_prev"),
     )
     return sims.join(F.broadcast(ids), ["dataset", "seq"]).select(
         "dataset", "seq", "image_id", "csim_first", "csim_prev"
