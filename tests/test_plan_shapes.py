@@ -226,9 +226,12 @@ def test_q5ish_joins_still_broadcast_at_bench_sf(spark, sf_dir):
 
 
 def test_fused_integrals_spottiness_one_scan(spark):
-    """A1+A15 fusion (round 9): ONE Expand + ONE aggregation exchange in
-    the fused plan, and the split outputs read the barrier (no Expand or
-    pixel re-scan below them)."""
+    """A1+A15 fusion (round 13, joint-key form): NO Expand anywhere — the
+    joint (image, tth_idx, qbin) aggregation replaced the GROUPING SETS
+    Expand (measured 49.3 -> 31.6 run core-s on the isolated agg,
+    scripts/ab_intspot_r13.py) — and each split output is a single tiny
+    margin re-aggregation (exactly ONE exchange) over the checkpointed
+    ~bins-per-image joint frame, never a pixel re-scan."""
     from tests.fixtures_images import CONTROLS, images_long_df, make_image
     from xrddatapipeline_spark.plans.image_pipeline import run_image_plan
 
@@ -243,11 +246,11 @@ def test_fused_integrals_spottiness_one_scan(spark):
 
     for out in (res.integrals, res.spottiness):
         p = _plan(out)
-        # derived outputs are selects over the tiny checkpointed frame:
-        # no Expand, no aggregation exchange, no InMemoryTableScan of the
+        # derived outputs re-aggregate the tiny checkpointed joint frame:
+        # one margin exchange, no Expand, no InMemoryTableScan of the
         # dense pixel cache below them
         assert "Expand" not in p
-        assert _exchanges(out) == 0
+        assert _exchanges(out) == 1
         assert "InMemoryTableScan" not in p
     res.unpersist_all()
     pixels.unpersist()

@@ -463,7 +463,7 @@ def integrate_and_spottiness(
     controls: ImageControls,
     sparse_hint=None,
 ) -> DataFrame:
-    """A1 x4 + A15 in ONE pixel-table pass (GROUPING SETS fusion).
+    """A1 x4 + A15 in ONE pixel-table pass (joint-key fusion, round 13).
 
     ``integrate_all`` and ``spottiness_per_qbin`` have the same input
     shape — scan the dense pixel table, left-join the sparse flag table,
@@ -471,15 +471,25 @@ def integrate_and_spottiness(
     (tth_idx vs qbin) and the aggregates. Run separately they scan + probe
     the 66 M-row cache twice; the round-9 named-stage profile showed
     out:spottiness costing as much as a barrier build (176-548 core-s per
-    warm 8 x 2880^2 batch). GROUPING SETS ((image_id, tth_idx),
-    (image_id, qbin)) computes both in one scan: Expand doubles rows
-    map-side, partial agg collapses them immediately, and ONE tiny
-    exchange (bins x images rows) replaces the two.
+    warm 8 x 2880^2 batch). Rounds 9-12 fused them with GROUPING SETS
+    ((image_id, tth_idx), (image_id, qbin)); round 13 replaced that with
+    ONE joint aggregation on (image_id, tth_idx, qbin): the Expand
+    doubled the 66 M-row stream and every copy carried all 10 aggregate
+    buffers (~20 agg-updates per source row), where the joint key needs
+    10 — and since qbin is a monotone FUNCTION of tth_idx (both derive
+    from 2theta), the joint frame has only ~tth_bins + qbins live cells
+    per image, not their product (correctness does not depend on the
+    dependence; a worst-case independent pair is still bins x bins =
+    tiny). Measured on the isolated agg at 8 x 2880^2: 49.3 -> 31.6 run
+    core-s median, cpu 46.6 -> 29.0 (scripts/ab_intspot_r13.py, 4
+    alternating reps).
 
-    Returns the fused agg frame keyed by ``_gid`` (1 = tth_idx set,
-    2 = qbin set); split it with ``split_integrals`` /
-    ``split_spottiness``. Callers should barrier the fused frame (it is
-    tiny) so the two derived outputs don't each re-run the scan.
+    Returns the joint agg frame (image_id, tth_idx, qbin, per-kind
+    sums/counts, n_total, n_masked); split it with ``split_integrals`` /
+    ``split_spottiness``, which re-aggregate the margins (a ~21k-row
+    input — negligible). Callers should barrier the joint frame so the
+    two derived outputs don't each re-run the scan (run_image_plan
+    already does).
 
     Spottiness parity note: A15 counts om membership; the flag table's
     pixel set equals the om set by construction (labeled pixels ⊆ om via
@@ -508,24 +518,27 @@ def integrate_and_spottiness(
         aggs.append(F.count(F.when(~mask, F.lit(1))).alias(f"n_{kind}"))
     aggs.append(F.count(F.lit(1)).alias("n_total"))
     aggs.append(F.sum(F.col("is_om").cast("int")).alias("n_masked"))
-    return (
-        flagged.groupingSets(
-            [["image_id", "tth_idx"], ["image_id", "qbin"]],
-            "image_id", "tth_idx", "qbin",
-        )
-        .agg(*aggs, F.grouping_id().alias("_gid"))
-    )
+    return flagged.groupBy("image_id", "tth_idx", "qbin").agg(*aggs)
 
 
 def split_integrals(fused: DataFrame, controls: ImageControls) -> DataFrame:
-    """(image_id, kind, tth_idx, tth, intensity) from the fused agg frame
+    """(image_id, kind, tth_idx, tth, intensity) from the joint agg frame
     — same output as ``integrate_all`` (bin-0 rows are aggregated then
-    dropped here; they never contribute to a kept bin either way)."""
+    dropped here; they never contribute to a kept bin either way). The
+    tth margin re-aggregates the barriered ~21k-row joint frame — one
+    tiny exchange, never the pixel scan."""
     kinds = ("base", "om", "spotsmasked", "arcsmasked")
+    margin = (
+        fused.where(F.col("tth_idx") > 0)
+        .groupBy("image_id", "tth_idx")
+        .agg(
+            *[F.sum(f"sum_{k}").alias(f"sum_{k}") for k in kinds],
+            *[F.sum(f"n_{k}").alias(f"n_{k}") for k in kinds],
+        )
+    )
     stack_args = ", ".join(f"'{kind}', sum_{kind}, n_{kind}" for kind in kinds)
     lo, hi = controls.iotth
-    wide = fused.where((F.col("_gid") == 1) & (F.col("tth_idx") > 0))
-    return wide.selectExpr(
+    return margin.selectExpr(
         "image_id",
         "tth_idx",
         f"stack({len(kinds)}, {stack_args}) as (kind, sum_val, n_px)",
@@ -542,15 +555,20 @@ def split_integrals(fused: DataFrame, controls: ImageControls) -> DataFrame:
 
 
 def split_spottiness(fused: DataFrame) -> DataFrame:
-    """(image_id, qbin, n_total, n_masked, frac_masked) from the fused agg
-    frame — same output as ``spottiness_per_qbin``."""
+    """(image_id, qbin, n_total, n_masked, frac_masked) from the joint agg
+    frame — same output as ``spottiness_per_qbin`` (qbin margin)."""
     return (
-        fused.where((F.col("_gid") == 2) & (F.col("qbin") >= 0))
+        fused.where(F.col("qbin") >= 0)
+        .groupBy("image_id", "qbin")
+        .agg(
+            F.sum("n_total").alias("n_total"),
+            F.sum("n_masked").cast("long").alias("n_masked"),
+        )
         .select(
             "image_id",
             "qbin",
-            F.col("n_total"),
-            F.col("n_masked").cast("long").alias("n_masked"),
+            "n_total",
+            "n_masked",
             (F.col("n_masked") / F.col("n_total")).alias("frac_masked"),
         )
     )
