@@ -1,0 +1,163 @@
+"""Round-14 parity pins: the mapInPandas rewrites (simhash64,
+minhash_wide, winnow_fingerprints) and the M2+M1 close+label fusion must
+be BIT-IDENTICAL to the expression/split formulations they replaced.
+Each test inlines the previous formulation and asserts exact equality —
+beyond the oracle rows, these cover edge shapes (empty string, multiple
+spaces, unicode, NULL text) the sf corpora may not exercise."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xrddatapipeline_spark.operators import text as tx
+from xrddatapipeline_spark.operators.text import (
+    MINHASH_MOD,
+    _minhash_perm,
+    md5_prefix_long,
+    tokens_col,
+)
+
+
+@pytest.fixture(scope="module")
+def edge_docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "double  space and trailing "),
+        (3, ""),                      # "" -> [""] single empty token
+        (4, None),                    # NULL text -> no output row
+        (5, "unicode tøkens ünd ☃ snowman über alles today friends"),
+        (6, "a"),                     # shorter than any k-gram window
+        (7, "x " * 40),               # highly repetitive
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_simhash64_matches_expression_form(edge_docs):
+    # previous formulation (pre-r14): explode tokens, md5 prefix longs,
+    # 64 shift/mask vote sums in one aggregation
+    toks = edge_docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id",
+        md5_prefix_long(F.col("tok"), 8, start=0).alias("h_hi"),
+        md5_prefix_long(F.col("tok"), 8, start=8).alias("h_lo"),
+    )
+
+    def bit(p: int):
+        src, sh = ("h_hi", 31 - p) if p < 32 else ("h_lo", 63 - p)
+        return F.shiftright(F.col(src), sh).bitwiseAND(F.lit(1))
+
+    votes = toks.groupBy("doc_id").agg(
+        *[F.sum(2 * bit(p) - 1).alias(f"v_{p}") for p in range(64)]
+    )
+    old = votes.select(
+        "doc_id",
+        F.concat(*[
+            F.when(F.col(f"v_{p}") > 0, "1").otherwise("0")
+            for p in range(64)
+        ]).alias("simhash"),
+    ).toPandas().set_index("doc_id").sort_index()
+
+    new = tx.simhash64(edge_docs).toPandas().set_index("doc_id").sort_index()
+    assert list(new.index) == list(old.index)  # NULL doc dropped by both
+    assert (new.simhash == old.simhash).all()
+
+
+def test_minhash_wide_matches_expression_form(edge_docs, spark):
+    sh = tx.word_shingles(
+        edge_docs.where("text is not null"), n=2
+    )
+    num = 16
+    hashed = sh.select(
+        "doc_id",
+        (md5_prefix_long(F.col("shingle")) % MINHASH_MOD).alias("h"),
+    )
+    old = hashed.groupBy("doc_id").agg(
+        *[F.min(_minhash_perm(s)).alias(f"m_{s}") for s in range(num)]
+    ).toPandas().set_index("doc_id").sort_index()
+
+    new = tx.minhash_wide(sh, num_hashes=num).toPandas().set_index(
+        "doc_id"
+    ).sort_index()
+    pd.testing.assert_frame_equal(new, old)
+
+
+def test_minhash_wide_exact_under_any_partitioning(edge_docs):
+    # partial-min-then-min must not depend on how shingle rows split
+    sh = tx.word_shingles(edge_docs.where("text is not null"), n=2)
+    one = tx.minhash_wide(sh.coalesce(1), num_hashes=8).toPandas()
+    many = tx.minhash_wide(sh.repartition(7), num_hashes=8).toPandas()
+    one = one.set_index("doc_id").sort_index()
+    many = many.set_index("doc_id").sort_index()
+    pd.testing.assert_frame_equal(one, many)
+
+
+def test_winnow_matches_expression_form(edge_docs):
+    k, w = 4, 3
+    # previous formulation (pre-r14): per-doc array expressions behind
+    # Generate boundaries
+    t = F.col("text")
+    n_g = F.length("text") - (k - 1)
+    hs_expr = F.transform(
+        F.sequence(F.lit(1), n_g),
+        lambda i: F.md5(t.substr(i, F.lit(k))),
+    )
+    with_hs = (
+        edge_docs.where(n_g - (w - 1) >= 1)
+        .select("doc_id", F.explode(F.array(hs_expr)).alias("hs"))
+    )
+    wmins_expr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - (w - 1)),
+            lambda i: F.array_min(F.slice("hs", i, w)),
+        )
+    )
+    with_wm = with_hs.select(
+        "doc_id", F.explode(F.array(wmins_expr)).alias("wm")
+    )
+    old = with_wm.select(
+        "doc_id",
+        F.size("wm").alias("n_fingerprints"),
+        F.array_min("wm").alias("min_fp"),
+        F.array_max("wm").alias("max_fp"),
+    ).toPandas().set_index("doc_id").sort_index()
+
+    new = tx.winnow_fingerprints(
+        edge_docs, k=k, w=w
+    ).toPandas().set_index("doc_id").sort_index()
+    assert list(new.index) == list(old.index)  # short/NULL docs dropped
+    pd.testing.assert_frame_equal(new, old)
+
+
+def test_close_and_label_matches_split_form(spark):
+    from xrddatapipeline_spark.operators.raster import (
+        close_and_label_pixels,
+        close_mask_pixels,
+        label_pixels,
+    )
+
+    shape = (48, 40)
+    rng = np.random.default_rng(42)
+    rows = []
+    for img in ("img_a", "img_b"):
+        ys, xs = np.nonzero(rng.random(shape) < 0.04)
+        rows += [(img, int(y), int(x)) for y, x in zip(ys, xs)]
+    df = spark.createDataFrame(rows, "image_id string, y int, x int")
+
+    split = label_pixels(
+        close_mask_pixels(df, shape=shape, radius=1),
+        shape=shape, connectivity=2,
+    ).toPandas()
+    fused = close_and_label_pixels(
+        df, shape=shape, radius=1, connectivity=2
+    ).toPandas()
+    key = ["image_id", "y", "x"]
+    split = split.sort_values(key).reset_index(drop=True)
+    fused = fused.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        fused[split.columns.tolist()], split
+    )

@@ -104,6 +104,54 @@ def close_mask_pixels(
     )
 
 
+def close_and_label_pixels(
+    masked_pixels: DataFrame,
+    shape: tuple[int, int],
+    radius: int = 1,
+    connectivity: int = 2,
+    min_area: int = 0,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """M2 + M1 fused: 3x3 binary closing of a sparse mask, then
+    connected-component labels, in ONE rasterize/kernel/emit pass.
+
+    Identical output to ``label_pixels(close_mask_pixels(df))`` (labeling
+    the re-sparsified closed mask rebuilds exactly the closed raster),
+    but one applyInPandas round instead of two: one image_id exchange,
+    one Arrow in/out, one rasterize — and callers need no intermediate
+    barrier between closing and labeling (round 14; the split form cost
+    the image plan a whole eager checkpoint job plus a second kernel
+    pass per batch). Every closed pixel carries a label >= 1 when
+    ``min_area == 0``, so the closed mask itself is the (y, x) set of
+    the output.
+    """
+    h, w = shape
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        mask = np.zeros((h, w), dtype=bool)
+        mask[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = True
+        closed = kernels.binary_closing(mask, radius=radius)
+        lab = kernels.label_components(closed, connectivity=connectivity)
+        if min_area > 0:
+            lab = kernels.remove_small_objects(lab, min_area)
+        ys, xs = np.nonzero(lab > 0)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(pdf[id_col].iloc[0], ys.size),
+                "y": ys.astype(np.int32),
+                "x": xs.astype(np.int32),
+                "label": lab[ys, xs].astype(np.int32),
+            }
+        )
+
+    schema = f"{id_col} string, y int, x int, label int"
+    return (
+        masked_pixels.select(id_col, "y", "x")
+        .groupBy(id_col)
+        .applyInPandas(_run, schema=schema)
+    )
+
+
 def apply_image_kernel(
     pixels: DataFrame,
     value_cols: list[str],

@@ -104,24 +104,71 @@ def _minhash_perm(seed: int) -> "Column":
 
 def minhash_wide(shingles: DataFrame, num_hashes: int = 32,
                  id_col: str = "doc_id") -> DataFrame:
-    """MinHash signature as ONE hash aggregation: (doc_id, m_0..m_{n-1}).
+    """MinHash signature: (doc_id, m_0..m_{n-1}).
 
     ONE md5 per shingle -> 48-bit int, then ``num_hashes`` affine
     permutations (a_s*h + b_s mod 2^31-1) — the standard universal-hash
     family, crypto-hash count O(shingles) not O(shingles x seeds).
+    min over the shingle multiset == min over the set, so no distinct
+    is needed.
 
-    All permutations are aggregated as ``num_hashes`` min() columns over
-    the SAME shingle rows — no seed explode, so the aggregate input stays
-    at |shingles| rows instead of |shingles| x num_hashes, and the
-    (map-side combined) shuffle is one row per doc. min over the shingle
-    multiset == min over the set, so no distinct is needed either.
+    Round-14 formulation: a mapInPandas pass computes PER-PARTITION
+    partial minima (hashlib md5 at C speed — identical bytes to Spark's
+    md5 — and the permutations as one numpy (shingles x seeds) matrix,
+    pandas groupby-min), then the same ``num_hashes`` min() aggregation
+    runs over the partials — at most one row per (partition, doc), so
+    the shuffle stays one row per doc and the wide aggregation (whose
+    ``num_hashes`` expression trees ran interpreted under any realistic
+    codegen method budget — profiled as the top CPU stage of the minhash
+    queries) now sees ~|docs| rows instead of |shingles| (guide §4.2).
+    Exact for ANY partitioning of the shingle rows: min of per-partition
+    minima == global min.
     """
-    hashed = shingles.select(
-        id_col,
-        (md5_prefix_long(F.col("shingle")) % MINHASH_MOD).alias("h"),
+    import numpy as np
+    import pandas as pd
+
+    id_type = shingles.schema[id_col].dataType.simpleString()
+    a = np.array(
+        [1 + (s * MINHASH_MULT) % (MINHASH_MOD - 1) for s in range(num_hashes)],
+        dtype=np.int64,
     )
-    return hashed.groupBy(id_col).agg(
-        *[F.min(_minhash_perm(s)).alias(f"m_{s}") for s in range(num_hashes)]
+    b = np.array(
+        [(s * 40503 + 12345) % MINHASH_MOD for s in range(num_hashes)],
+        dtype=np.int64,
+    )
+    cols = [f"m_{s}" for s in range(num_hashes)]
+
+    def _partials(batches):
+        import hashlib
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # h < 2^31 and a < 2^31, so h*a + b < 2^62 + 2^31 — exact int64
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(s.encode("utf-8")).digest()[:6], "big"
+                    ) % MINHASH_MOD
+                    for s in pdf["shingle"]
+                ),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            perms = (hs[:, None] * a[None, :] + b[None, :]) % MINHASH_MOD
+            out = pd.DataFrame(perms, columns=cols)
+            out[id_col] = pdf[id_col].to_numpy()
+            res = out.groupby(id_col, sort=False, as_index=False).min()
+            yield res[[id_col, *cols]]
+
+    schema = ", ".join(
+        [f"{id_col} {id_type}"] + [f"{c} long" for c in cols]
+    )
+    partial = shingles.select(id_col, "shingle").mapInPandas(
+        _partials, schema=schema
+    )
+    return partial.groupBy(id_col).agg(
+        *[F.min(c).alias(c) for c in cols]
     )
 
 
@@ -254,43 +301,54 @@ def simhash64(df: DataFrame, text_col: str = "text",
     """64-bit SimHash as a '0'/'1' string (bit p = sign of the tf-weighted
     vote over token-md5 bit p). Output: (doc_id, simhash).
 
-    The token's 64 md5 bits are packed into two 32-bit ints once
-    (16 nibble lookups), so the per-(token, p) work is a shift+mask on a
-    long instead of substring+strpos on the hex string — same bits, ~10x
-    cheaper inner loop at corpus scale.
+    Round-14 formulation: ONE mapInPandas pass — per document, md5 every
+    whitespace token (hashlib's md5 == Spark's md5 on the same UTF-8
+    bytes), take the first 64 digest bits MSB-first (bit p here ==
+    bit p of the previous conv(md5-hex)+shift expression form — pinned by
+    the dedup_simhash oracle hash), count set bits per position with one
+    vectorized ``np.unpackbits(...).sum(axis=0)``, and vote
+    v_p = 2*cnt_p - n_tokens. Zero shuffles (the previous explode ->
+    64-sum-column hash aggregation carried one exchange), and the 64
+    shift/mask/sum expression trees — which exceeded any sane codegen
+    method budget and ran INTERPRETED, profiled at ~250 CPU core-s on the
+    sf0.1 corpus — become C-speed hashing plus one numpy reduction
+    (~0.3 CPU core-s; guide §4.2: batch opaque per-row math into
+    vectorized native code). Per-doc map work only, so the 100 TB shape
+    is embarrassingly parallel.
 
-    Measured and rejected (round 9): pre-collapsing duplicate tokens via
-    a (doc_id, tok) count agg before the 64-sum vote is ~15% faster
-    locally (dup factor 2.33 at sf0.1) but introduces a NEW exchange of
-    ~|distinct tokens| rows where this plan's only shuffle is one
-    64-column row per doc (the vote agg map-side-combines all of a doc's
-    occurrences — documents are co-partitioned with their tokens by
-    construction). At cluster scale that extra exchange dwarfs the
-    vote-expression savings, so the single-agg form stays.
+    Tokenization parity: ``text.split(' ')`` in Python == ``F.split(text,
+    ' ')`` (single-space regex, empty tokens kept, ``"" -> [""]``); NULL
+    text produces no output row, exactly like the explode it replaces.
     """
-    toks = df.select(
-        id_col, F.explode(tokens_col(F.col(text_col))).alias("tok")
-    ).select(
-        id_col,
-        md5_prefix_long(F.col("tok"), 8, start=0).alias("h_hi"),
-        md5_prefix_long(F.col("tok"), 8, start=8).alias("h_lo"),
-    )
+    import numpy as np
+    import pandas as pd
 
-    def bit(p: int) -> "Column":
-        src, sh = ("h_hi", 31 - p) if p < 32 else ("h_lo", 63 - p)
-        return F.shiftright(F.col(src), sh).bitwiseAND(F.lit(1))
+    id_type = df.schema[id_col].dataType.simpleString()
 
-    # all 64 votes in ONE hash aggregation over the token rows (64 sum
-    # columns) instead of exploding 64 bit-rows per token — the aggregate
-    # input stays at |tokens| rows and the shuffle is one row per doc
-    votes = toks.groupBy(id_col).agg(
-        *[F.sum(2 * bit(p) - 1).alias(f"v_{p}") for p in range(64)]
-    )
-    return votes.select(
-        id_col,
-        F.concat(*[
-            F.when(F.col(f"v_{p}") > 0, "1").otherwise("0") for p in range(64)
-        ]).alias("simhash"),
+    def _simhash(batches):
+        import hashlib
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                toks = t.split(" ")
+                raw = np.empty((len(toks), 8), dtype=np.uint8)
+                for j, tok in enumerate(toks):
+                    raw[j] = np.frombuffer(
+                        hashlib.md5(tok.encode("utf-8")).digest(), np.uint8,
+                        count=8,
+                    )
+                cnt = np.unpackbits(raw, axis=1).sum(axis=0, dtype=np.int64)
+                votes = 2 * cnt - len(toks)
+                ids.append(i)
+                hashes.append("".join(np.where(votes > 0, "1", "0")))
+            if ids:
+                yield pd.DataFrame({id_col: ids, "simhash": hashes})
+
+    return df.select(id_col, text_col).mapInPandas(
+        _simhash, schema=f"{id_col} {id_type}, simhash string"
     )
 
 
@@ -329,37 +387,61 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 8,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al. 2003): md5 of each
     char k-gram, keep the window-min over every w consecutive k-grams.
-    Output: (doc_id, n_fingerprints, min_fp, max_fp)."""
-    # Shuffle-free formulation: every step (k-gram md5 array, sliding
-    # window-min over w full windows, distinct, count/min/max) is per-doc,
-    # so it's all array expressions in a single scan — the sort-window /
-    # distinct / groupBy alternative shuffles |docs| x |text| gram rows
-    # three times. Each lambda-computed array is materialized behind a
-    # Generate boundary (explode of a 1-element array) because projection
-    # collapse would otherwise inline it into every downstream reference
-    # (lambda expressions get no CSE) — O(L^2) md5s instead of O(L).
-    t = F.col(text_col)
-    n_g = F.length(text_col) - (k - 1)  # k-gram count (<=0: no grams)
-    hs_expr = F.transform(
-        F.sequence(F.lit(1), n_g),
-        lambda i: F.md5(t.substr(i, F.lit(k))),
-    )
-    with_hs = (
-        df.where(n_g - (w - 1) >= 1)  # docs with >=1 FULL window
-        .select(id_col, F.explode(F.array(hs_expr)).alias("hs"))
-    )
-    wmins_expr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("hs") - (w - 1)),
-            lambda i: F.array_min(F.slice("hs", i, w)),
-        )
-    )
-    with_wm = with_hs.select(id_col, F.explode(F.array(wmins_expr)).alias("wm"))
-    return with_wm.select(
-        id_col,
-        F.size("wm").alias("n_fingerprints"),
-        F.array_min("wm").alias("min_fp"),
-        F.array_max("wm").alias("max_fp"),
+    Output: (doc_id, n_fingerprints, min_fp, max_fp).
+
+    Round-14 formulation: ONE mapInPandas pass, still shuffle-free and
+    per-doc. The previous all-array-expression form (md5-per-gram inside
+    ``transform`` lambdas + per-window ``array_min(slice(...))``) ran
+    interpreted — higher-order array functions are CodegenFallback — and
+    profiled at ~100 CPU core-s on the sf0.1 corpus; here the grams are
+    hashed with C-speed hashlib (== Spark's md5 on the same UTF-8 bytes)
+    and the window-min is ``w`` vectorized ``np.minimum`` passes over the
+    hex-string array (~1 CPU core-s; guide §4.2). Lexicographic parity:
+    numpy ``<U32`` comparison == UTF8String binary comparison on
+    lowercase-hex ASCII. Docs with no full window (len(text) < k+w-1)
+    emit nothing, like the filter they replace; char indexing is
+    code-point based on both sides.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _winnow(batches):
+        import hashlib
+
+        for pdf in batches:
+            ids, n_fp, lo, hi = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                n_g = len(t) - (k - 1)  # k-gram count
+                n_w = n_g - (w - 1)     # full-window count
+                if n_w < 1:
+                    continue
+                hs = np.array(
+                    [hashlib.md5(t[j:j + k].encode("utf-8")).hexdigest()
+                     for j in range(n_g)]
+                )
+                wm = hs[:n_w]
+                for off in range(1, w):  # np.minimum lacks a str loop (<2.0)
+                    nxt = hs[off:off + n_w]
+                    wm = np.where(nxt < wm, nxt, wm)
+                uniq = np.unique(wm)
+                ids.append(i)
+                n_fp.append(np.int32(uniq.size))
+                lo.append(uniq[0])
+                hi.append(uniq[-1])
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: ids, "n_fingerprints": np.asarray(n_fp, np.int32),
+                     "min_fp": lo, "max_fp": hi}
+                )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _winnow,
+        schema=f"{id_col} {id_type}, n_fingerprints int, "
+               "min_fp string, max_fp string",
     )
 
 

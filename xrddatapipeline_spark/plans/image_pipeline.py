@@ -161,6 +161,7 @@ def closed_outlier_pixels(
 def labeled_pixels_frame(
     px: DataFrame, om_pixels: DataFrame, shape: tuple[int, int],
     sparse_hint=None, controls: ImageControls | None = None,
+    closing_radius: int | None = None,
 ) -> DataFrame:
     """The labeled sparse pixel set feeding shape classification: label
     the closed outlier mask (M1), then attach the per-pixel physics
@@ -180,8 +181,26 @@ def labeled_pixels_frame(
     on the ~1%-of-pixels sparse rows with the SAME expressions that built
     the cache, so the values are bit-identical. Only ``intensity`` is
     data; everything else is geometry. With an externally-measured calib
-    table the 7-column probe stays (recomputation could diverge)."""
-    labeled = label_pixels(om_pixels, shape=shape, connectivity=2)
+    table the 7-column probe stays (recomputation could diverge).
+
+    ``closing_radius`` (round 14): when set, ``om_pixels`` is the RAW
+    outlier set and the M2 closing runs FUSED with the labeling kernel
+    (operators.raster.close_and_label_pixels) — identical rows to
+    closing-then-labeling, one kernel pass / one exchange / no
+    intermediate closed-mask barrier. The closed mask itself is then the
+    (image_id, y, x) projection of this frame (every closed pixel is
+    labeled at min_area=0). ``None`` keeps the pre-closed input path
+    (classify_clusters, image_plan_spine)."""
+    if closing_radius is not None:
+        from xrddatapipeline_spark.operators.raster import (
+            close_and_label_pixels,
+        )
+
+        labeled = close_and_label_pixels(
+            om_pixels, shape=shape, radius=closing_radius, connectivity=2
+        )
+    else:
+        labeled = label_pixels(om_pixels, shape=shape, connectivity=2)
     if sparse_hint is not None:
         labeled = sparse_hint(labeled)
     if controls is not None:
@@ -856,8 +875,10 @@ class ImagePlanResult:
     def unpersist_all(self) -> None:
         """Drop every frame the plan persisted (call after the batch's
         outputs are written — the streaming sink does this per batch)."""
+        # om_pixels is a projection of the labeled_pixels barrier since the
+        # round-14 M2+M1 fusion — releasing labeled_pixels frees it
         frames = [
-            self.pixels, self.outliers, self.om_pixels,
+            self.pixels, self.outliers,
             self.labeled_pixels, self.label_table,
         ]
         if self.fused_bins is not None:
@@ -1169,22 +1190,19 @@ def run_image_plan(
         "outlier_mask",
         F.count(F.lit(1)).alias("n_outlier_px"),
     ), label="outliers")
-    om = _bar(_obs(
-        closed_outlier_pixels(outliers, shape),
-        "binary_closing",
-        F.count(F.lit(1)).alias("n_om_px"),
-    ), label="om")
     # Join-strategy hint for the sparse⋈dense joins downstream (mask sets
     # against the pixel raster). Under the checkpoint barrier the sparse
     # frames are LogicalRDDs with UNKNOWN stats, so AQE falls back to a
     # sort-merge join that shuffles the DENSE pixel side (measured 1.2-2 GB
     # shuffle writes per join at 8 x 2880^2); an explicit broadcast hint on
     # the sparse side removes every one of those exchanges. Gated on the
-    # materialized om row count (a cheap cached scan — the barrier already
-    # ran it eagerly) so a pathologically dense mask falls back to SMJ
-    # instead of a driver-sized broadcast. Under "persist" the frames are
-    # InMemoryRelations whose stats AQE already sees — no hint needed.
-    if eager and om.count() <= sparse_broadcast_rows:
+    # materialized OUTLIER row count (a cheap cached scan — the barrier
+    # already ran it eagerly; the 3x3 closing only grows the set by gap
+    # fill, far inside the threshold's safety margin) so a pathologically
+    # dense mask falls back to SMJ instead of a driver-sized broadcast.
+    # Under "persist" the frames are InMemoryRelations whose stats AQE
+    # already sees — no hint needed.
+    if eager and outliers.count() <= sparse_broadcast_rows:
         sb = F.broadcast
     else:
         sb = None
@@ -1192,18 +1210,26 @@ def run_image_plan(
     # then build label_table FROM the barrier — the tuple form re-ran
     # the labeling kernel + the 66M-row px join inside the label_table
     # checkpoint job (one of the three big localCheckpoint stages in the
-    # round-7 warm profile)
-    lpx = _bar(
+    # round-7 warm profile).
+    # M2+M1 fusion (round 14, closing_radius=1): the closing runs INSIDE
+    # the labeling kernel, so the separate om barrier (a whole eager
+    # checkpoint job + a second applyInPandas pass + its image_id
+    # exchange) is gone; the closed mask is the (image_id, y, x)
+    # projection of the lpx barrier (every closed pixel is labeled).
+    lpx = _bar(_obs(
         labeled_pixels_frame(
-            px, om, shape, sparse_hint=sb,
+            px, outliers, shape, sparse_hint=sb,
             # closed-form calibration => the lpx probe reads only
             # intensity off the dense cache (geometry recomputed on the
             # sparse rows, bit-identical); a real calib table keeps the
             # full-column probe
             controls=controls if calib is None else None,
+            closing_radius=1,
         ),
-        label="lpx",
-    )
+        "binary_closing",
+        F.count(F.lit(1)).alias("n_om_px"),
+    ), label="lpx")
+    om = lpx.select("image_id", "y", "x")
     label_table = _bar(_obs(
         label_table_from(lpx),
         "shape_classification",

@@ -82,6 +82,19 @@ def get_spark(
     builder = (
         builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Shuffle writer (round 14): always take the serialized-sort path
+        # (UnsafeShuffleWriter), never BypassMergeSortShuffleWriter. The
+        # bypass writer opens one stream PER REDUCE PARTITION per map task
+        # (M x R tiny file creates + a concat pass); it only triggers when
+        # partitions <= 200 — i.e. never at production partition counts —
+        # so local/small-N runs were exercising a different (and, on this
+        # host's filesystem, pathologically slow) writer than production.
+        # Measured on the bench host (32-way, 32 shuffle partitions, warm
+        # min-of-3, same session shape): a trivial repartition+agg's map
+        # stage 14.7 -> 0.5 run core-s, shuffle write time 9.0 s -> 13 ms;
+        # headline-bench total (interleaved A/B) ~2x. One output file per
+        # map task is also the right shape at scale (guide §2.2).
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
