@@ -33,22 +33,23 @@ from xrddatapipeline_spark.operators.ring_stats import flag_outliers
 from xrddatapipeline_spark.operators.raster import close_mask_pixels, label_pixels
 
 #: ring outlier stage: histogram (per distinct intensity) vs array (per
-#: pixel) order-stat route. Measured A/B at 8 x 2880^2 / local[32]: the
-#: histogram shuffle carries 65x fewer rows (98.5k distinct
-#: (ring,intensity) vs 6.48M candidate pixels) yet wall-clock is ~10%
-#: SLOWER (46.2 vs 41.7 s/img) — single-box shuffles are memory copies,
-#: so the extra 66M-row pre-aggregation pass costs more than it saves.
-#: Default False (array) for local throughput; flip True on a real
-#: cluster where the ring-stat shuffle crosses the network. Exchange
-#: write metrics pinned in tests/test_ring_stats_hist.py (2880^2 / 2500
-#: rings, bench distribution): histogram 239k records / 3.5 MB vs array
-#: 23.9 MB — ~35x fewer records than pixels, ~7x fewer bytes (lz4
-#: already packs the array route's integer runs; the byte win is real
-#: but smaller than the row win). Lockstep-tested exactly equal.
+#: pixel) order-stat route. Lockstep-tested exactly equal; the histogram
+#: shuffle carries ~35-65x fewer rows for quantized detector counts
+#: (exchange metrics pinned in tests/test_ring_stats_hist.py).
+#: History: an earlier A/B (pre-round-14) read the histogram route ~10%
+#: SLOWER locally and defaulted to array — but that measurement ran under
+#: BypassMergeSortShuffleWriter (pathologically slow on this host, fixed
+#: by bypassMergeThreshold=1 in session.py), which swamped the per-row
+#: shuffle cost the histogram route removes. Re-measured round 14 under
+#: the serialized-sort writer at 8 x 2880^2 / 2500 rings / local[32]
+#: (scripts/ab_outlier_route_r14.py, alternating A/B): histogram median
+#: 11.8 s vs array 39.2 s per batch pass — histogram wins EVERY pairwise
+#: rep, so it is now the default on both local and cluster (where the
+#: row win only grows — the shuffle crosses a network).
 #: Env override XRDSPARK_OUTLIER_HISTOGRAM=1/0 for A/B runs.
 import os as _os
 
-OUTLIER_HISTOGRAM = _os.environ.get("XRDSPARK_OUTLIER_HISTOGRAM", "0") == "1"
+OUTLIER_HISTOGRAM = _os.environ.get("XRDSPARK_OUTLIER_HISTOGRAM", "1") == "1"
 
 #: (applicationId, shapes, stage-set) keys whose kernel-scratch warmup job
 #: has already been submitted this process — python workers persist across
@@ -144,8 +145,8 @@ def outlier_pixels(px: DataFrame, esd_mul: float = 3.0) -> DataFrame:
         value="intensity",
         esd_mul=esd_mul,
         min_count=10,
-        # see OUTLIER_HISTOGRAM: array route locally, histogram route
-        # when the ring-stat shuffle crosses a network
+        # see OUTLIER_HISTOGRAM: histogram route by default (map-side
+        # combined (ring, intensity) counts — exact for integer counts)
         histogram=OUTLIER_HISTOGRAM,
     )
     return flagged.where(F.col("is_outlier")).select("image_id", "y", "x")
