@@ -161,3 +161,90 @@ def test_close_and_label_matches_split_form(spark):
     pd.testing.assert_frame_equal(
         fused[split.columns.tolist()], split
     )
+
+
+def test_brute_force_topk_matches_expression_form(spark):
+    # previous formulation (pre-r14 vectorization): broadcast queries,
+    # crossJoin, per-pair expression fold, rank window — inlined here as
+    # the bit-exactness pin for the mapInPandas local-top-k rewrite.
+    # Corpus includes a zero-norm vector (NULL cos must sort last) and an
+    # exact-duplicate pair (cos ties broken by neighbor_id).
+    from pyspark.sql import Window
+
+    from xrddatapipeline_spark.operators import similarity as sim
+    from xrddatapipeline_spark.operators.similarity import (
+        cosine_from_quantized,
+        norms,
+        quantized_dot,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    vecs[13] = 0.0                      # zero-norm corpus vector
+    vecs[21] = vecs[5]                  # exact duplicate -> cos tie
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(3)
+    queries = df.where(F.col("vec_id").isin(0, 5, 13))  # incl. zero-norm q
+
+    corp = norms(df).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("vb"), F.col("qnorm").alias("qb"),
+    )
+    q = norms(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("va"), F.col("qnorm").alias("qa"),
+    )
+    scored = (
+        F.broadcast(q).crossJoin(corp)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            cosine_from_quantized(
+                quantized_dot(F.col("va"), F.col("vb")),
+                F.col("qa"), F.col("qb"),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    old = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    new = sim.brute_force_topk(df, queries, k=5).toPandas().sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(new, old)
+
+
+def test_minhash_buckets_distinct_equals_multiset(edge_docs):
+    # min is idempotent over duplicates: signatures (hence band buckets)
+    # from the DISTINCT shingle set must equal those from the raw multiset
+    # — the invariant dedup_minhash_pairs' shared-frame rewrite rests on
+    sh = tx.word_shingles(edge_docs.where("text is not null"), n=2)
+    raw = tx.minhash_buckets(sh, 16, 4).toPandas()
+    dst = tx.minhash_buckets(sh.distinct(), 16, 4).toPandas()
+    key = ["doc_id", "band"]
+    raw = raw.sort_values(key).reset_index(drop=True)
+    dst = dst.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(dst, raw)
+
+
+def test_shingle_jaccard_assume_distinct_parity(edge_docs, spark):
+    sh = tx.word_shingles(edge_docs.where("text is not null"), n=2)
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 7), (2, 5)], "doc_a long, doc_b long"
+    )
+    base = tx.shingle_jaccard(sh, pairs=pairs).toPandas()
+    fast = tx.shingle_jaccard(
+        sh.distinct(), pairs=pairs, assume_distinct=True
+    ).toPandas()
+    key = ["doc_a", "doc_b"]
+    base = base.sort_values(key).reset_index(drop=True)
+    fast = fast.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, base)

@@ -150,27 +150,77 @@ def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    `queries` is small -> broadcast; the corpus is scanned once; the rank
-    window partitions by query_id so the shuffle is (queries x corpus)/part.
+    Round-14 formulation (guide §4.1/4.2): the query vectors are collected
+    and broadcast once; each corpus partition scores its rows against them
+    with vectorized numpy and emits only its LOCAL top-k candidates per
+    query; the global rank window then runs over ~queries*k*partitions rows
+    instead of queries*corpus. The per-pair expression fold this replaces
+    (`F.aggregate(zip_with(...))` per (query, corpus) pair) ran interpreted
+    — profiled at ~50 run core-s for 8x10k pairs at dim 64 — where numpy
+    does the same integers in milliseconds.
+
+    Exactness: the quantized integers are identical to `quantized_dot`
+    (float64 products of float32 pairs are exact, *2^40 is a power-of-two
+    scale, floor exact, integer-valued float64 sum < 2^53 — see
+    quantized_dot_vectorized), and cos = qd / sqrt(double(qa)*double(qb))
+    applies the same IEEE ops in the same order as cosine_from_quantized.
+    Zero-norm operands produce nan locally, mapped to NULL before the
+    window (isnan -> NULL), so they sort last under `cos DESC` exactly like
+    the expression path's NULL guard. A partition's top-k under the total
+    order (cos DESC NULLS LAST, neighbor_id ASC) is a superset of its
+    contribution to the global top-k, so the window output is unchanged.
     """
-    corp = norms(df, vec_col, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"),
-        F.col("qnorm").alias("qb"),
+    import numpy as np
+    import pandas as pd
+
+    rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    qmat = np.array([r[1] for r in rows], dtype=np.float64)
+    if len(rows):
+        qnorm = np.floor(qmat * qmat * QSCALE).sum(axis=1)
+    else:  # degenerate: no queries -> empty result (schema preserved)
+        qnorm = np.zeros(0)
+    bcast = df.sparkSession.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def _score(batches):
+        qids_b, qmat_b, qnorm_b = bcast.value
+        for pdf in batches:
+            if not len(pdf) or not len(qids_b):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qb = np.floor(mat * mat * QSCALE).sum(axis=1)
+            out_q, out_n, out_c = [], [], []
+            for qid, qvec, qa in zip(qids_b, qmat_b, qnorm_b):
+                qd = np.floor(mat * qvec[None, :] * QSCALE).sum(axis=1)
+                denom = np.sqrt(qa * qb)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = np.where(denom > 0, qd / denom, np.nan)
+                sel = ids != qid
+                c, i = cos[sel], ids[sel]
+                # total order (cos DESC, id ASC), nan last (np.lexsort
+                # sorts nan to the end of the primary key, matching
+                # NULLS LAST): the first k rows are this batch's entire
+                # possible contribution to the global top-k
+                order = np.lexsort((i, -c))[:k]
+                out_q.append(np.full(len(order), qid, dtype=np.int64))
+                out_n.append(i[order])
+                out_c.append(c[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+    cand = df.select(id_col, vec_col).mapInPandas(
+        _score, schema="query_id long, neighbor_id long, cos double"
     )
-    q = norms(queries, vec_col, id_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("va"),
-        F.col("qnorm").alias("qa"),
-    )
-    scored = (
-        F.broadcast(q).crossJoin(corp)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos",
-            cosine_from_quantized(
-                quantized_dot(F.col("va"), F.col("vb")),
-                F.col("qa"), F.col("qb"),
-            ),
-        )
+    # nan (zero-norm operand) -> NULL: identical ordering + predicate
+    # semantics to the expression path's NULL guard
+    scored = cand.withColumn(
+        "cos", F.when(~F.isnan("cos"), F.col("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")

@@ -248,17 +248,22 @@ def lsh_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame
 
 
 def shingle_jaccard(shingles: DataFrame, pairs: DataFrame | None = None,
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    assume_distinct: bool = False) -> DataFrame:
     """Exact Jaccard over distinct shingle sets via inverted-index join.
 
     If `pairs` is given, restrict to those candidate pairs (verification
     step after LSH); else all pairs sharing >= 1 shingle.
+
+    `assume_distinct=True` declares that `shingles` is already the distinct
+    (id, shingle) set (e.g. a shared cached frame) and skips the dedup
+    shuffle here — Jaccard is a set measure, so the result is identical.
     """
     # the distinct shingle set (the inverted index) feeds BOTH self-join
     # sides and the size table; without a persist each consumer re-runs
     # tokenize -> shingle -> distinct from the raw docs (no exchange reuse
     # across the branches — measured ~3x the whole query)
-    ds = shingles.distinct().persist()
+    ds = shingles if assume_distinct else shingles.distinct().persist()
     sizes = ds.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if pairs is not None:
         # restrict the inverted index to docs that appear in a candidate

@@ -259,14 +259,21 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    # shingles feed the signature aggregate AND the Jaccard verification;
-    # buckets feed both sides of the candidate self-join — persist each
-    # once instead of re-shingling/re-hashing per consumer (at warehouse
-    # scale these would be bucketed tables, not caches)
-    sh = tx.word_shingles(docs).persist()
-    buckets = tx.minhash_buckets(sh, 32, 4).persist()
+    # ONE distinct-shingle frame feeds the signature aggregate AND the
+    # Jaccard verification (round 14, guide §2.3/§2.4): MinHash's min is
+    # idempotent over duplicates, so minhash over the distinct set equals
+    # minhash over the raw multiset — which lets the Jaccard verifier's
+    # inverted index double as the signature input, dropping the second
+    # tokenize->shingle pass and the raw-shingle cache (bigger than the
+    # distinct set) the old two-cache formulation carried. buckets feed
+    # both sides of the candidate self-join — persisted once (at
+    # warehouse scale these would be bucketed tables, not caches).
+    ds = tx.word_shingles(docs).distinct().persist()
+    buckets = tx.minhash_buckets(ds, 32, 4).persist()
     cand = tx.lsh_candidate_pairs(buckets)
-    return tx.shingle_jaccard(sh, pairs=cand).where(F.col("jaccard") >= 0.8)
+    return tx.shingle_jaccard(
+        ds, pairs=cand, assume_distinct=True
+    ).where(F.col("jaccard") >= 0.8)
 
 
 @_register(
@@ -1872,11 +1879,17 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     n = docs.agg(F.count("*").cast("long").alias("n"))
+    # document frequency as a count window over term on the tf frame
+    # (round 14, guide §2.4): each tf row is one distinct (doc, term), so
+    # count(*) over (partition by term) IS df — identical to the old
+    # separate groupBy(term) aggregate joined back, but the plan shuffles
+    # tf by term ONCE instead of term-shuffling both the df partials and
+    # the join probe side (two exchanges + a join collapse into one
+    # exchange + window; same shape win locally and at scale)
+    w_df = Window.partitionBy("term")
     scored = (
-        # dfreq is vocabulary-cardinality — strategy left to AQE
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count("*").over(w_df).cast("long"))
         .crossJoin(F.broadcast(n))
         .withColumn("score", F.expr("tf * ((1000000 * n) div df)"))
     )
