@@ -136,8 +136,23 @@ def _image_plan_seconds(spark) -> float:
 
     t0 = time.perf_counter()
     res = run_image_plan(pixels, calib, c, barrier="local_checkpoint")
-    for out in (res.integrals, res.spot_stats, res.spottiness, res.outliers):
+    # the four outputs are independent jobs over the already-materialized
+    # barriers: submit them concurrently (guide §2.6) exactly as the
+    # keep-up batch path does, so one job's stage tail overlaps the next
+    # job's ramp-up. Same timed work, same sinks — measured min-of-5
+    # 4.20 -> 3.97 s at 512^2 (scripts/ab_plan512_r14.py session).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w(out) -> None:
         out.write.format("noop").mode("overwrite").save()
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for f in [
+            pool.submit(_w, out)
+            for out in (res.integrals, res.spot_stats, res.spottiness,
+                        res.outliers)
+        ]:
+            f.result()
     elapsed = time.perf_counter() - t0
     res.unpersist_all()
     pixels.unpersist()

@@ -270,7 +270,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # warehouse scale these would be bucketed tables, not caches).
     ds = tx.word_shingles(docs).distinct().persist()
     buckets = tx.minhash_buckets(ds, 32, 4).persist()
-    cand = tx.lsh_candidate_pairs(buckets)
+    # cand feeds TWO consumers — the broadcast candidate-doc semi-join
+    # (collected as its own job) and the final pair-verification join —
+    # and it is tiny (near-dup pairs only); persisting it keeps the
+    # bucket self-join + distinct from running in both jobs
+    cand = tx.lsh_candidate_pairs(buckets).persist()
     return tx.shingle_jaccard(
         ds, pairs=cand, assume_distinct=True
     ).where(F.col("jaccard") >= 0.8)
