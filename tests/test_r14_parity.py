@@ -248,3 +248,43 @@ def test_shingle_jaccard_assume_distinct_parity(edge_docs, spark):
     base = base.sort_values(key).reset_index(drop=True)
     fast = fast.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, base)
+
+
+def test_h_maxima_recompute_qbin_parity(spark):
+    # round-14 slim kernel feed: under closed-form calibration the qbin
+    # column leaves the dense per-pixel shuffle and is re-attached to the
+    # sparse maxima via the SAME with_calib_columns expressions that
+    # built the px frame's qbin — outputs must be identical
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from tests.test_image_pipeline import CONTROLS
+    from xrddatapipeline_spark.calib.cache import with_calib_columns
+    from xrddatapipeline_spark.plans.image_pipeline import h_maxima_per_qbin
+
+    c = dataclasses.replace(CONTROLS, size_x=48, size_y=48)
+    rng = np.random.default_rng(11)
+    rows = [
+        ("im-a", int(y), int(x), int(v))
+        for y in range(48) for x in range(48)
+        for v in [10 + (rng.integers(0, 5))]
+    ]
+    # plant maxima
+    for y, x, v in [(5, 5, 500), (20, 30, 400), (40, 8, 350)]:
+        rows[y * 48 + x] = ("im-a", y, x, v)
+    base = spark.createDataFrame(
+        rows, "image_id string, y int, x int, intensity int"
+    )
+    px = with_calib_columns(base, c).select(
+        "image_id", "y", "x", "intensity", "qbin"
+    )
+    spot = spark.createDataFrame(
+        [("im-a", 5, 5)], "image_id string, y int, x int"
+    )
+    ship = h_maxima_per_qbin(px, spot, c, recompute_qbin=False).toPandas()
+    slim = h_maxima_per_qbin(px, spot, c, recompute_qbin=True).toPandas()
+    key = ["image_id", "qbin"]
+    ship = ship.sort_values(key).reset_index(drop=True)
+    slim = slim.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(slim, ship)

@@ -682,7 +682,7 @@ def hmax_float32_exact(inten, hval: float) -> bool:
 
 def h_maxima_per_qbin(
     px: DataFrame, spot_px: DataFrame, controls: ImageControls,
-    n_images: int | None = None,
+    n_images: int | None = None, recompute_qbin: bool = False,
 ) -> DataFrame:
     """A19/M6 (spottiness.py:64-84): count regional h-maxima per Q-bin,
     total and intersected with the spot mask; h = int(5% of the image's
@@ -708,7 +708,21 @@ def h_maxima_per_qbin(
     kernels.h_maxima runs the Vincent'93 hybrid reconstruction (raster +
     anti-raster sweeps + vectorized worklist) with all image-sized float64
     temporaries in the per-process scratch pool — a few seconds per 2880^2
-    frame, so this stage is viable at the full-resolution config."""
+    frame, so this stage is viable at the full-resolution config.
+
+    ``recompute_qbin=True`` (round 14, guide §2.3 "shuffle keys and
+    metadata instead of payloads"): under CLOSED-FORM calibration the
+    qbin column is a pure function of (y, x), so it does not need to ride
+    the dense per-pixel shuffle + Arrow transfer into the kernel at all —
+    the sparse maxima rows get it re-attached JVM-side via the same
+    `with_calib_columns` expressions that computed the px cache's qbin
+    (bit-identical; the lpx probe has used this trick since round 13).
+    The kernel feed drops from (packed int64, qbin int) to the packed
+    int64 alone — one third fewer shuffled bytes and one fewer Arrow
+    column for the stage whose tasks are transfer-wait-dominated
+    (profiled run 150-170 core-s vs cpu ~38 per warm keep-up batch).
+    Only valid when px's qbin came from the closed-form projection (the
+    run_image_plan caller gates it on ``calib is None``)."""
     import numpy as np
     import pandas as pd
     from xrddatapipeline_spark.operators import kernels
@@ -727,6 +741,7 @@ def h_maxima_per_qbin(
         and dict(px.dtypes).get("intensity") in
         ("tinyint", "smallint", "int")
     )
+    qbin_cols = [] if recompute_qbin else ["qbin"]
     if packed:
         src = px.select(
             "image_id",
@@ -734,10 +749,10 @@ def h_maxima_per_qbin(
                 F.shiftleft(F.col("y").cast("long") * 8192 + F.col("x"), 32)
                 + (F.col("intensity").cast("long") + F.lit(2**31))
             ).alias("p"),
-            "qbin",
+            *qbin_cols,
         )
     else:
-        src = px.select("image_id", "y", "x", "intensity", "qbin")
+        src = px.select("image_id", "y", "x", "intensity", *qbin_cols)
     # n_images may legitimately be 0 (empty batch under an eager barrier):
     # repartition(0) is an error, and there is nothing to balance anyway
     if n_images and 0 < 4 * n_images <= 4096:
@@ -766,18 +781,27 @@ def h_maxima_per_qbin(
         img[ys, xs] = inten
         is_max = kernels.h_maxima(img, hval)
         sel = is_max[ys, xs]
-        return pd.DataFrame(
-            {
-                "image_id": pdf["image_id"].to_numpy()[sel],
-                "y": ys[sel].astype("int32"),
-                "x": xs[sel].astype("int32"),
-                "qbin": pdf["qbin"].to_numpy()[sel],
-            }
-        )
+        out = {
+            "image_id": pdf["image_id"].to_numpy()[sel],
+            "y": ys[sel].astype("int32"),
+            "x": xs[sel].astype("int32"),
+        }
+        if not recompute_qbin:
+            out["qbin"] = pdf["qbin"].to_numpy()[sel]
+        return pd.DataFrame(out)
 
-    maxima = src.groupBy("image_id").applyInPandas(
-        _maxima, schema="image_id string, y int, x int, qbin int"
+    out_schema = (
+        "image_id string, y int, x int"
+        if recompute_qbin
+        else "image_id string, y int, x int, qbin int"
     )
+    maxima = src.groupBy("image_id").applyInPandas(_maxima, out_schema)
+    if recompute_qbin:
+        from xrddatapipeline_spark.calib.cache import with_calib_columns
+
+        maxima = with_calib_columns(maxima, controls).select(
+            "image_id", "y", "x", "qbin"
+        )
     flagged = maxima.join(
         spot_px.withColumn("is_spot_px", F.lit(True)),
         ["image_id", "y", "x"],
@@ -1297,6 +1321,9 @@ def run_image_plan(
                 ),
                 controls,
                 n_images=n_images,
+                # closed-form calibration => qbin re-attaches bit-identically
+                # to the sparse maxima; a calib TABLE keeps it in the feed
+                recompute_qbin=calib is None,
             ),
             "h_maxima",
             F.count(F.lit(1)).alias("n_hmax_rows"),
