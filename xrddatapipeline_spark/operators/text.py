@@ -259,22 +259,41 @@ def shingle_jaccard(shingles: DataFrame, pairs: DataFrame | None = None,
     (id, shingle) set (e.g. a shared cached frame) and skips the dedup
     shuffle here — Jaccard is a set measure, so the result is identical.
     """
-    # the distinct shingle set (the inverted index) feeds BOTH self-join
-    # sides and the size table; without a persist each consumer re-runs
-    # tokenize -> shingle -> distinct from the raw docs (no exchange reuse
-    # across the branches — measured ~3x the whole query)
-    ds = shingles if assume_distinct else shingles.distinct().persist()
-    sizes = ds.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    cand_docs = None
     if pairs is not None:
         # restrict the inverted index to docs that appear in a candidate
-        # pair BEFORE the self-join: the candidate doc set is tiny compared
-        # to the corpus, so this turns an all-docs inverted join into one
-        # over just the near-dup suspects (broadcast semi-join)
+        # pair: the candidate doc set is tiny compared to the corpus, so
+        # this turns an all-docs inverted join into one over just the
+        # near-dup suspects (broadcast semi-join)
         cand_docs = (
             pairs.select(F.col("doc_a").alias(id_col))
             .union(pairs.select(F.col("doc_b").alias(id_col)))
             .distinct()
         )
+    if assume_distinct:
+        ds = shingles
+    elif cand_docs is not None:
+        # restrict BEFORE the dedup shuffle (round 14, guide §2.3/§2.4):
+        # deduping the FULL corpus's shingle multiset was the largest
+        # exchange of the minhash-pair queries, but only the candidate
+        # docs' distinct sets are ever read — the semi-join prunes the
+        # multiset map-side, so the distinct shuffles candidate docs
+        # only. Set semantics: restrict-then-dedup == dedup-then-restrict,
+        # and per-doc sizes are per-doc, so the jaccard values are
+        # identical. Persisted (tiny) — it still feeds the size table and
+        # both self-join sides.
+        ds = shingles.join(
+            F.broadcast(cand_docs), id_col, "left_semi"
+        ).distinct().persist()
+    else:
+        # the distinct shingle set (the inverted index) feeds BOTH
+        # self-join sides and the size table; without a persist each
+        # consumer re-runs tokenize -> shingle -> distinct from the raw
+        # docs (no exchange reuse across the branches — measured ~3x the
+        # whole query)
+        ds = shingles.distinct().persist()
+    sizes = ds.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if cand_docs is not None and assume_distinct:
         ds = ds.join(F.broadcast(cand_docs), id_col, "left_semi")
     inter = (
         ds.alias("a")

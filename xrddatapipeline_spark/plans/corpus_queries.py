@@ -259,25 +259,27 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    # ONE distinct-shingle frame feeds the signature aggregate AND the
-    # Jaccard verification (round 14, guide §2.3/§2.4): MinHash's min is
-    # idempotent over duplicates, so minhash over the distinct set equals
-    # minhash over the raw multiset — which lets the Jaccard verifier's
-    # inverted index double as the signature input, dropping the second
-    # tokenize->shingle pass and the raw-shingle cache (bigger than the
-    # distinct set) the old two-cache formulation carried. buckets feed
-    # both sides of the candidate self-join — persisted once (at
+    # Round-14 pass 3: NO full-corpus distinct anywhere. MinHash's min is
+    # idempotent over duplicates, so the signatures aggregate the RAW
+    # shingle multiset (mapInPandas partial minima — map-side, no
+    # exchange), and the Jaccard verifier dedups only the candidate docs'
+    # shingles (shingle_jaccard restricts before its distinct). The
+    # pass-2 shape shared ONE distinct frame between both consumers, but
+    # that still shuffled the whole corpus's (doc_id, shingle) rows once
+    # — the largest exchange of the query — to dedup sets of which only
+    # the near-dup suspects' are ever read (guide §2.3/§2.4). buckets
+    # feed both sides of the candidate self-join — persisted once (at
     # warehouse scale these would be bucketed tables, not caches).
-    ds = tx.word_shingles(docs).distinct().persist()
-    buckets = tx.minhash_buckets(ds, 32, 4).persist()
+    raw = tx.word_shingles(docs).persist()
+    buckets = tx.minhash_buckets(raw, 32, 4).persist()
     # cand feeds TWO consumers — the broadcast candidate-doc semi-join
     # (collected as its own job) and the final pair-verification join —
     # and it is tiny (near-dup pairs only); persisting it keeps the
     # bucket self-join + distinct from running in both jobs
     cand = tx.lsh_candidate_pairs(buckets).persist()
-    return tx.shingle_jaccard(
-        ds, pairs=cand, assume_distinct=True
-    ).where(F.col("jaccard") >= 0.8)
+    return tx.shingle_jaccard(raw, pairs=cand).where(
+        F.col("jaccard") >= 0.8
+    )
 
 
 @_register(

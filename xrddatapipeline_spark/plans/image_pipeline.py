@@ -135,20 +135,98 @@ def with_base_mask(
     return px.withColumn("base_mask", mask)
 
 
-def outlier_pixels(px: DataFrame, esd_mul: float = 3.0) -> DataFrame:
-    """A2/A4: per-ring sigma-clip on not-base-masked pixels; returns the
-    sparse outlier pixel set (image_id, y, x)."""
-    candidates = px.where(~F.col("base_mask") & (F.col("ring_idx") > 0))
-    flagged = flag_outliers(
-        candidates.select("image_id", "y", "x", "ring_idx", "intensity"),
-        keys=["image_id", "ring_idx"],
-        value="intensity",
-        esd_mul=esd_mul,
-        min_count=10,
-        # see OUTLIER_HISTOGRAM: histogram route by default (map-side
-        # combined (ring, intensity) counts — exact for integer counts)
-        histogram=OUTLIER_HISTOGRAM,
+#: packed-key join/group shapes are gated on a small per-batch image set:
+#: the image_id -> index lookup is a literal-map linear scan per row, so it
+#: must stay a few entries (every bench/streaming batch is <= 8 images; a
+#: 100 TB deployment processes batches, not millions of images per plan).
+_PK_MAX_IMAGES = 64
+
+
+def _image_index_expr(image_index: dict[str, int]) -> "F.Column":
+    """Driver-literal image_id -> small-int map as a column expression."""
+    return F.create_map(
+        *[
+            lit
+            for s, i in sorted(image_index.items())
+            for lit in (F.lit(s), F.lit(i))
+        ]
     )
+
+
+def _pk_usable(
+    image_index: dict[str, int] | None, shape: tuple[int, int]
+) -> bool:
+    return (
+        image_index is not None
+        and 0 < len(image_index) <= _PK_MAX_IMAGES
+        and shape[0] <= 8192
+        and shape[1] <= 8192
+    )
+
+
+def _pk_expr(imap: "F.Column") -> "F.Column":
+    """Collision-free packed join key (img_idx << 26) | (y * 8192 + x).
+
+    Round 14 (guide §2.4/§3): the dense-side broadcast probes on
+    (image_id STRING, y, x) dominated three barrier stages — an isolated
+    decomposition at 8 x 2880^2 priced the 3-column probe at ~250 run
+    core-s per 66 M-row pass vs ~27 for the same join on ONE packed long
+    (scripts/probe_dense_pass_r14.py): a single bigint key takes Spark's
+    specialized LongHashedRelation path instead of generic UnsafeRow
+    hashing with a var-length string per row. y*8192+x < 2^26 (gated on
+    detector shape), img_idx is a per-batch driver-literal index — the
+    pack is a bijection, so the joined row set is bit-identical to the
+    3-column join (pinned by tests/test_r14_pk_parity.py)."""
+    return (
+        F.shiftleft(imap[F.col("image_id")].cast("long"), 26)
+        + F.col("y").cast("long") * 8192
+        + F.col("x")
+    )
+
+
+def outlier_pixels(
+    px: DataFrame,
+    esd_mul: float = 3.0,
+    image_index: dict[str, int] | None = None,
+) -> DataFrame:
+    """A2/A4: per-ring sigma-clip on not-base-masked pixels; returns the
+    sparse outlier pixel set (image_id, y, x).
+
+    ``image_index`` (round 14, optional): with a per-batch image_id ->
+    index map the ring-stats group/join key becomes ONE packed long
+    ((img_idx << 32) | ring_idx) instead of (image_id STRING, ring_idx) —
+    the histogram aggregation and the stats join-back both stop hashing a
+    var-length string per dense row (see _pk_expr; same stats, same
+    flags)."""
+    candidates = px.where(~F.col("base_mask") & (F.col("ring_idx") > 0))
+    if image_index is not None and 0 < len(image_index) <= _PK_MAX_IMAGES:
+        imap = _image_index_expr(image_index)
+        keyed = candidates.select(
+            (
+                F.shiftleft(imap[F.col("image_id")].cast("long"), 32)
+                + F.col("ring_idx")
+            ).alias("_gk"),
+            "image_id", "y", "x", "intensity",
+        )
+        flagged = flag_outliers(
+            keyed,
+            keys=["_gk"],
+            value="intensity",
+            esd_mul=esd_mul,
+            min_count=10,
+            histogram=OUTLIER_HISTOGRAM,
+        )
+    else:
+        flagged = flag_outliers(
+            candidates.select("image_id", "y", "x", "ring_idx", "intensity"),
+            keys=["image_id", "ring_idx"],
+            value="intensity",
+            esd_mul=esd_mul,
+            min_count=10,
+            # see OUTLIER_HISTOGRAM: histogram route by default (map-side
+            # combined (ring, intensity) counts — exact for integer counts)
+            histogram=OUTLIER_HISTOGRAM,
+        )
     return flagged.where(F.col("is_outlier")).select("image_id", "y", "x")
 
 
@@ -163,6 +241,7 @@ def labeled_pixels_frame(
     px: DataFrame, om_pixels: DataFrame, shape: tuple[int, int],
     sparse_hint=None, controls: ImageControls | None = None,
     closing_radius: int | None = None,
+    image_index: dict[str, int] | None = None,
 ) -> DataFrame:
     """The labeled sparse pixel set feeding shape classification: label
     the closed outlier mask (M1), then attach the per-pixel physics
@@ -202,23 +281,49 @@ def labeled_pixels_frame(
         )
     else:
         labeled = label_pixels(om_pixels, shape=shape, connectivity=2)
+    use_pk = _pk_usable(image_index, shape)
+    if use_pk:
+        # single packed-long probe key (see _pk_expr): the dense side's
+        # (image_id STRING, y, x) hash per row was ~70% of this barrier's
+        # CPU; identical joined rows, ~10x cheaper probe
+        pk = _pk_expr(_image_index_expr(image_index))
+        labeled = labeled.select(pk.alias("_pk"), "label")
     if sparse_hint is not None:
         labeled = sparse_hint(labeled)
     if controls is not None:
         from xrddatapipeline_spark.calib.cache import with_calib_columns
 
-        lpx = labeled.join(
-            px.select("image_id", "y", "x", "intensity"),
-            ["image_id", "y", "x"],
-        )
+        if use_pk:
+            dense = px.select(
+                "image_id", "y", "x", "intensity",
+                pk.alias("_pk"),
+            )
+            lpx = dense.join(labeled, "_pk").drop("_pk")
+        else:
+            lpx = labeled.join(
+                px.select("image_id", "y", "x", "intensity"),
+                ["image_id", "y", "x"],
+            )
         lpx = with_calib_columns(lpx, controls).select(
             "image_id", "y", "x", "label", "q", "azim", "intensity", "qbin"
         )
     else:
-        lpx = labeled.join(
-            px.select("image_id", "y", "x", "q", "azim", "intensity", "qbin"),
-            ["image_id", "y", "x"],
-        )
+        if use_pk:
+            dense = px.select(
+                "image_id", "y", "x", "q", "azim", "intensity", "qbin",
+                pk.alias("_pk"),
+            )
+            lpx = dense.join(labeled, "_pk").drop("_pk").select(
+                "image_id", "y", "x", "label",
+                "q", "azim", "intensity", "qbin",
+            )
+        else:
+            lpx = labeled.join(
+                px.select(
+                    "image_id", "y", "x", "q", "azim", "intensity", "qbin"
+                ),
+                ["image_id", "y", "x"],
+            )
     # flipped azimuth mirrors the axis so wrapped arcs read contiguous (A7)
     return lpx.withColumn(
         "azim_flip", F.pmod(F.col("azim") + 180.0, F.lit(360.0))
@@ -482,6 +587,7 @@ def integrate_and_spottiness(
     mask_flags: DataFrame,
     controls: ImageControls,
     sparse_hint=None,
+    image_index: dict[str, int] | None = None,
 ) -> DataFrame:
     """A1 x4 + A15 in ONE pixel-table pass (joint-key fusion, round 13).
 
@@ -523,11 +629,26 @@ def integrate_and_spottiness(
         "spotsmasked": F.col("base_mask") | F.col("is_spot_px"),
         "arcsmasked": F.col("base_mask") | F.col("is_arc_px"),
     }
-    if sparse_hint is not None:
-        mask_flags = sparse_hint(mask_flags)
+    if _pk_usable(image_index, (controls.size_y, controls.size_x)):
+        # single packed-long probe key for the dense left join — see
+        # _pk_expr; the flag columns attach to exactly the same rows
+        pk = _pk_expr(_image_index_expr(image_index))
+        mask_flags = mask_flags.select(
+            pk.alias("_pk"), "is_om", "is_spot_px", "is_arc_px"
+        )
+        if sparse_hint is not None:
+            mask_flags = sparse_hint(mask_flags)
+        flagged = (
+            px.withColumn("_pk", pk)
+            .join(mask_flags, "_pk", "left")
+            .drop("_pk")
+        )
+    else:
+        if sparse_hint is not None:
+            mask_flags = sparse_hint(mask_flags)
+        flagged = px.join(mask_flags, ["image_id", "y", "x"], "left")
     flagged = (
-        px.join(mask_flags, ["image_id", "y", "x"], "left")
-        .fillna(
+        flagged.fillna(
             {"is_om": False, "is_spot_px": False, "is_arc_px": False}
         )
         .withColumn("_v", value)
@@ -1206,12 +1327,30 @@ def run_image_plan(
         F.count(F.lit(1)).alias("n_px"),
         F.count_if(F.col("base_mask")).alias("n_base_masked"),
     ), dense=True, label="px")
+    # Per-batch image_id -> index map (round 14): lets the three dense
+    # barrier stages key their probes/aggregations on packed longs instead
+    # of (image_id STRING, ...) — see _pk_expr. ONE tiny cached-scan job
+    # (it subsumes the distinct-count the gradient/h-maxima feeds already
+    # ran for n_images). Eager only: under a lazy barrier a collect here
+    # would force materialization (dump_plans relies on persist staying
+    # lazy), and the legacy 3-column joins remain correct either way.
+    image_index = None
+    if eager and shape[0] <= 8192 and shape[1] <= 8192:
+        ids = sorted(
+            r[0] for r in px.select("image_id").distinct().collect()
+        )
+        if n_images is None:
+            n_images = len(ids)
+        if 0 < len(ids) <= _PK_MAX_IMAGES:
+            image_index = {s: i for i, s in enumerate(ids)}
     # The sparse intermediates (outlier/om/labeled pixel sets, label table)
     # feed several downstream outputs; persist them so the expensive
     # upstream (ring stats + raster kernels) runs once, not once per output.
     # They are ~1e4-1e5 rows per image — cheap to cache at any scale.
     outliers = _bar(_obs(
-        outlier_pixels(px, esd_mul=controls.esd_mul),
+        outlier_pixels(
+            px, esd_mul=controls.esd_mul, image_index=image_index
+        ),
         "outlier_mask",
         F.count(F.lit(1)).alias("n_outlier_px"),
     ), label="outliers")
@@ -1250,6 +1389,7 @@ def run_image_plan(
             # full-column probe
             controls=controls if calib is None else None,
             closing_radius=1,
+            image_index=image_index,
         ),
         "binary_closing",
         F.count(F.lit(1)).alias("n_om_px"),
@@ -1298,7 +1438,10 @@ def run_image_plan(
     # jobs (the round-9 profile priced the separate spottiness job at
     # 176-548 core-s per warm batch).
     fused_bins = _bar(
-        integrate_and_spottiness(px, mask_flags, controls, sparse_hint=sb),
+        integrate_and_spottiness(
+            px, mask_flags, controls, sparse_hint=sb,
+            image_index=image_index,
+        ),
         label="intspot",
     )
     integrals = _obs(
