@@ -1341,7 +1341,16 @@ def run_image_plan(
         )
         if n_images is None:
             n_images = len(ids)
-        if 0 < len(ids) <= _PK_MAX_IMAGES:
+        # amortization gate: below ~4M total pixels the packed path's
+        # extra projections + plan/codegen cost exceed the probe saving
+        # (alternating A/B on the 512^2 single-image bench plan: packed
+        # med 5.23 s vs legacy 4.84 — the probe there is 262k rows);
+        # one full-res 2880^2 image (8.3M px) is already far past
+        # break-even (~28 run core-s saved per dense pass per image).
+        if (
+            0 < len(ids) <= _PK_MAX_IMAGES
+            and shape[0] * shape[1] * len(ids) >= 4_000_000
+        ):
             image_index = {s: i for i, s in enumerate(ids)}
     # The sparse intermediates (outlier/om/labeled pixel sets, label table)
     # feed several downstream outputs; persist them so the expensive
