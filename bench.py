@@ -136,23 +136,14 @@ def _image_plan_seconds(spark) -> float:
 
     t0 = time.perf_counter()
     res = run_image_plan(pixels, calib, c, barrier="local_checkpoint")
-    # the four outputs are independent jobs over the already-materialized
-    # barriers: submit them concurrently (guide §2.6) exactly as the
-    # keep-up batch path does, so one job's stage tail overlaps the next
-    # job's ramp-up. Same timed work, same sinks — measured min-of-5
-    # 4.20 -> 3.97 s at 512^2 (scripts/ab_plan512_r14.py session).
-    from concurrent.futures import ThreadPoolExecutor
-
-    def _w(out) -> None:
-        out.write.format("noop").mode("overwrite").save()
-
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        for f in [
-            pool.submit(_w, out)
-            for out in (res.integrals, res.spot_stats, res.spottiness,
-                        res.outliers)
-        ]:
-            f.result()
+    # the production submission order (concurrent output jobs, guide §2.6)
+    # lives in ImagePlanResult.write_core_outputs — the bench merely calls
+    # it (round 15, r14 verdict #3: keep the harness inert). Same timed
+    # work, same sinks as r14 (which measured min-of-5 4.20 -> 3.97 s at
+    # 512^2 when the submission went concurrent).
+    res.write_core_outputs(
+        lambda out: out.write.format("noop").mode("overwrite").save()
+    )
     elapsed = time.perf_counter() - t0
     res.unpersist_all()
     pixels.unpersist()
@@ -1176,6 +1167,48 @@ def compact_line(out: dict, budget: int = LINE_BUDGET) -> str:
     return line
 
 
+def _canary_seconds(spark, cpus: int) -> float:
+    """Fixed-work weather canary for the HEADLINE line (round 15 — r14
+    verdict #1: the r14 driver run landed in one of this host's documented
+    2-6x slowdown windows and the headline JSON carried no way to see it;
+    only the keep-up block had ``px_build_sec``).
+
+    One task per core, constant work PER TASK (a pure codegen trig+sum
+    over a fixed range — same shape as the keep-up px canary, no shuffle
+    of substance, no Python), so the calm reading is core-count-
+    independent and identical work every round: the seconds are directly
+    comparable across rounds and across the driver's 32- vs 8-core runs.
+    The probe runs once untimed (JIT) before each timed reading, and the
+    timed reading is published raw — a reading far above the calm band
+    (~0.5-0.7 s on this host, r15 calibration in OPTIMIZATION_r15.md)
+    means the run's walls are weather-inflated and should be judged
+    against core-normalized metrics instead. NOT added to ``value``."""
+    from pyspark.sql import functions as F
+
+    def _probe() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(cpus * 3_000_000, numPartitions=cpus)
+            .select(
+                F.sum(
+                    F.sin(F.col("id") % 1000000 * 1e-6)
+                    * F.cos(F.col("id") % 1000000 * 1e-7)
+                ).alias("s")
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    spark.sparkContext.setJobDescription("canary: fixed-work trig probe")
+    try:
+        _probe()  # JIT/codegen warm — same generated code as the reading
+        return round(_probe(), 4)
+    finally:
+        spark.sparkContext.setJobDescription(None)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -1201,6 +1234,11 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # fixed-work weather canary, timed BEFORE the headline loop (and again
+    # after it) — see _canary_seconds. Published as sibling fields, never
+    # part of `value`.
+    canary_sec = _canary_seconds(spark, cpus)
+
     # Steady-state measurement: each query runs REPS times and reports the
     # fastest (JMH-style). Run 1 pays one-off JIT/codegen compilation that
     # a long-lived engine amortizes to zero; single cold runs also swing
@@ -1221,6 +1259,10 @@ def main() -> None:
     timings["xrd_image_plan_512"] = min(
         _image_plan_seconds(spark) for _ in range(reps)
     )
+
+    # second canary reading AFTER the headline loop: a run whose weather
+    # shifted mid-loop shows a start/end spread here
+    canary_end_sec = _canary_seconds(spark, cpus)
 
     total = round(sum(timings.values()), 4)
     spark.stop()
@@ -1247,6 +1289,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "canary_sec": canary_sec,
+        "canary_end_sec": canary_end_sec,
     }
     if keepup is not None:
         out["xrd_image_plan_2880"] = keepup

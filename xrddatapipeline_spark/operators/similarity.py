@@ -48,6 +48,105 @@ def quantized_dot_vectorized(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(q.astype(np.int64))
 
 
+@pandas_udf(LongType())
+def quantized_self_dot_vectorized(a: pd.Series) -> pd.Series:
+    """`quantized_dot_vectorized(v, v)` with the vector crossing the Arrow
+    boundary ONCE (a two-arg call ships both argument columns, so the
+    self-dot would ship the embedding twice). Same integers as
+    `quantized_dot(v, v)` by the argument above."""
+    if not len(a):
+        return pd.Series([], dtype=np.int64)
+    va = np.stack(a.to_numpy()).astype(np.float64)
+    q = np.floor(va * va * QSCALE).sum(axis=1)
+    return pd.Series(q.astype(np.int64))
+
+
+def lsh_bucket_vectorized(num_planes: int, dim: int):
+    """Arrow-vectorized `lsh_bucket_expr` (round 15, guide §4.2): the
+    num_planes interpreted `aggregate(zip_with(...))` folds per row —
+    CodegenFallback, evaluated per element — become one numpy pass per
+    Arrow batch. BIT-IDENTICAL: per plane the integer sum
+    sum_d floor(w(p,d)*x_d*2^40) is exact in float64 (products of float32
+    values with half-integer weights |w|<=7.5 are exact doubles; *2^40 is
+    a power-of-two scale; floor exact; 64 integer-valued terms < 2^47
+    each sum to < 2^53), so the >= 0 sign bits — and the '0'/'1' string —
+    match the expression fold bit for bit (pinned by
+    tests/test_r15_parity.py)."""
+    wmat = np.asarray(hyperplane_matrix(num_planes, dim), dtype=np.float64)
+
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _bucket(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        bits = np.empty((len(mat), num_planes), dtype=np.uint8)
+        for p in range(num_planes):
+            q = np.floor(mat * wmat[p][None, :] * QSCALE).sum(axis=1)
+            bits[:, p] = np.where(q >= 0, ord("1"), ord("0"))
+        # one fixed-width bytes value per row, decoded without a Python
+        # loop: an (n, planes) uint8 C-array viewed as S<planes>
+        s = np.ascontiguousarray(bits).view(f"S{num_planes}").ravel()
+        return pd.Series(s).str.decode("ascii")
+
+    # the bucket becomes a JOIN KEY: the optimizer pushes the generated
+    # isnotnull(key) filter below the projection and EVALUATES THE UDF
+    # TWICE per side (guide §4.4 — two ArrowEvalPython nodes per scan,
+    # observed in the r15 plan). The function is pure, so marking it
+    # non-deterministic only forbids that duplication; one Arrow pass per
+    # side remains (plans/r15/ann_lsh_bucketed_after.txt).
+    return _bucket.asNondeterministic()
+
+
+def ivf_assign_vectorized(centroids: "list[tuple[int, list[float]]]"):
+    """Arrow-vectorized `ivf_assign_expr` (round 15, guide §4.2): the
+    per-row array-of-structs argmin over k interpreted quantized-dot
+    folds becomes one numpy pass per Arrow batch, returning the same
+    struct<dist, cell>. BIT-IDENTICAL: qx/qdot/qnorm are the exact
+    integers of `quantized_dot` (see quantized_dot_vectorized), combined
+    as int64 arithmetic (the float64 partial sums are integer-valued
+    < 2^53, cast to int64 BEFORE the dist combination so qx - 2*qd +
+    qnorm never rounds), and np.argmin's first-minimum tie-break equals
+    F.array_min's (dist, cell) struct order because `centroids` is
+    cell-ascending by construction (ivf_centroids enumerates). Pinned by
+    tests/test_r15_parity.py."""
+    cmat = np.asarray([v for _, v in centroids], dtype=np.float64)
+    cells = np.asarray([c for c, _ in centroids], dtype=np.int64)
+    assert (np.diff(cells) > 0).all(), "centroids must be cell-ascending"
+    cnorm = (
+        np.floor(cmat * cmat * QSCALE).sum(axis=1).astype(np.int64)
+    )
+
+    @pandas_udf("dist long, cell int")
+    def _assign(v: pd.Series) -> pd.DataFrame:
+        if not len(v):
+            return pd.DataFrame({"dist": pd.Series([], dtype=np.int64),
+                                 "cell": pd.Series([], dtype=np.int32)})
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        qx = np.floor(mat * mat * QSCALE).sum(axis=1).astype(np.int64)
+        d = np.empty((len(mat), len(cells)), dtype=np.int64)
+        for j in range(len(cells)):
+            qd = (
+                np.floor(mat * cmat[j][None, :] * QSCALE)
+                .sum(axis=1)
+                .astype(np.int64)
+            )
+            d[:, j] = qx - 2 * qd + cnorm[j]
+        best = np.argmin(d, axis=1)
+        return pd.DataFrame(
+            {
+                "dist": d[np.arange(len(mat)), best],
+                "cell": cells[best].astype(np.int32),
+            }
+        )
+
+    # same §4.4 duplication guard as lsh_bucket_vectorized: the extracted
+    # cell is a join key in ivf_topk, and the pushed isnotnull filter
+    # would otherwise evaluate the whole assignment twice per side
+    return _assign.asNondeterministic()
+
+
 def quantized_dot(a: Column, b: Column) -> Column:
     """Order-independent integer dot product: sum(floor(a_i*b_i * 2^40))."""
     return F.aggregate(
@@ -397,18 +496,22 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 3,
     Complements `lsh_topk` — IVF adapts to the data distribution (cells are
     real corpus vectors) where sign-LSH is data-oblivious. Same plan shape:
     narrow projections per side, broadcast query side, one rank-window
-    shuffle with WindowGroupLimit partial top-k."""
+    shuffle with WindowGroupLimit partial top-k.
+
+    Round 15 (guide §4.2): cell assignment, self-norms and the pair dot
+    run through the Arrow-vectorized UDFs — identical integers to the
+    interpreted expression folds (see ivf_assign_vectorized)."""
     cents = ivf_centroids(df, num_cells, vec_col, id_col)
-    cell = ivf_cell_expr(F.col(vec_col), cents)
+    assign_udf = ivf_assign_vectorized(cents)
     corp = df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"),
-        quantized_dot(F.col(vec_col), F.col(vec_col)).alias("qb"),
-        cell.alias("cell"),
+        quantized_self_dot_vectorized(F.col(vec_col)).alias("qb"),
+        assign_udf(F.col(vec_col))["cell"].alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("va"),
-        quantized_dot(F.col(vec_col), F.col(vec_col)).alias("qa"),
-        cell.alias("cell"),
+        quantized_self_dot_vectorized(F.col(vec_col)).alias("qa"),
+        assign_udf(F.col(vec_col))["cell"].alias("cell"),
     )
     scored = (
         F.broadcast(q).join(corp, "cell")
@@ -416,7 +519,7 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 3,
         .withColumn(
             "cos",
             cosine_from_quantized(
-                quantized_dot(F.col("va"), F.col("vb")),
+                quantized_dot_vectorized(F.col("va"), F.col("vb")),
                 F.col("qa"), F.col("qb"),
             ),
         )
@@ -442,18 +545,25 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 3,
     each side is ONE narrow select over its scan — no bucket-table self-join.
     The only shuffles left are the broadcast-exchange of the (small) query
     side and the top-k rank window (which Spark's WindowGroupLimit turns
-    into a map-side partial top-k before the exchange)."""
+    into a map-side partial top-k before the exchange).
+
+    Round 15 (guide §4.2): the per-row quantized folds (bucket bits +
+    self-norms + per-candidate pair dot) run through the Arrow-vectorized
+    UDFs instead of the interpreted `aggregate(zip_with(...))` expressions
+    — identical integers (see each UDF's exactness argument), identical
+    plan shape otherwise; only the embedding columns cross the Python
+    boundary."""
     dim = _vec_dim(df, vec_col)
-    bucket = lsh_bucket_expr(F.col(vec_col), num_planes, dim)
+    bucket_udf = lsh_bucket_vectorized(num_planes, dim)
     corp = df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"),
-        quantized_dot(F.col(vec_col), F.col(vec_col)).alias("qb"),
-        bucket.alias("bucket"),
+        quantized_self_dot_vectorized(F.col(vec_col)).alias("qb"),
+        bucket_udf(F.col(vec_col)).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("va"),
-        quantized_dot(F.col(vec_col), F.col(vec_col)).alias("qa"),
-        bucket.alias("bucket"),
+        quantized_self_dot_vectorized(F.col(vec_col)).alias("qa"),
+        bucket_udf(F.col(vec_col)).alias("bucket"),
     )
     scored = (
         F.broadcast(q).join(corp, "bucket")
@@ -461,7 +571,7 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 3,
         .withColumn(
             "cos",
             cosine_from_quantized(
-                quantized_dot(F.col("va"), F.col("vb")),
+                quantized_dot_vectorized(F.col("va"), F.col("vb")),
                 F.col("qa"), F.col("qb"),
             ),
         )

@@ -2009,8 +2009,12 @@ def docs_length_deciles(
 def emb_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim.ivf_centroids(emb, _IVF_CELLS)
+    # round 15 (guide §4.2): Arrow-vectorized cell assignment — identical
+    # integers/argmin to the interpreted ivf_cell_expr fold (see
+    # sim.ivf_assign_vectorized; parity-pinned in tests/test_r15_parity.py)
     asg = emb.select(
-        sim.ivf_cell_expr(F.col("embedding"), cents).alias("cell"),
+        sim.ivf_assign_vectorized(cents)(F.col("embedding"))["cell"]
+        .alias("cell"),
         "embedding",
     )
     el = asg.select("cell", F.posexplode("embedding").alias("dim", "x"))
@@ -2049,8 +2053,10 @@ def emb_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim.ivf_centroids(emb, _IVF_CELLS)
+    # round 15: Arrow-vectorized assignment (same integers — see
+    # emb_kmeans_update)
     b = emb.select(
-        sim.ivf_assign_expr(F.col("embedding"), cents).alias("b")
+        sim.ivf_assign_vectorized(cents)(F.col("embedding")).alias("b")
     )
     return (
         b.select(F.col("b.cell").alias("cell"), F.col("b.dist").alias("dist"))

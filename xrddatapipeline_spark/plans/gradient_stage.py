@@ -265,14 +265,40 @@ def fused_gradient_inputs(
         "n_core long, r2_cand binary, a2_cand binary, is_summary boolean"
     )
 
-    def _band(key, px_pdf: pd.DataFrame, lpx_pdf: pd.DataFrame) -> pd.DataFrame:
+    # Round 15 (guide §4.2): the cogroup kernel consumes pyarrow Tables
+    # (applyInArrow) instead of pandas DataFrames — the grouped-pandas
+    # path paid table.to_pandas() per (image, band) group, and the string
+    # image_id column alone converts at ~0.05-0.1 s per 1.4 M-row band
+    # (measured; spikes under allocator pressure — a suspected
+    # contributor to this stage's bimodal batches). numpy reads the int
+    # columns zero-copy off the Arrow buffers; identical arrays reach the
+    # kernel, identical values leave it (banded==whole / fused==dense
+    # bit-equality tests pin the path).
+    def _band(key, px_tbl, lpx_tbl):
         import os as _os
         import sys as _sys
         import time as _time
 
+        import pyarrow as pa
+
         _timing = bool(_os.environ.get("XRDSPARK_KERNEL_TIMING"))
+        # kernel-side fixed-work canary (round 15, r14 verdict #2): the
+        # JVM-side px canary cannot see Python-worker contention, so the
+        # grad_fused blow-ups (78-95 vs 344-881 run core-s at px canary
+        # 1.0) were unattributable. A fixed ~8 MB scratch-pool memset +
+        # read (the kernel's own access pattern) timed per call makes a
+        # memory-stalled worker read hot in the KT line (calm: ~2-3 ms).
+        _canary = None
+        if _timing:
+            _cb = kernels.scratch((4, w), "band_canary", dtype=np.float64)
+            _tc = _time.perf_counter()
+            for _ in range(90):
+                _cb[:] = 1.0
+                _canary_sum = float(_cb[0, 0]) + float(_cb[-1, -1])
+            _canary = _time.perf_counter() - _tc
         _t0 = _time.perf_counter()
-        image_id, band = key[0], int(key[1])
+        image_id = key[0].as_py() if hasattr(key[0], "as_py") else key[0]
+        band = int(key[1].as_py() if hasattr(key[1], "as_py") else key[1])
         y0, y1 = max(band * bh - halo, 0), min((band + 1) * bh + halo, h)
         core0, core1 = band * bh, min((band + 1) * bh, h)
         # every raster lives in the per-process scratch pool: repeated
@@ -281,18 +307,18 @@ def fused_gradient_inputs(
         # call (the dominant kernel-stage cost under 25-way concurrency)
         shape = (y1 - y0, w)
         if packed:
-            v = px_pdf["p"].to_numpy()
+            v = px_tbl["p"].to_numpy()
             v = v[v >= 0]  # drop the per-band sentinel (p = -1)
             inten = (v & 0xFFFFFFFF) - 2**31
             yx = v >> 32
             ys = yx // 8192
             xs = yx - ys * 8192
         else:
-            ys = px_pdf["y"].to_numpy()
+            ys = px_tbl["y"].to_numpy()
             keep = ys >= 0  # drop the per-band sentinel (y = -1)
             ys = ys[keep]
-            xs = px_pdf["x"].to_numpy()[keep]
-            inten = px_pdf["intensity"].to_numpy()[keep]
+            xs = px_tbl["x"].to_numpy()[keep]
+            inten = px_tbl["intensity"].to_numpy()[keep]
         # float32 chain for integer intensities (every real detector
         # frame): HALF the scratch bandwidth of the round-11 float64
         # chain on the plan's second-hottest kernel stage, measured 2.3x
@@ -347,44 +373,57 @@ def fused_gradient_inputs(
                 vals = np.partition(vals, k - 1)[:k]
             return np.ascontiguousarray(vals, dtype=np.float64).tobytes()
 
-        out = {
-            "image_id": [image_id],
-            "y": [np.int32(-1)],
-            "x": [np.int32(-1)],
-            "grad_r2": [0.0],
-            "grad_a2": [0.0],
-            "n_core": [len(r2v)],
-            "r2_cand": [bottom(r2v, keep_r2)],
-            "a2_cand": [bottom(a2v, keep_a2)],
-            "is_summary": [True],
-        }
-        summary = pd.DataFrame(out)
-        if len(lpx_pdf):
-            lys = lpx_pdf["y"].to_numpy()
-            lxs = lpx_pdf["x"].to_numpy()
-            labeled = pd.DataFrame(
-                {
-                    "image_id": np.repeat(image_id, lys.size),
-                    "y": lys.astype(np.int32),
-                    "x": lxs.astype(np.int32),
-                    "grad_r2": r2[lys - y0, lxs].astype(np.float64),
-                    "grad_a2": a2[lys - y0, lxs].astype(np.float64),
-                    "n_core": np.zeros(lys.size, dtype=np.int64),
-                    "r2_cand": [None] * lys.size,
-                    "a2_cand": [None] * lys.size,
-                    "is_summary": np.zeros(lys.size, dtype=bool),
-                }
-            )
-            summary = pd.concat([labeled, summary], ignore_index=True)
+        if lpx_tbl.num_rows:
+            lys = lpx_tbl["y"].to_numpy()
+            lxs = lpx_tbl["x"].to_numpy()
+        else:
+            lys = np.zeros(0, dtype=np.int64)
+            lxs = lys
+        nl = lys.size
+        # labeled rows first, the band summary row last (the pre-r15
+        # pandas concat order — row order within a group is free anyway)
+        ys_out = np.full(nl + 1, -1, dtype=np.int32)
+        xs_out = np.full(nl + 1, -1, dtype=np.int32)
+        r2_out = np.zeros(nl + 1, dtype=np.float64)
+        a2_out = np.zeros(nl + 1, dtype=np.float64)
+        ncore_out = np.zeros(nl + 1, dtype=np.int64)
+        issum_out = np.zeros(nl + 1, dtype=bool)
+        if nl:
+            ys_out[:nl] = lys
+            xs_out[:nl] = lxs
+            r2_out[:nl] = r2[lys - y0, lxs]
+            a2_out[:nl] = a2[lys - y0, lxs]
+        ncore_out[nl] = len(r2v)
+        issum_out[nl] = True
+        result = pa.table(
+            {
+                "image_id": pa.array(
+                    [image_id] * (nl + 1), type=pa.string()
+                ),
+                "y": pa.array(ys_out),
+                "x": pa.array(xs_out),
+                "grad_r2": pa.array(r2_out),
+                "grad_a2": pa.array(a2_out),
+                "n_core": pa.array(ncore_out),
+                "r2_cand": pa.array(
+                    [None] * nl + [bottom(r2v, keep_r2)], type=pa.binary()
+                ),
+                "a2_cand": pa.array(
+                    [None] * nl + [bottom(a2v, keep_a2)], type=pa.binary()
+                ),
+                "is_summary": pa.array(issum_out),
+            }
+        )
         if _timing:
             print(
-                f"KT band={image_id}/{band} rows={len(px_pdf)} "
+                f"KT band={image_id}/{band} rows={px_tbl.num_rows} "
+                f"canary={_canary:.4f} "
                 f"unpack={_t1 - _t0:.2f} conv={_t2 - _t1:.2f} "
                 f"emit={_time.perf_counter() - _t2:.2f} pid={_os.getpid()}",
                 file=_sys.stderr,
                 flush=True,
             )
-        return summary
+        return result
 
     yb, bands = _band_membership(bh, halo, n_bands)
     src = px.select("image_id", "y", "x", "intensity", "base_mask").where(
@@ -458,7 +497,7 @@ def fused_gradient_inputs(
     return (
         src.groupBy("image_id", "band")
         .cogroup(lsrc.groupBy("image_id", "band"))
-        .applyInPandas(_band, schema)
+        .applyInArrow(_band, schema)
     )
 
 

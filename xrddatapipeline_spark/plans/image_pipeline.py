@@ -845,7 +845,6 @@ def h_maxima_per_qbin(
     Only valid when px's qbin came from the closed-form projection (the
     run_image_plan caller gates it on ``calib is None``)."""
     import numpy as np
-    import pandas as pd
     from xrddatapipeline_spark.operators import kernels
 
     h, w = controls.size_y, controls.size_x
@@ -879,17 +878,29 @@ def h_maxima_per_qbin(
     if n_images and 0 < 4 * n_images <= 4096:
         src = src.repartition(4 * n_images, "image_id")
 
-    def _maxima(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Round 15 (guide §4.2): the kernel consumes the group as a pyarrow
+    # Table (applyInArrow) instead of a pandas DataFrame. The grouped
+    # pandas path pays table.to_pandas() on 8.3 M rows per image — the
+    # string image_id column alone converts at 0.4-0.9 s/group (measured,
+    # pyarrow 16 / pandas 2.2; spikes to 4 s under allocator pressure),
+    # pure conversion the kernel never needed: numpy reads the int
+    # columns zero-copy off the Arrow buffers and the image_id is one
+    # scalar per group. Identical kernel arrays in, identical values out
+    # — the oracle hashes and the r13/r14 parity tests pin it.
+    def _maxima(tbl: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        iid = tbl["image_id"][0].as_py()
         if packed:
-            v = pdf["p"].to_numpy()
+            v = tbl["p"].to_numpy()
             inten = (v & 0xFFFFFFFF) - 2**31
             yx = v >> 32
             ys = yx // 8192
             xs = yx - ys * 8192
         else:
-            ys = pdf["y"].to_numpy()
-            xs = pdf["x"].to_numpy()
-            inten = pdf["intensity"].to_numpy()
+            ys = tbl["y"].to_numpy()
+            xs = tbl["x"].to_numpy()
+            inten = tbl["intensity"].to_numpy()
         # reference truncates to int (spottiness.py:66:
         # h = int(0.05*np.percentile(image,99.9))) — match it exactly so
         # maxima with residual in [int(h), h) are counted identically
@@ -902,21 +913,24 @@ def h_maxima_per_qbin(
         img[ys, xs] = inten
         is_max = kernels.h_maxima(img, hval)
         sel = is_max[ys, xs]
+        n = int(sel.sum())
         out = {
-            "image_id": pdf["image_id"].to_numpy()[sel],
-            "y": ys[sel].astype("int32"),
-            "x": xs[sel].astype("int32"),
+            "image_id": pa.array([iid] * n, type=pa.string()),
+            "y": pa.array(ys[sel].astype("int32")),
+            "x": pa.array(xs[sel].astype("int32")),
         }
         if not recompute_qbin:
-            out["qbin"] = pdf["qbin"].to_numpy()[sel]
-        return pd.DataFrame(out)
+            out["qbin"] = pa.array(
+                tbl["qbin"].to_numpy()[sel].astype("int32")
+            )
+        return pa.table(out)
 
     out_schema = (
         "image_id string, y int, x int"
         if recompute_qbin
         else "image_id string, y int, x int, qbin int"
     )
-    maxima = src.groupBy("image_id").applyInPandas(_maxima, out_schema)
+    maxima = src.groupBy("image_id").applyInArrow(_maxima, out_schema)
     if recompute_qbin:
         from xrddatapipeline_spark.calib.cache import with_calib_columns
 
@@ -948,29 +962,83 @@ def cosine_similarity_series(pixels: DataFrame) -> DataFrame:
     image_id) map; (y, x) pack collision-free into one long
     ((y << 32) | x — no detector-width assumption), and intensity ships
     as its int32 self (the double cast happens post-shuffle). Same math,
-    same window, ~35% narrower rows on the dominant exchange."""
+    same window, ~35% narrower rows on the dominant exchange.
+
+    Window-sort economics (round 15): the window's sort order starts with
+    its partition columns IN THE GIVEN ORDER, and the external sorter
+    compares 8-byte prefixes of the FIRST column before falling back to
+    full row comparisons — so partitionBy("dataset", "yx") made every one
+    of the n·log n comparisons fall through a constant string prefix to
+    the row comparator. partitionBy("yx", "dataset") (same partition SET,
+    same hash distribution modulo column order, identical window groups)
+    puts the near-unique packed long first: prefix comparisons resolve
+    all but the ~n_images-row per-pixel groups. Additionally, when seq
+    and intensity are integer-typed (the keep-up frame; detector data),
+    they ship as ONE long k = (seq << 32) | (intensity + 2^31): within a
+    (yx, dataset) group seq is unique, so ordering by k IS ordering by
+    seq (k is monotone in seq for any low 32 bits), lag/first over k
+    carry the intensity bits along, and the post-window extraction
+    (k & 0xFFFFFFFF) - 2^31 is exact int32 — one 8-byte column replaces
+    two 4-byte columns in every shuffled row AND removes seq from the
+    sort payload. NULL intensities cannot take this path (a NULL k would
+    re-order the window), so it is gated on non-nullable integer columns;
+    the fallback is the r7 layout plus the partition-order fix. Parity:
+    tests/test_r15_parity.py pins packed == unpacked bit-exactly."""
     ids = pixels.select("dataset", "seq", "image_id").distinct()
     yx = (
         F.shiftleft(F.col("y").cast("long"), 32)
         + F.col("x").cast("long")
     ).alias("yx")
-    src = pixels.select("dataset", "seq", yx, "intensity")
-    w = Window.partitionBy("dataset", "yx").orderBy("seq")
-    # all three series stay int32 THROUGH the window: a pre-window
-    # ``intensity.cast("double")`` projection gets planned BELOW the
-    # exchange, so the shuffle would ship the double AND the int
-    # (+8 B/row on the dominant exchange — caught by the round-8 plan
-    # test). int32 -> double is exact, so casting inside the dot
-    # products instead is bit-identical.
-    paired = src.select(
-        "dataset",
-        "seq",
-        "intensity",  # NOT re-aliased: an alias projects a duplicate
-        # attribute below the exchange, widening every shuffled row
-        F.coalesce(F.lag("intensity").over(w), F.col("intensity"))
-        .alias("v_prev"),
-        F.first("intensity").over(w).alias("v_first"),
+    fields = {f.name: f for f in pixels.schema.fields}
+    _int_types = ("tinyint", "smallint", "int")
+    packed = (
+        fields["seq"].dataType.simpleString() in _int_types
+        and fields["intensity"].dataType.simpleString() in _int_types
+        and not fields["seq"].nullable
+        and not fields["intensity"].nullable
     )
+    if packed:
+        k = (
+            F.shiftleft(F.col("seq").cast("long"), 32)
+            + (F.col("intensity").cast("long") + F.lit(2 ** 31))
+        ).alias("k")
+        src = pixels.select("dataset", yx, k)
+        w = Window.partitionBy("yx", "dataset").orderBy("k")
+
+        def _unpack(c: F.Column) -> F.Column:
+            # exact source-typed value back out of the low 32 bits
+            return (
+                c.bitwiseAND(F.lit(0xFFFFFFFF)) - F.lit(2 ** 31)
+            ).cast(fields["intensity"].dataType)
+
+        paired = src.select(
+            "dataset",
+            F.shiftright(F.col("k"), 32)
+            .cast(fields["seq"].dataType).alias("seq"),
+            _unpack(F.col("k")).alias("intensity"),
+            _unpack(
+                F.coalesce(F.lag("k").over(w), F.col("k"))
+            ).alias("v_prev"),
+            _unpack(F.first("k").over(w)).alias("v_first"),
+        )
+    else:
+        src = pixels.select("dataset", "seq", yx, "intensity")
+        w = Window.partitionBy("yx", "dataset").orderBy("seq")
+        # all three series stay int32 THROUGH the window: a pre-window
+        # ``intensity.cast("double")`` projection gets planned BELOW the
+        # exchange, so the shuffle would ship the double AND the int
+        # (+8 B/row on the dominant exchange — caught by the round-8 plan
+        # test). int32 -> double is exact, so casting inside the dot
+        # products instead is bit-identical.
+        paired = src.select(
+            "dataset",
+            "seq",
+            "intensity",  # NOT re-aliased: an alias projects a duplicate
+            # attribute below the exchange, widening every shuffled row
+            F.coalesce(F.lag("intensity").over(w), F.col("intensity"))
+            .alias("v_prev"),
+            F.first("intensity").over(w).alias("v_first"),
+        )
     dot = lambda a, b: F.sum(  # noqa: E731
         F.col(a).cast("double") * F.col(b).cast("double")
     )
@@ -1017,6 +1085,27 @@ class ImagePlanResult:
     # over the observed frame, then yields its named metrics for free —
     # no extra job per counter.
     observations: dict[str, Observation] = field(default_factory=dict)
+
+    def write_core_outputs(self, write, max_workers: int = 4) -> None:
+        """Submit the four always-produced outputs (integrals, spot_stats,
+        spottiness, outliers) as CONCURRENT jobs (guide §2.6): they are
+        independent reads over the already-materialized barriers, so one
+        job's stage tail overlaps the next job's ramp-up instead of
+        leaving cores idle between sequential actions — the same
+        submission order the keep-up batch path and a multi-sink
+        streaming batch use. ``write`` is the sink callable
+        (``lambda out: out.write...save()``); callers that need more
+        outputs (h_maxima, gradient) or per-job labels submit their own
+        pool. Lives here (round 15, r14 verdict #3) so bench harnesses
+        merely call the production submission order instead of
+        re-implementing it inside their timed regions."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        outs = (self.integrals, self.spot_stats, self.spottiness,
+                self.outliers)
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            for f in [pool.submit(write, out) for out in outs]:
+                f.result()
 
     def unpersist_all(self) -> None:
         """Drop every frame the plan persisted (call after the batch's

@@ -94,7 +94,18 @@ def get_spark(
         # stage 14.7 -> 0.5 run core-s, shuffle write time 9.0 s -> 13 ms;
         # headline-bench total (interleaved A/B) ~2x. One output file per
         # map task is also the right shape at scale (guide §2.2).
-        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+        # Round 15 (r14 verdict #2): the r14 driver run could not verify
+        # this config (weathered window), so it is now A/B-able in
+        # isolation — XRDSPARK_SHUFFLE_WRITER=legacy restores Spark's
+        # default threshold (200, i.e. the bypass writer at local
+        # partition counts); any other value keeps the serialized-sort
+        # writer. The in-repo A/B record lives in OPTIMIZATION_r15.md.
+        .config(
+            "spark.shuffle.sort.bypassMergeThreshold",
+            "200"
+            if os.environ.get("XRDSPARK_SHUFFLE_WRITER") == "legacy"
+            else "1",
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
